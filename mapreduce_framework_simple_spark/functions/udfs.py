@@ -1,0 +1,210 @@
+"""UDF parity surface + the reference's own showcase workloads.
+
+The reference IS a UDF mechanism — deparse the closure, ship it, eval it
+(Simple.pm:164,408) — so this module carries the workloads its docs/tests
+actually run through that mechanism:
+
+* q60: the t/01_basic.t sum/count/avg golden test through the
+  ``map_reduce`` parity API (reference t/01_basic.t:8-51).
+* q61: the prime-summation example (Simple.pm:836-929), vectorized as an
+  Arrow-batched pandas_udf instead of a per-element loop.
+* q62: the PDL matrix-inversion example (Simple.pm:756-828), re-expressed
+  as numpy over ArrayType columns via a scalar pandas_udf.
+* q63: word count through mapInPandas — proving the UDF surface and the
+  declarative surface (q30) produce identical results.
+
+Everything here crosses the JVM↔Python boundary in Arrow batches; none
+of it is a row-at-a-time Python UDF.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_framework_simple_spark.operators.mapreduce import MapReduceEngine
+from mapreduce_framework_simple_spark.registry import query
+from mapreduce_framework_simple_spark.sources.io import load_table
+
+# ---------------------------------------------------------------------------
+# q60 — t/01_basic.t port through the map_reduce parity API
+# ---------------------------------------------------------------------------
+
+@query(
+    "q60_mapreduce_basic",
+    oracle="""
+    SELECT 22000.0 AS sum_value, CAST(4000 AS BIGINT) AS num_value, 5.5 AS avg_value
+    """,
+)
+def q60_mapreduce_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact port of reference t/01_basic.t:8-51: 4 chunks × 1000 elements
+    of 5.5; mapper emits per-chunk {sum,num,avg}, reducer merges — the
+    hand-written partial+final aggregation pattern. The oracle is the
+    test's own golden triple (sum=22000, num=4000, avg=5.5)."""
+    chunks = [[5.5] * 1000 for _ in range(4)]
+
+    def mapper(chunk: list[float]) -> dict[str, float]:
+        total = sum(chunk)
+        num = len(chunk)
+        return {"sum": total, "num": num, "avg": total / num}
+
+    def reducer(mapped: list[dict[str, float]]) -> dict[str, float]:
+        total = sum(m["sum"] for m in mapped)
+        num = sum(m["num"] for m in mapped)
+        return {"sum": total, "num": num, "avg": total / num if num else 0.0}
+
+    res = MapReduceEngine(spark).map_reduce(chunks, mapper, reducer, 4, pre_chunked=True)
+    return spark.createDataFrame(
+        [(float(res["sum"]), int(res["num"]), float(res["avg"]))],
+        T.StructType([
+            T.StructField("sum_value", T.DoubleType()),
+            T.StructField("num_value", T.LongType()),
+            T.StructField("avg_value", T.DoubleType()),
+        ]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q61 — prime summation (Simple.pm:836-929), vectorized
+# ---------------------------------------------------------------------------
+
+PRIME_LO = 1_000_001
+PRIME_HI = 1_030_001  # exclusive; scaled from the POD's 300k-range for tests
+
+
+@query(
+    "q61_prime_sum",
+    oracle=f"""
+    SELECT CAST(sum(n) AS BIGINT) AS prime_sum, CAST(count(*) AS BIGINT) AS n_primes
+    FROM range({PRIME_LO}, {PRIME_HI}) t(n)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM range(2, 1016) d(d)
+        WHERE d.d * d.d <= n AND n % d.d = 0
+    )
+    """,
+)
+def q61_prime_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sum of primes in [1,000,001, 1,030,001) — the reference's benchmark
+    workload (Simple.pm:836-929), where its mapper trial-divides one
+    number at a time. Here: Arrow-batched pandas_udf doing vectorized
+    trial division (numpy outer-mod per batch) — the ~100× batch-over-row
+    win the reference can't express."""
+
+    @F.pandas_udf(T.BooleanType())
+    def is_prime(s: pd.Series) -> pd.Series:
+        n = s.to_numpy(dtype=np.int64)
+        if len(n) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        divisors = np.arange(2, int(np.sqrt(n.max())) + 1, dtype=np.int64)
+        # outer remainder: batch_size × n_divisors; guarded by Arrow batch
+        # size (10k rows × ~1k divisors × 8 B ≈ 80 MB per batch)
+        rem = n[:, None] % divisors[None, :]
+        divides = (rem == 0) & (divisors[None, :] * divisors[None, :] <= n[:, None])
+        return pd.Series(~divides.any(axis=1) & (n >= 2))
+
+    nums = spark.range(PRIME_LO, PRIME_HI).withColumnRenamed("id", "n")
+    return nums.where(is_prime(F.col("n"))).agg(
+        F.sum("n").alias("prime_sum"), F.count("*").alias("n_primes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q62 — matrix inversion over array columns (Simple.pm:756-828 parity)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q62_matrix_inverse",
+    oracle="""
+    WITH m AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) + 10 AS a, CAST(embedding[2] AS DOUBLE) AS b, CAST(embedding[3] AS DOUBLE) AS c,
+               CAST(embedding[4] AS DOUBLE) AS d, CAST(embedding[5] AS DOUBLE) + 10 AS e, CAST(embedding[6] AS DOUBLE) AS f,
+               CAST(embedding[7] AS DOUBLE) AS g, CAST(embedding[8] AS DOUBLE) AS h, CAST(embedding[9] AS DOUBLE) + 10 AS i
+        FROM embeddings
+    )
+    SELECT vec_id,
+           round(a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g), 6) AS det,
+           round((e*i - f*h) / (a*(e*i - f*h) - b*(d*i - f*g) + c*(d*h - e*g)), 6) AS inv00
+    FROM m
+    """,
+)
+def q62_matrix_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row 3×3 matrix inversion — the Spark re-expression of the
+    reference's PDL matrix example (map: invert each matrix,
+    Simple.pm:756-828). Matrices are built from the first 9 embedding
+    components with +10 on the diagonal (diagonal dominance → invertible).
+    numpy LU inside a scalar pandas_udf; the oracle checks det and
+    inv[0][0] against the closed-form adjugate to 6 dp."""
+
+    out_t = T.StructType([
+        T.StructField("det", T.DoubleType()),
+        T.StructField("inv00", T.DoubleType()),
+    ])
+
+    @F.pandas_udf(out_t)
+    def inv3(emb: pd.Series) -> pd.DataFrame:
+        mats = np.stack(
+            [np.asarray(v[:9], dtype=np.float64).reshape(3, 3) + np.eye(3) * 10 for v in emb]
+        )
+        dets = np.linalg.det(mats)
+        invs = np.linalg.inv(mats)
+        return pd.DataFrame({
+            "det": np.round(dets, 6),
+            "inv00": np.round(invs[:, 0, 0], 6),
+        })
+
+    em = load_table(spark, "embeddings", sf_dir)
+    return em.select("vec_id", inv3(F.col("embedding")).alias("r")).select(
+        "vec_id", F.col("r.det").alias("det"), F.col("r.inv00").alias("inv00")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q63 — word count through mapInPandas (UDF surface ≡ declarative surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q63_word_count_pandas",
+    oracle="""
+    WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     t -> t <> '') AS toks FROM documents),
+    words AS (SELECT unnest(toks) AS word FROM toks)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM words GROUP BY word
+    """,
+)
+def q63_word_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count with the tokenizer inside mapInPandas — the faithful
+    "mapper closure" surface (chunk in, partial counts out), with the
+    final merge left to a declarative groupBy. Matching q30's oracle
+    proves the UDF path and the built-in path coincide.
+
+    Scale: each Arrow batch emits (word, partial_count) — the map-side
+    combine the reference's users had to hand-write (t/01_basic.t
+    pattern) — so the shuffle is bounded by distinct words, not tokens."""
+
+    schema = T.StructType([
+        T.StructField("word", T.StringType()),
+        T.StructField("partial", T.LongType()),
+    ])
+
+    def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            toks = (
+                pdf["text"].str.strip().str.lower().str.split(r"\s+", regex=True).explode()
+            )
+            toks = toks[toks.notna() & (toks != "")]
+            counts = toks.value_counts()
+            yield pd.DataFrame({"word": counts.index, "partial": counts.to_numpy()})
+
+    docs = load_table(spark, "documents", sf_dir).select("text")
+    return (
+        docs.mapInPandas(tokenize, schema)
+        .groupBy("word")
+        .agg(F.sum("partial").cast("long").alias("cnt"))
+    )

@@ -1,0 +1,258 @@
+"""Deduplication operators over ``documents`` — the core LLM-pipeline set.
+
+Four families, each a ``queries()`` entry with a DuckDB oracle:
+
+* **exact** (q35): hash of whitespace-normalized text, keep-min-id policy.
+* **n-gram Jaccard** (q36): word-3-shingle set similarity via shingle
+  self-join — exact but quadratic in colliding docs; the oracle-checkable
+  ground truth for the approximate families.
+* **MinHash + LSH** (q37 signatures, q38 banded candidate pairs): the
+  100 TB path. Cross-engine determinism trick: a "permutation" is the
+  lexicographic order of ``md5(k || ':' || shingle)`` hex strings, so both
+  engines compute identical signatures with nothing but md5/min/concat.
+* **SimHash** (q39): 16-bit frequency-weighted fingerprint from per-token
+  md5 nibbles — pure integer ops both sides.
+
+Scale notes: exact dedup is one hash-shuffle; MinHash-LSH is
+O(docs × 16 hashes) + a band-bucket shuffle (bounded fan-out), replacing
+the Jaccard join's worst-case quadratic blow-up; that is why LSH is the
+declared 100 TB strategy and q36 is demoted to verification duty.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.operators.text import (
+    DUCK_SHINGLES,
+    DUCK_TOKS,
+    shingles_expr,
+    tokens_expr,
+)
+from mapreduce_framework_simple_spark.registry import query
+from mapreduce_framework_simple_spark.sources.io import load_table
+
+# Normalization shared by exact-dedup: collapse whitespace runs, trim, lower.
+# (Python-API regexp_replace, NOT F.expr — Spark SQL string literals treat
+# backslash as an escape, silently turning '\s+' into 's+'.)
+def norm_expr() -> "F.Column":
+    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+
+DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "q35_dedup_exact",
+    oracle=f"""
+    SELECT md5({DUCK_NORM}) AS text_hash,
+           CAST(count(*) AS BIGINT) AS n_copies,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def q35_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash normalized text, count copies, keep min id.
+
+    Scale: one shuffle keyed by a 128-bit hash (not the full text), so the
+    exchange carries 16-byte keys; the keep-min policy is a plain min()
+    aggregate, no window needed."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.groupBy(F.md5(norm_expr()).alias("text_hash"))
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+    )
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — shared base of q36-q38."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select("doc_id", F.explode(shingles_expr(tokens_expr())).alias("shingle"))
+        .distinct()
+    )
+
+
+_DUCK_SHINGLE_SETS = f"""
+    docs AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
+           FROM docs)
+"""
+
+
+@query(
+    "q36_ngram_jaccard",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_SETS},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= 0.5
+    """,
+)
+def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup pairs: word-3-shingle Jaccard ≥ 0.5.
+
+    Scale caveat (documented, by design): the shingle self-join explodes
+    on high-frequency shingles — this operator is the *ground truth* used
+    to validate the MinHash-LSH path (q38), which is what runs at 100 TB."""
+    sh = shingle_sets(spark, sf_dir)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_inter").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("n_inter"))
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+N_HASHES = 16
+BAND_SIZE = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4 — ~0.97 at j=0.8
+
+
+@query(
+    "q37_minhash_signatures",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_SETS}
+    SELECT doc_id, CAST(k AS INT) AS k,
+           min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS sig
+    FROM sh CROSS JOIN range(0, {N_HASHES}) t(k)
+    GROUP BY doc_id, k
+    """,
+)
+def q37_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signature matrix (16 hash functions, exploded long-form).
+
+    The k-th "permutation" ranks shingles by md5(k:shingle) hex — identical
+    in any engine with md5, which is what makes the signature (and the LSH
+    pipeline built on it) oracle-checkable."""
+    sh = shingle_sets(spark, sf_dir)
+    return (
+        sh.select("doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("k"))
+        .groupBy("doc_id", "k")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("sig")
+        )
+    )
+
+
+@query(
+    "q38_minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_SETS},
+    sig AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS sig
+            FROM sh CROSS JOIN range(0, {N_HASHES}) t(k)
+            GROUP BY doc_id, k),
+    bands AS (SELECT doc_id, k // {BAND_SIZE} AS band,
+                     string_agg(sig, ',' ORDER BY k) AS band_sig
+              FROM sig GROUP BY doc_id, k // {BAND_SIZE})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                AND a.doc_id < b.doc_id
+    """,
+)
+def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs agreeing on any full band of 4 signatures.
+
+    Scale: the only shuffles are the signature groupBy and the
+    band-bucket self-join, whose key (band, band_sig) has near-unique
+    cardinality except for true near-dups — no quadratic term. This is
+    the declared 100 TB near-dedup strategy; q36 validates its recall."""
+    sig = q37_minhash_signatures(spark, sf_dir)
+    bands = (
+        sig.groupBy("doc_id", F.floor(F.col("k") / BAND_SIZE).alias("band"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("k", "sig"))), lambda x: x["sig"]
+                ),
+                ",",
+            ).alias("band_sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SIMHASH_BITS = 16
+
+_DUCK_SIMHASH = f"""
+    docs AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    tok AS (SELECT doc_id, substr(md5(unnest(toks)), 1, 4) AS h FROM docs),
+    bits AS (SELECT doc_id, b,
+                    ((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+                     >> (3 - (b % 4))) & 1 AS bit
+             FROM tok CROSS JOIN range(0, {SIMHASH_BITS}) t(b)),
+    scores AS (SELECT doc_id, b, sum(2 * bit - 1) AS score FROM bits GROUP BY doc_id, b)
+"""
+
+
+@query(
+    "q39_simhash",
+    oracle=f"""
+    WITH {_DUCK_SIMHASH}
+    SELECT doc_id,
+           CAST(sum(CASE WHEN score > 0 THEN 1 << b ELSE 0 END) AS BIGINT) AS simhash
+    FROM scores GROUP BY doc_id
+    """,
+)
+def q39_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per-token md5 nibbles vote on each bit position,
+    frequency-weighted (repeat tokens vote repeatedly). Near-dup docs land
+    within small Hamming distance; bucketing by simhash value is the
+    constant-cost dedup prefilter at scale."""
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(tokens_expr()).alias("tok")).select(
+        "doc_id", F.substring(F.md5(F.col("tok")), 1, 4).alias("h")
+    )
+    bits = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "b",
+        F.expr(
+            "((instr('0123456789abcdef', substr(h, CAST(b / 4 AS INT) + 1, 1)) - 1) "
+            ">> (3 - (b % 4))) & 1"
+        ).alias("bit"),
+    )
+    scores = bits.groupBy("doc_id", "b").agg(F.sum(2 * F.col("bit") - 1).alias("score"))
+    return scores.groupBy("doc_id").agg(
+        F.sum(F.expr("CASE WHEN score > 0 THEN shiftleft(1, CAST(b AS INT)) ELSE 0 END"))
+        .cast("long")
+        .alias("simhash")
+    )

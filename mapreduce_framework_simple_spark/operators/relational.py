@@ -1,0 +1,851 @@
+"""Relational operator surface (SURVEY.md §2.3, bulk of phase 2).
+
+The reference has NO relational layer — every one of these capabilities
+exists there only as "you could write it inside the mapper closure"
+(joins/windows/sorts/set-ops all absent from Simple.pm; aggregation is the
+hand-written partial+final pattern of t/01_basic.t:17-39). Here each is a
+declarative DataFrame pipeline so Catalyst provides pushdown, pruning,
+join planning and whole-stage codegen, and AQE re-plans at runtime.
+
+Scale notes are attached per query: which side broadcasts, where the
+shuffles are, and why the plan survives 1000 executors × 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.registry import query
+from mapreduce_framework_simple_spark.sources.io import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregation (partial+final is Catalyst-automatic; ≙ reference's
+# hand-written mapper/reducer aggregation, t/01_basic.t:17-39)
+# --------------------------------------------------------------------------
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)                                       AS sum_qty,
+           sum(l_extendedprice)                                  AS sum_base_price,
+           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+           avg(l_quantity)                                       AS avg_qty,
+           avg(l_extendedprice)                                  AS avg_price,
+           avg(l_discount)                                       AS avg_disc,
+           count(*)                                              AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary. One shuffle, 6 groups.
+
+    Scale: partial aggregation collapses each scan partition to ≤6 rows
+    before the shuffle, so the exchange moves KBs regardless of input TBs.
+    Predicate and the 7-column projection push into the parquet scan.
+    """
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity * 0.5                   AS half_qty
+    FROM lineitem
+    WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      AND l_returnflag = 'R'
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-level projection + conjunctive predicate; zero shuffles.
+
+    Scale: everything pushes to the scan (PushedFilters on discount/
+    quantity/returnflag; ReadSchema limited to 6 columns)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & (F.col("l_returnflag") == "R")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            (F.col("l_quantity") * 0.5).alias("half_qty"),
+        )
+    )
+
+
+@query(
+    "q06_forecast_revenue",
+    oracle="""
+    SELECT sum(l_extendedprice * l_discount) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.05
+      AND l_quantity < 24
+    """,
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style single-row global aggregate; no group keys at all —
+    partials reduce to one row per partition, final merge on one task."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.03, 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+@query(
+    "q10_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity)      AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag, flag+status, grand total)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q11_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_extendedprice) AS sum_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over both dimensions (all 4 grouping sets)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.sum("l_extendedprice").alias("sum_price"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q12_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_custs,
+           CAST(count(*) AS BIGINT)                  AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (Catalyst expands to a two-phase plan).
+
+    The HLL variant (`approx_count_distinct`) is declared separately as
+    q45 with a rows-only check — sketches are not hash-comparable across
+    engines."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_custs"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@query(
+    "q23_agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           stddev_samp(l_quantity) AS sd_qty,
+           var_samp(l_quantity)    AS var_qty,
+           min(l_extendedprice)    AS min_price,
+           max(l_extendedprice)    AS max_price,
+           avg(l_discount)         AS avg_disc,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q23_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev/variance + min/max/avg)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("sd_qty"),
+        F.var_samp("l_quantity").alias("var_qty"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.avg("l_discount").alias("avg_disc"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("q45_approx_distinct")  # no oracle: HLL sketches differ across engines
+def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for
+    distinct-cardinality questions: constant memory per group vs the
+    exact variant's per-key state. rsd=0.01 keeps error ~1%."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("n_custs_approx")
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (absent from the reference; SURVEY.md §2.3 "Joins")
+# --------------------------------------------------------------------------
+
+@query(
+    "q03_top_revenue",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           o.o_orderdate AS orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-style: filter + 3-way join + agg + deterministic top-10.
+
+    Scale: customer (filtered to 1 segment) broadcasts against orders;
+    orders⋈lineitem shuffles on orderkey — the one unavoidable shuffle.
+    The ORDER BY + LIMIT becomes TakeOrderedAndProject (no global sort)."""
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    li = load_table(spark, "lineitem", sf_dir).where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(li.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
+        .agg(F.sum(li.l_extendedprice * (1 - li.l_discount)).alias("revenue"))
+        .select("orderkey", "revenue", "orderdate")
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q05_join_chain",
+    oracle="""
+    SELECT n.n_name AS nation,
+           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q05_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-table star-join chain lineitem→orders→customer→nation→region.
+
+    Scale: region/nation broadcast trivially; customer broadcasts at any
+    SF where it fits 64 MB, else AQE demotes to shuffle join; the fact-fact
+    lineitem⋈orders shuffle on orderkey dominates and is unavoidable
+    without co-bucketing both facts on orderkey (the storage-layout answer
+    at 100 TB — see docs/SCALE.md)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir).where(F.col("r_name").isin("ASIA", "EUROPE"))
+    dim = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(li.l_extendedprice * (1 - li.l_discount)).alias("revenue"))
+    )
+
+
+@query(
+    "q07_broadcast_brand",
+    oracle="""
+    SELECT p.p_brand AS brand,
+           sum(l.l_quantity)        AS sum_qty,
+           avg(l.l_extendedprice)   AS avg_price,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 25
+    GROUP BY p.p_brand
+    """,
+)
+def q07_broadcast_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim with an explicit broadcast hint — the canonical shape for
+    dimension joins at 100 TB (ships MBs to every executor instead of
+    shuffling TBs of fact rows)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_size") <= 25)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q08_anti_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000
+    )
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join: customers with no order above 400k.
+
+    Scale: the orders side is pre-filtered and projected to the join key
+    only before the anti join, so the shuffled build side is one slim
+    column; with customer small enough, Spark flips to broadcast-anti."""
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    return (
+        c.join(big, c.c_custkey == big.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q09_semi_join",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY n.n_name
+    """,
+)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (EXISTS): customers with ≥1 urgent order."""
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    urgent = (
+        load_table(spark, "orders", sf_dir)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "q29_outer_joins",
+    oracle="""
+    SELECT s.s_nationkey AS nationkey,
+           CAST(count(*) AS BIGINT)        AS n_rows,
+           CAST(count(c.c_custkey) AS BIGINT) AS n_matched
+    FROM supplier s
+    LEFT JOIN customer c
+      ON s.s_nationkey = c.c_nationkey AND c.c_acctbal > 9000
+    GROUP BY s.s_nationkey
+    """,
+)
+def q29_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a pushed non-key condition; counts preserve
+    unmatched left rows (count(col) vs count(*) asymmetry is the check)."""
+    s = load_table(spark, "supplier", sf_dir)
+    c = load_table(spark, "customer", sf_dir).where(F.col("c_acctbal") > 9000)
+    return (
+        s.join(c, s.s_nationkey == c.c_nationkey, "left")
+        .groupBy(s.s_nationkey.alias("nationkey"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("c_custkey").alias("n_matched"),
+        )
+    )
+
+
+@query(
+    "q27_range_join",
+    oracle="""
+    SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 10 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def q27_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) self-join: event pairs of the same user within 10 min.
+
+    Scale: the equi-key (user_id) makes this a shuffled hash join with the
+    range predicate evaluated inside each key group — NOT a cross join.
+    Skewed users would concentrate pairs; AQE skew-join splits oversized
+    partitions."""
+    e = load_table(spark, "events", sf_dir)
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 10 MINUTES")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q28_scalar_subquery",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def q28_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: orders above the global mean price. Expressed as a
+    broadcast of the 1-row aggregate (exactly what Catalyst does for an
+    uncorrelated scalar subquery)."""
+    o = load_table(spark, "orders", sf_dir)
+    mean = o.agg(F.avg("o_totalprice").alias("mean_price"))
+    return (
+        o.join(F.broadcast(mean))
+        .where(F.col("o_totalprice") > F.col("mean_price"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (absent from the reference)
+# --------------------------------------------------------------------------
+
+@query(
+    "q13_window_topk",
+    oracle="""
+    SELECT * FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey, o_totalprice AS totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def q13_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number (deterministic tiebreak).
+
+    Scale: one shuffle on the partition key; Spark 3.5+ inserts a
+    WindowGroupLimit (rank-based top-k pushdown) so each partition keeps
+    only 3 rows before the final window sort."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "q14_window_running",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           sum(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
+           avg(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)         AS avg_last3
+    FROM orders
+    """,
+)
+def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total + sliding 3-row mean per customer (ROWS frames)."""
+    o = load_table(spark, "orders", sf_dir)
+    ordering = [F.asc("o_orderdate"), F.asc("o_orderkey")]
+    w_run = (
+        Window.partitionBy("o_custkey").orderBy(*ordering)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_3 = Window.partitionBy("o_custkey").orderBy(*ordering).rowsBetween(-2, 0)
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("orderkey"),
+        F.sum("o_totalprice").over(w_run).alias("running_spend"),
+        F.avg("o_totalprice").over(w_3).alias("avg_last3"),
+    )
+
+
+@query(
+    "q15_lag_lead",
+    oracle="""
+    SELECT event_id,
+           user_id,
+           value - lag(value)  OVER w AS delta_prev,
+           lead(event_type) OVER w    AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q15_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over each user's event timeline."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        (F.col("value") - F.lag("value").over(w)).alias("delta_prev"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@query(
+    "q16_rank_dense",
+    oracle="""
+    SELECT p_partkey AS partkey, p_brand AS brand,
+           rank()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+           dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+    FROM part
+    """,
+)
+def q16_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank under ties (prices tie within a brand)."""
+    p = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        F.col("p_brand").alias("brand"),
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sort / limit / set ops / distinct
+# --------------------------------------------------------------------------
+
+@query(
+    "q17_sort_limit",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           l_extendedprice AS price
+    FROM lineitem
+    ORDER BY price DESC, orderkey, linenumber
+    LIMIT 20
+    """,
+)
+def q17_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: executes as TakeOrderedAndProject (per-partition
+    top-20 then driver merge — no global sort shuffle, O(k) memory)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.select(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("l_linenumber").alias("linenumber"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .orderBy(F.desc("price"), F.asc("orderkey"), F.asc("linenumber"))
+        .limit(20)
+    )
+
+
+@query(
+    "q18_set_ops",
+    oracle="""
+    SELECT 'intersect' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'except' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    UNION ALL
+    SELECT 'union' AS op, CAST(count(*) AS BIGINT) AS n FROM (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        UNION
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    """,
+)
+def q18_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION-distinct cardinalities of customer sets."""
+    o = load_table(spark, "orders", sf_dir)
+    f_cust = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_cust = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+
+    def tag(df: DataFrame, op: str) -> DataFrame:
+        return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+
+    return (
+        tag(f_cust.intersect(o_cust), "intersect")
+        .unionAll(tag(f_cust.subtract(o_cust), "except"))
+        .unionAll(tag(f_cust.union(o_cust).distinct(), "union"))
+    )
+
+
+@query(
+    "q19_distinct",
+    oracle="""
+    SELECT DISTINCT l_returnflag AS returnflag, l_linestatus AS linestatus
+    FROM lineitem
+    """,
+)
+def q19_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicates — partial-aggregate dedup before the shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).dropDuplicates()
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (string / date / math / conditional / json / array)
+# --------------------------------------------------------------------------
+
+@query(
+    "q20_string_funcs",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           upper(p_name)                          AS name_upper,
+           length(p_name)                         AS name_len,
+           substr(p_type, 1, 5)                   AS type_prefix,
+           concat(p_brand, '-', p_type)           AS brand_type,
+           trim(p_name)                           AS name_trim,
+           regexp_extract(p_name, '([a-z]+)', 1)  AS first_word,
+           CASE WHEN p_type LIKE '%a%' THEN 1 ELSE 0 END AS has_a
+    FROM part
+    WHERE p_name LIKE '%e%'
+    """,
+)
+def q20_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery — all JVM built-ins, zero Python."""
+    p = load_table(spark, "part", sf_dir)
+    return p.where(F.col("p_name").like("%e%")).select(
+        F.col("p_partkey").alias("partkey"),
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("-"), F.col("p_type")).alias("brand_type"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.when(F.col("p_type").like("%a%"), 1).otherwise(0).alias("has_a"),
+    )
+
+
+@query(
+    "q21_date_funcs",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(year(o_orderdate) AS INT)        AS order_year,
+           CAST(month(o_orderdate) AS INT)       AS order_month,
+           CAST(day(o_orderdate) AS INT)         AS order_day,
+           CAST(quarter(o_orderdate) AS INT)     AS order_quarter,
+           date_trunc('month', o_orderdate)      AS month_start,
+           CAST(datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since_epoch_start
+    FROM orders
+    WHERE year(o_orderdate) = 1997
+    """,
+)
+def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery; the year() predicate still prunes via
+    min/max parquet stats after Catalyst folds it."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.where(F.year("o_orderdate") == 1997).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+@query(
+    "q22_math_funcs",
+    oracle="""
+    SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
+           abs(l_extendedprice - 50000.0) AS abs_dev,
+           sqrt(l_quantity)               AS sqrt_qty,
+           pow(1 + l_discount, 2)         AS disc_sq,
+           ln(l_extendedprice)            AS ln_price,
+           floor(l_quantity / 7)          AS qty_bucket,
+           CAST(mod(l_orderkey, 97) AS BIGINT) AS key_mod
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_quantity >= 10
+    """,
+)
+def q22_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery (note: Spark F.log == natural log == DuckDB ln)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.where((F.col("l_linenumber") == 1) & (F.col("l_quantity") >= 10)).select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.col("l_linenumber").alias("linenumber"),
+        F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
+        F.sqrt("l_quantity").alias("sqrt_qty"),
+        F.pow(1 + F.col("l_discount"), 2).alias("disc_sq"),
+        F.log(F.col("l_extendedprice")).alias("ln_price"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.pmod(F.col("l_orderkey"), F.lit(97)).alias("key_mod"),
+    )
+
+
+@query(
+    "q26_case_null",
+    oracle="""
+    SELECT CASE WHEN o_totalprice > 300000 THEN 'big'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'small' END AS price_band,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_label,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def q26_case_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN / NULLIF / COALESCE + conditional aggregation."""
+    o = load_table(spark, "orders", sf_dir)
+    band = (
+        F.when(F.col("o_totalprice") > 300000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+    )
+    status = F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING"))
+    return (
+        o.groupBy(band.alias("price_band"), status.alias("status_label"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+                "n_urgent"
+            ),
+        )
+    )
+
+
+@query(
+    "q24_json_funcs",
+    oracle="""
+    SELECT event_type,
+           avg(CAST(json_extract_string(props, '$.k') AS INT))      AS avg_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q24_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events.props string column."""
+    e = load_table(spark, "events", sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.avg(k).alias("avg_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q25_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           CAST(embedding[1] AS DOUBLE) AS first_val,
+           list_sum(list_transform(embedding[1:8], x -> CAST(x AS DOUBLE))) AS head_sum,
+           CAST(list_max(embedding) AS DOUBLE) > 0.0 AS has_positive
+    FROM embeddings
+    """,
+)
+def q25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order functions over the embedding column — all
+    JVM-side (no Python), the pattern for vector math at scale."""
+    em = load_table(spark, "embeddings", sf_dir)
+    head = F.slice("embedding", 1, 8)
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.aggregate(
+            head, F.lit(0.0), lambda acc, x: acc + x.cast("double")
+        ).alias("head_sum"),
+        F.exists("embedding", lambda x: x.cast("double") > 0).alias("has_positive"),
+    )

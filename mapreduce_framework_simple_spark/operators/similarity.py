@@ -1,0 +1,229 @@
+"""Similarity search over the ``embeddings`` table (array<float>, dim 64).
+
+Two paths, per the north star:
+
+* **Brute-force cosine top-k** (q40) — the exact baseline and DuckDB
+  oracle target. All vector math is JVM-side higher-order functions
+  (zip_with + left-fold aggregate), so both engines execute the identical
+  sequential double-precision fold; cosines are rounded to 6 dp *before*
+  ranking so rank order is identical across engines.
+* **IVF (inverted-file) ANN** (q41, rows-only + recall-tested) — the
+  100 TB path: partition vectors into Voronoi cells around centroids,
+  probe the nearest few cells per query. Turns an O(N·Q) scan into
+  O(N/cells · probes · Q) with a broadcast of the (tiny) centroid set.
+
+Embedding-cosine near-dup (q42) reuses the brute-force kernel pairwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.registry import query
+from mapreduce_framework_simple_spark.sources.io import load_table
+
+TOP_K = 5
+QUERY_STRIDE = 25  # vec_id % 25 == 0 → deterministic query subset
+
+
+def dot_expr(a: str | Column, b: str | Column) -> Column:
+    """Sequential left-fold dot product in double precision.
+
+    DuckDB twin: list_reduce(list_zip → x*y, (acc,x) -> acc+x) — both
+    engines add in identical order, so results agree bit-for-bit."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def cosine_expr(a: str | Column, b: str | Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+# DuckDB fragments mirroring the folds above (same order of operations).
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+def _duck_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_prepend(0.0, list_transform({a}, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), (acc, x) -> acc + x))"
+    )
+
+
+@query(
+    "q40_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+               WHERE vec_id % {QUERY_STRIDE} = 0),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               round({_duck_dot('q.q_emb', 'e.embedding')}
+                     / ({_duck_norm('q.q_emb')} * {_duck_norm('e.embedding')}), 6) AS cos_sim
+        FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= {TOP_K}
+    """,
+)
+def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a deterministic query subset.
+
+    Scale: queries broadcast (Q ≪ N); the corpus scan is embarrassingly
+    parallel; per-partition rank pruning (WindowGroupLimit) keeps only k
+    rows per query per partition ahead of the final window shuffle. This
+    exact kernel is also the recall referee for q41's IVF path."""
+    em = load_table(spark, "embeddings", sf_dir)
+    q = em.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        em.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine_expr("q_emb", "embedding"), 6).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+N_CELLS_STRIDE = 31  # vec_id % 31 == 0 → deterministic centroid "training" set
+N_PROBE = 4
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (IVF build side).
+
+    Centroids are a deterministic sample (vec_id % 31 == 0) standing in
+    for a k-means pass; the assignment is argmax cosine over the broadcast
+    centroid set, computed JVM-side."""
+    em = load_table(spark, "embeddings", sf_dir)
+    cents = em.where(F.col("vec_id") % N_CELLS_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    scored = em.join(F.broadcast(cents)).select(
+        "vec_id",
+        "embedding",
+        "cell_id",
+        F.round(cosine_expr("embedding", "c_emb"), 6).alias("cell_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "embedding", "cell_id")
+    )
+
+
+@query("q41_ann_ivf")  # rows-only check; recall vs q40 asserted in tests
+def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: probe the N_PROBE nearest cells per query,
+    exact cosine rank within the probed shard.
+
+    Scale: corpus is hash-partitioned by cell_id (in production:
+    bucketed-by-cell parquet); each query touches N_PROBE cells ≈
+    N_PROBE/N_CELLS of the data. Approximation error is bounded by probe
+    count, tested as recall@k ≥ 0.6 against the exact q40 answer."""
+    assigned = ivf_assignments(spark, sf_dir)
+    em = load_table(spark, "embeddings", sf_dir)
+    cents = em.where(F.col("vec_id") % N_CELLS_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    q = em.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    # probe list: top-N_PROBE cells per query
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id", "q_emb", "cell_id",
+        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cell_sim"),
+    )
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    cand = probes.join(assigned, "cell_id").where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine_expr("q_emb", "embedding"), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )
+
+
+NEARDUP_THRESHOLD = 0.45
+
+
+@query(
+    "q42_embed_neardup",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_duck_dot('a.embedding', 'b.embedding')}
+                     / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cos_sim FROM pairs WHERE cos_sim >= {NEARDUP_THRESHOLD}
+    """,
+)
+def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine high-similarity pairs (cos ≥ 0.45), brute-force.
+
+    (Threshold is data-driven: the synthetic embeddings max out near
+    cos ≈ 0.55 pairwise, so a production-style 0.98 dedup cut would
+    select nothing — 0.45 keeps the operator observable end-to-end.)
+
+    Scale caveat (by design, like q36): all-pairs is the oracle-checkable
+    ground truth; at 100 TB the same threshold runs on q41's IVF cells
+    (near-dups share a cell with probability → 1 as cos → 1)."""
+    em = load_table(spark, "embeddings", sf_dir)
+    a = em.alias("a")
+    b = em.alias("b")
+    cos = F.round(
+        cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
+    )

@@ -1,0 +1,233 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Word count is the reference's own motivating use case (Simple.pm:612,
+README.md:94: "you can implement word count ... by MapReduce::Framework::
+Simple"); everything else is the LLM-data-pipeline extension set
+(language-ID, quality scoring, token counting, fingerprinting) required
+by the north star.
+
+All operators are pure JVM column expressions (split/filter/transform/
+aggregate higher-order functions) — no Python in the hot path, so they
+whole-stage-codegen and scale linearly with executors. Tokenization is
+shared via :func:`tokens_expr` so every operator (and every DuckDB oracle)
+agrees on the same token stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.registry import query
+from mapreduce_framework_simple_spark.sources.io import load_table
+
+# Canonical tokenization: lower, trim, split on whitespace runs, drop
+# empties. DuckDB twin:
+#   list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')
+def tokens_expr(col: str = "text") -> Column:
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(col))), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+# Word-3-gram shingles (the dedup unit). Guarded: <3 tokens → empty array
+# (Spark sequence() would generate a DESCENDING range for stop<start,
+# silently producing garbage shingles — hence the explicit when()).
+def shingles_expr(toks: Column) -> Column:
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+        ),
+    )
+    return F.when(F.size(toks) >= 3, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+DUCK_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+DUCK_SHINGLES = (
+    "CASE WHEN len(toks) >= 3 THEN "
+    "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "q30_word_count",
+    oracle=f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS toks FROM documents),
+    words AS (SELECT unnest(toks) AS word FROM toks)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM words GROUP BY word
+    """,
+)
+def q30_word_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic word count (≙ the reference's flagship use case, Simple.pm:612).
+
+    Scale: explode happens map-side and feeds partial counts into the
+    shuffle — the exchange carries one row per distinct word per partition,
+    not one per token occurrence."""
+    docs = load_table(spark, "documents", sf_dir)
+    return (
+        docs.select(F.explode(tokens_expr()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+@query(
+    "q31_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {DUCK_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT)  AS n_tokens,
+           CAST(length(text) AS INT) AS n_chars_calc,
+           CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks) AS avg_token_len,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INT) AS n_word_pieces
+    FROM t
+    """,
+)
+def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counting: whitespace tokens + a BPE-ish
+    regex-piece count (`[a-z0-9]+` maximal runs)."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_expr()
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias(
+            "n_word_pieces"
+        ),
+    )
+
+
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+@query(
+    "q32_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT *, {DUCK_TOKS} AS toks FROM documents)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           avg(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+               / length(text)) AS avg_alpha_ratio,
+           avg(CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+               / length(text)) AS avg_space_ratio,
+           avg(CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+               / len(toks)) AS avg_stopword_ratio,
+           avg(CAST(length(text) AS DOUBLE)) AS avg_len
+    FROM t GROUP BY lang
+    """,
+)
+def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality heuristics (alpha/space/stopword ratios) averaged
+    per language — the filter-before-training signal set."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_expr()
+    text_len = F.length("text")
+    alpha_ratio = (
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("double")
+        / text_len
+    )
+    space_ratio = (
+        (text_len - F.length(F.regexp_replace(F.col("text"), " ", ""))).cast("double")
+        / text_len
+    )
+    stop_ratio = (
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(toks)
+    )
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.avg(alpha_ratio).alias("avg_alpha_ratio"),
+        F.avg(space_ratio).alias("avg_space_ratio"),
+        F.avg(stop_ratio).alias("avg_stopword_ratio"),
+        F.avg(text_len.cast("double")).alias("avg_len"),
+    )
+
+
+# Marker-word profiles for the n-gram/stopword language-ID heuristic.
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "es": ("el", "la", "y", "que", "los"),
+    "fr": ("le", "les", "et", "une", "est"),
+}
+
+def _duck_marker(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, x -> x IN ({lst})))"
+
+@query(
+    "q33_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT *, {DUCK_TOKS} AS toks FROM documents),
+    s AS (SELECT lang, {_duck_marker('en')} AS s_en, {_duck_marker('de')} AS s_de,
+                 {_duck_marker('es')} AS s_es, {_duck_marker('fr')} AS s_fr
+          FROM t)
+    SELECT lang,
+           CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic; confusion matrix (lang ×
+    pred_lang) as output. Deterministic tie-break by fixed lang order."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens_expr()
+    def marker_score(markers: tuple[str, ...]) -> Column:
+        # single-arg lambda factory: a 2-arg lambda would be interpreted
+        # by PySpark as (element, index)
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    scores = {lang: marker_score(markers) for lang, markers in LANG_MARKERS.items()}
+    pred = (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            "en",
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), "de")
+        .when(scores["es"] >= scores["fr"], "es")
+        .otherwise("fr")
+    )
+    return docs.groupBy("lang", pred.alias("pred_lang")).agg(
+        F.count("*").alias("n_docs")
+    )
+
+
+@query(
+    "q34_fingerprint",
+    oracle="""
+    WITH t AS (SELECT doc_id, lower(trim(text)) AS txt FROM documents)
+    SELECT doc_id,
+           list_min(list_transform(range(1, greatest(length(txt) - 7, 1) + 1),
+                                   i -> md5(substr(txt, i, 8)))) AS fingerprint
+    FROM t
+    """,
+)
+def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: minimum hash over all char
+    8-grams (md5 hex compared lexicographically — a deterministic "rolling
+    hash" both engines share). Texts shorter than 8 chars hash whole."""
+    docs = load_table(spark, "documents", sf_dir)
+    txt = F.lower(F.trim(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(txt) - 7, F.lit(1))),
+        lambda i: txt.substr(i, F.lit(8)),
+    )
+    return docs.select(
+        "doc_id",
+        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
+    )

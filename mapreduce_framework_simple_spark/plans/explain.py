@@ -1,0 +1,41 @@
+"""Physical-plan inspection helpers.
+
+The reference has no optimizer to inspect (SURVEY.md §4); on Spark the
+plan IS the performance story, so these helpers make plan properties
+assertable in tests (pushdown reached the scan, the dim join broadcast,
+codegen spans exist) instead of eyeballed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def assert_in_plan(df: DataFrame, *needles: str) -> None:
+    plan = formatted_plan(df)
+    missing = [n for n in needles if n not in plan]
+    if missing:
+        raise AssertionError(f"plan is missing {missing}\n--- plan ---\n{plan}")
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True when at least one scan reports non-empty PushedFilters."""
+    plan = formatted_plan(df)
+    return any(
+        "PushedFilters: [" in line and "PushedFilters: []" not in line
+        for line in plan.splitlines()
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    return formatted_plan(df).count("WholeStageCodegen")

@@ -1,0 +1,8 @@
+from mapreduce_framework_simple_spark.sources.io import (
+    TABLES,
+    load_table,
+    load_tables,
+    register_temp_views,
+)
+
+__all__ = ["TABLES", "load_table", "load_tables", "register_temp_views"]

@@ -1,0 +1,235 @@
+"""Streaming operators over ``events`` (Structured Streaming + batch twins).
+
+The reference has no streaming at all (batch RPC only, SURVEY.md §2.3);
+this is north-star surface. Protocol per SURVEY.md §5: DuckDB can't check
+a live stream, so every windowed operator declares its *batch-equivalent*
+query for the oracle, and the real ``readStream`` pipeline is verified
+against that batch answer with an ``availableNow`` trigger in tests
+(tests/test_streaming.py).
+
+Scale notes: all aggregations below are keyed by (window, low-cardinality
+key), so state store size is bounded by windows × keys; watermarks bound
+how long a window's state lives. ``foreachBatch`` is the sink pattern for
+parquet/warehouse writes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.registry import query
+from mapreduce_framework_simple_spark.sources.io import SCHEMAS, load_table
+
+# ---------------------------------------------------------------------------
+# Batch twins (oracle-checked)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q50_tumbling_window",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows × event_type (batch twin of the streaming
+    aggregation in :func:`stream_tumbling`). Spark's window() aligns to
+    the epoch origin, exactly like DuckDB's time_bucket."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "q51_sliding_window",
+    oracle="""
+    WITH slid AS (
+        SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL 30 MINUTE AS window_start,
+               value
+        FROM events CROSS JOIN (VALUES (0), (1)) t(k)
+    )
+    SELECT window_start,
+           CAST(count(*) AS BIGINT) AS n_events,
+           sum(value) AS sum_value
+    FROM slid
+    GROUP BY 1
+    """,
+)
+def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour windows sliding every 30 min. Each event belongs to exactly
+    2 windows; the oracle materializes that membership explicitly."""
+    e = load_table(spark, "events", sf_dir)
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "q52_session_window",
+    oracle=f"""
+    WITH ordered AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL {SESSION_GAP_MIN} MINUTE
+                    OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM ordered
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands window
+    functions — the deterministic batch twin of streaming
+    ``session_window`` (whose merged-window timestamps DuckDB cannot
+    reproduce; tests assert the streaming variant agrees on session
+    counts/membership)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        # microsecond-exact gap compare (matches DuckDB's interval compare)
+        | (F.unix_micros(F.col("ts")) - F.unix_micros(prev_ts)
+           > SESSION_GAP_MIN * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = e.select(
+        "user_id", "ts", "event_id", F.sum(is_new).over(run).alias("session_id")
+    )
+    return sess.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q53_stateful_running_count",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_count,
+           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS running_value
+    FROM events
+    """,
+)
+def q53_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running count/sum at every event — the batch twin of a
+    stateful streaming accumulator (flatMapGroupsWithState-style); the
+    streaming form lives in :func:`stream_user_counts`."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("running_count"),
+        F.sum("value").over(w).alias("running_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real Structured Streaming pipelines (verified batch-vs-stream in tests)
+# ---------------------------------------------------------------------------
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (1 file per microbatch
+    in tests; at scale this is the same code over a Kafka/file drop-zone
+    source — only the ``format`` changes)."""
+    return (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+
+
+def stream_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q50: watermarked 1-hour tumbling counts.
+
+    The watermark bounds state: windows older than max(event time) −
+    1 hour are finalized and evicted; later-arriving events for them are
+    dropped (late-data policy under test in tests/test_streaming.py)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def stream_session(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming sessionization with the native session_window operator
+    (30-min gap, matching q52's batch twin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def stream_user_counts(events: DataFrame) -> DataFrame:
+    """Streaming per-user totals (complete-mode aggregation) — the
+    bounded-state streaming form of q53's final state."""
+    return events.groupBy("user_id").agg(
+        F.count("*").alias("total_events"), F.sum("value").alias("total_value")
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink
+    and return the result as a batch DataFrame (the SURVEY.md §5
+    batch-vs-stream verification harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")

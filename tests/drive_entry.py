@@ -1,0 +1,72 @@
+"""Drive the driver contract exactly as the verify harness would:
+vanilla SparkSession (none of the engine's tuned configs), sf0.01,
+import __spark_entry__, run entry() + every queries() entry, compare
+each against oracle_sql() via DuckDB.
+"""
+import sys, time, os
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .appName("driver-sim")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+import __spark_entry__ as E
+
+t0 = time.time()
+edf = E.entry(spark)
+rows = edf.collect()
+print(f"entry(): {len(rows)} rows, schema={[f.name for f in edf.schema.fields]}, {time.time()-t0:.1f}s")
+assert len(rows) > 0
+
+qs = E.queries()
+qs2 = E.queries()  # idempotency probe
+assert qs.keys() == qs2.keys()
+oracles = E.oracle_sql()
+print(f"{len(qs)} queries, {len(oracles)} oracles")
+
+import duckdb
+import pandas as pd
+
+SF = "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+
+sys.path.insert(0, "/root/repo/tests")
+from oracle_harness import compare_frames
+
+fails = []
+for name in sorted(qs):
+    t0 = time.time()
+    try:
+        sdf = qs[name](spark, SF).toPandas()
+    except Exception as ex:
+        fails.append((name, f"SPARK ERROR: {ex}"))
+        print(f"  {name}: SPARK ERROR {str(ex)[:120]}")
+        continue
+    dt = time.time() - t0
+    if name not in oracles:
+        print(f"  {name}: rows-only, {len(sdf)} rows, {dt:.1f}s")
+        continue
+    try:
+        ddf = con.execute(oracles[name]).fetchdf()
+    except Exception as ex:
+        fails.append((name, f"DUCK ERROR: {ex}"))
+        print(f"  {name}: DUCK ERROR {str(ex)[:120]}")
+        continue
+    problems = compare_frames(sdf, ddf)
+    status = "OK" if not problems else f"MISMATCH {problems[:2]}"
+    if problems:
+        fails.append((name, status))
+    print(f"  {name}: {status} ({len(sdf)} rows, {dt:.1f}s)")
+
+print(f"\n{'='*60}\n{len(qs)-len(fails)}/{len(qs)} queries verified, {len(fails)} failures")
+for n, p in fails:
+    print(f"FAIL {n}: {str(p)[:300]}")
+sys.exit(1 if fails else 0)
