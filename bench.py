@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"q01_...": sec, ...}, "sf": 0.1}
+
+The headline set spans every operator family (scan-agg, joins, windows,
+range join, text, dedup exact/LSH, similarity, streaming-batch, UDF) so a
+regression anywhere shows up here. Each query is fully materialized
+(count() the result) — timing includes the action, not just planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline queries: one per operator family, heaviest representative.
+HEADLINE = [
+    "q01_pricing_summary",    # scan + group agg
+    "q03_top_revenue",        # 3-way join + top-k
+    "q05_join_chain",         # 5-table star join
+    "q13_window_topk",        # window functions
+    "q27_range_join",         # range/theta self-join
+    "q30_word_count",         # text explode + agg
+    "q35_dedup_exact",        # exact dedup
+    "q36_ngram_jaccard",      # shingle-join near-dup (ground truth)
+    "q38_minhash_lsh_pairs",  # MinHash-LSH (scale path)
+    "q40_cosine_topk",        # similarity search
+    "q50_tumbling_window",    # event-time windows (batch twin)
+    "q61_prime_sum",          # pandas_udf compute-bound
+]
+
+
+def main() -> None:
+    from mapreduce_framework_simple_spark.session import get_session
+    from mapreduce_framework_simple_spark.registry import QUERIES, load_all
+
+    load_all()
+    spark = get_session("mfss-bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm-up (untimed): run every headline query once at the smallest SF.
+    # This triggers whole-stage codegen compilation, parquet footer reads
+    # and Python-worker spawn for exactly the plan shapes being measured —
+    # i.e. the bench measures steady-state query time, as on a long-lived
+    # cluster, not single-session JIT cost.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for name in HEADLINE:
+            try:
+                QUERIES[name](spark, warm_dir).count()
+            except Exception as e:  # warm-up must never fail the bench
+                print(f"# warmup {name} failed: {e}", file=sys.stderr)
+    spark.catalog.clearCache()  # warm-up caches must not serve sf0.1 data
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+
+    m = re.search(r"sf([0-9.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+    out = {
+        "metric": "headline_query_wall_time_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -69,12 +69,42 @@ def q35_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — shared base of q36-q38."""
+    """(doc_id, shingle) distinct pairs — shared base of q36-q38.
+
+    Tokens are materialized as a column BEFORE the shingle transform:
+    expressions inside a lambda are not subexpression-eliminated, so
+    inlining tokens_expr() would re-split the text once per element_at
+    (~370 regex splits per document — measured 14 s vs 0.5 s at sf0.1)."""
     docs = load_table(spark, "documents", sf_dir)
     return (
-        docs.select("doc_id", F.explode(shingles_expr(tokens_expr())).alias("shingle"))
+        docs.select("doc_id", tokens_expr().alias("toks"))
+        .select("doc_id", F.explode(shingles_expr(F.col("toks"))).alias("shingle"))
         .distinct()
     )
+
+
+# 60-bit integer shingle id derived from md5 — identical value in Spark
+# (conv hex→dec) and DuckDB ('0x…'::BIGINT). Joining/grouping on an 8-byte
+# int instead of the shingle string makes the q36 self-join and the q37/38
+# signature math integer-only; collision probability at 60 bits is ~N²/2⁶¹
+# (≈4e-10 for 30k distinct shingles), and both engines hash identically so
+# even a collision cannot cause an oracle mismatch.
+def shingle_id_expr() -> "F.Column":
+    return F.conv(F.substring(F.md5(F.col("shingle")), 1, 15), 16, 10).cast("bigint")
+
+DUCK_SHINGLE_ID = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
+
+
+def shingle_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sid) distinct pairs with integer shingle ids."""
+    return shingle_sets(spark, sf_dir).select(
+        "doc_id", shingle_id_expr().alias("sid")
+    )
+
+
+_DUCK_SID_SETS_TAIL = f"""
+    sid_sets AS (SELECT doc_id, {DUCK_SHINGLE_ID} AS sid FROM sh)
+"""
 
 
 _DUCK_SHINGLE_SETS = f"""
@@ -88,9 +118,10 @@ _DUCK_SHINGLE_SETS = f"""
     "q36_ngram_jaccard",
     oracle=f"""
     WITH {_DUCK_SHINGLE_SETS},
-    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    {_DUCK_SID_SETS_TAIL},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sid_sets GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM sid_sets a JOIN sid_sets b ON a.sid = b.sid AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            round(CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter), 6) AS jaccard
@@ -101,17 +132,21 @@ _DUCK_SHINGLE_SETS = f"""
     """,
 )
 def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact near-dup pairs: word-3-shingle Jaccard ≥ 0.5.
+    """Exact near-dup pairs: word-3-shingle Jaccard ≥ 0.5 (shingles
+    identified by their 60-bit md5-derived integer id — see
+    shingle_id_expr for why that is oracle-safe).
 
     Scale caveat (documented, by design): the shingle self-join explodes
     on high-frequency shingles — this operator is the *ground truth* used
     to validate the MinHash-LSH path (q38), which is what runs at 100 TB."""
-    sh = shingle_sets(spark, sf_dir)
+    # the shingle set feeds three plan branches (a-side, b-side, counts);
+    # without a cache Spark recomputes tokenize+explode+distinct per branch
+    sh = shingle_id_sets(spark, sf_dir).cache()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
@@ -129,44 +164,74 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HASHES = 16
 BAND_SIZE = 4  # 4 bands × 4 rows: P(candidate) = 1-(1-j^4)^4 — ~0.97 at j=0.8
 
+# Fixed universal-hash family over the Mersenne prime 2³¹-1:
+# perm_k(x) = (A[k]·(x mod P) + B[k]) mod P. Constants generated once
+# (seed 42) and inlined as literals so Spark and DuckDB share the family.
+# 31-bit operands keep every product < 2⁶² — no 64-bit overflow in either
+# engine. One md5 per shingle total (vs one per shingle×permutation).
+MINHASH_P = 2147483647
+MINHASH_A = [1373158607, 239081664, 53710185, 1592467582, 590620972, 525901257,
+             479341424, 299655413, 1581559893, 220106708, 1453201079, 1590571866,
+             1915941033, 1171165723, 186699714, 1268073013]
+MINHASH_B = [906070220, 68252793, 63989047, 201209005, 469521477, 499635468,
+             1085242216, 1292825378, 56985561, 1205264595, 427000596, 1537640408,
+             1395616196, 1506083910, 1170252923, 900911954]
+
+_DUCK_A = "[" + ", ".join(map(str, MINHASH_A)) + "]"
+_DUCK_B = "[" + ", ".join(map(str, MINHASH_B)) + "]"
+
+_DUCK_SIG = f"""
+    sig AS (SELECT doc_id, k,
+                   min(({_DUCK_A}[k + 1] * (sid % {MINHASH_P}) + {_DUCK_B}[k + 1])
+                       % {MINHASH_P}) AS sig
+            FROM sid_sets CROSS JOIN range(0, {N_HASHES}) t(k)
+            GROUP BY doc_id, k)
+"""
+
+
+def minhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass signature computation: 16 min() aggregates over the integer
+    shingle ids — no row explosion at all. The shuffle moves 16 longs per
+    doc per partition (partial mins), nothing else."""
+    sh = shingle_id_sets(spark, sf_dir)
+    x = F.col("sid") % MINHASH_P
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(MINHASH_A[k]) * x + F.lit(MINHASH_B[k])) % MINHASH_P).alias(f"s{k}")
+            for k in range(N_HASHES)
+        ]
+    )
+
 
 @query(
     "q37_minhash_signatures",
     oracle=f"""
-    WITH {_DUCK_SHINGLE_SETS}
-    SELECT doc_id, CAST(k AS INT) AS k,
-           min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS sig
-    FROM sh CROSS JOIN range(0, {N_HASHES}) t(k)
-    GROUP BY doc_id, k
+    WITH {_DUCK_SHINGLE_SETS},
+    {_DUCK_SID_SETS_TAIL},
+    {_DUCK_SIG}
+    SELECT doc_id, CAST(k AS INT) AS k, CAST(sig AS BIGINT) AS sig FROM sig
     """,
 )
 def q37_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signature matrix (16 hash functions, exploded long-form).
-
-    The k-th "permutation" ranks shingles by md5(k:shingle) hex — identical
-    in any engine with md5, which is what makes the signature (and the LSH
-    pipeline built on it) oracle-checkable."""
-    sh = shingle_sets(spark, sf_dir)
-    return (
-        sh.select("doc_id", "shingle", F.explode(F.sequence(F.lit(0), F.lit(N_HASHES - 1))).alias("k"))
-        .groupBy("doc_id", "k")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("k").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("sig")
-        )
-    )
+    """MinHash signature matrix (16 universal-hash permutations,
+    long-form). Computed wide (single pass) then unpivoted to match the
+    (doc_id, k, sig) contract."""
+    wide = minhash_signatures_wide(spark, sf_dir)
+    stack_args = ", ".join(f"{k}, s{k}" for k in range(N_HASHES))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({N_HASHES}, {stack_args}) AS (k, sig)"),
+    ).select("doc_id", F.col("k").cast("int").alias("k"), F.col("sig").cast("long").alias("sig"))
 
 
 @query(
     "q38_minhash_lsh_pairs",
     oracle=f"""
     WITH {_DUCK_SHINGLE_SETS},
-    sig AS (SELECT doc_id, k, min(md5(CAST(k AS VARCHAR) || ':' || shingle)) AS sig
-            FROM sh CROSS JOIN range(0, {N_HASHES}) t(k)
-            GROUP BY doc_id, k),
+    {_DUCK_SID_SETS_TAIL},
+    {_DUCK_SIG},
     bands AS (SELECT doc_id, k // {BAND_SIZE} AS band,
-                     string_agg(sig, ',' ORDER BY k) AS band_sig
+                     string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS band_sig
               FROM sig GROUP BY doc_id, k // {BAND_SIZE})
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM bands a
@@ -177,22 +242,24 @@ def q37_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs agreeing on any full band of 4 signatures.
 
-    Scale: the only shuffles are the signature groupBy and the
-    band-bucket self-join, whose key (band, band_sig) has near-unique
-    cardinality except for true near-dups — no quadratic term. This is
-    the declared 100 TB near-dedup strategy; q36 validates its recall."""
-    sig = q37_minhash_signatures(spark, sf_dir)
-    bands = (
-        sig.groupBy("doc_id", F.floor(F.col("k") / BAND_SIZE).alias("band"))
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("k", "sig"))), lambda x: x["sig"]
-                ),
-                ",",
-            ).alias("band_sig")
-        )
-    )
+    Scale: one scan computes all 16 signature mins; the band-bucket
+    self-join's key (band, band_sig) has near-unique cardinality except
+    for true near-dups — no quadratic term anywhere. This is the declared
+    100 TB near-dedup strategy; q36 validates its recall."""
+    wide = minhash_signatures_wide(spark, sf_dir)
+    band_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"s{b * BAND_SIZE + i}").cast("string") for i in range(BAND_SIZE)]
+        ).alias(f"band{b}")
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    # long form (doc_id, band, band_sig) via one stack over the wide row —
+    # the signature computation is a single pass, never repeated
+    banded = wide.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_HASHES // BAND_SIZE))
+    bands = banded.select(
+        "doc_id", F.expr(f"stack({N_HASHES // BAND_SIZE}, {stack_args}) AS (band, band_sig)")
+    ).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     return (

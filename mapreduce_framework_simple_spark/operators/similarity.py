@@ -93,16 +93,24 @@ def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel; per-partition rank pruning (WindowGroupLimit) keeps only k
     rows per query per partition ahead of the final window shuffle. This
     exact kernel is also the recall referee for q41's IVF path."""
-    em = load_table(spark, "embeddings", sf_dir)
+    em = load_table(spark, "embeddings", sf_dir).withColumn(
+        # norm precomputed ONCE per vector (N+Q folds), not once per pair
+        # (2·N·Q folds); identical fold → identical rounded cosines
+        "e_norm", norm_expr("embedding")
+    )
     q = em.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("e_norm").alias("q_norm"),
     )
     scored = (
         em.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(cosine_expr("q_emb", "embedding"), 6).alias("cos_sim"),
+            F.round(
+                dot_expr("q_emb", "embedding") / (F.col("q_norm") * F.col("e_norm")), 6
+            ).alias("cos_sim"),
         )
     )
     from pyspark.sql import Window
@@ -178,7 +186,11 @@ def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(cosine_expr("q_emb", "embedding"), 6).alias("cos_sim"),
+        F.round(
+            dot_expr("q_emb", "embedding")
+            / (norm_expr("q_emb") * norm_expr("embedding")),
+            6,
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
@@ -212,11 +224,15 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale caveat (by design, like q36): all-pairs is the oracle-checkable
     ground truth; at 100 TB the same threshold runs on q41's IVF cells
     (near-dups share a cell with probability → 1 as cos → 1)."""
-    em = load_table(spark, "embeddings", sf_dir)
+    em = load_table(spark, "embeddings", sf_dir).withColumn(
+        "e_norm", norm_expr("embedding")
+    )
     a = em.alias("a")
     b = em.alias("b")
     cos = F.round(
-        cosine_expr(F.col("a.embedding"), F.col("b.embedding")), 6
+        dot_expr(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.e_norm") * F.col("b.e_norm")),
+        6,
     )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
