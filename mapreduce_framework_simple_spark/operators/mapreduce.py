@@ -27,7 +27,6 @@ reduce. Deliberate divergences, per SURVEY.md §7 risk list:
 
 from __future__ import annotations
 
-import pickle
 import random
 from collections.abc import Callable, Iterable, Sequence
 from typing import Any
@@ -64,7 +63,12 @@ def create_assigned_data(data: Sequence[Any], chunk_num: int = 8,
     if method == "element_shuffle":
         random.Random(seed).shuffle(items)
     elif method == "volume_uniform":
-        items.sort(key=lambda x: len(pickle.dumps(x)), reverse=True)
+        # cloudpickle, not pickle: data may contain locally-defined classes
+        # and closures (≙ the reference's Storable+Deparse path,
+        # Simple.pm:173-178)
+        from pyspark import cloudpickle
+
+        items.sort(key=lambda x: len(cloudpickle.dumps(x)), reverse=True)
     chunks: list[list[Any]] = [[] for _ in range(chunk_num)]
     for i, x in enumerate(items):
         chunks[i % chunk_num].append(x)

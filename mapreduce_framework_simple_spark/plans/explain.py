@@ -38,4 +38,12 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def codegen_stage_count(df: DataFrame) -> int:
-    return formatted_plan(df).count("WholeStageCodegen")
+    """Number of distinct whole-stage-codegen stages (formatted explain
+    annotates member operators with ``[codegen id : N]``)."""
+    plan = formatted_plan(df)
+    ids = {
+        line.split("codegen id :")[1].strip().rstrip("]")
+        for line in plan.splitlines()
+        if "codegen id :" in line
+    }
+    return len(ids)

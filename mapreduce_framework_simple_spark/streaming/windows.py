@@ -174,11 +174,32 @@ def q53_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (1 file per microbatch
     in tests; at scale this is the same code over a Kafka/file drop-zone
-    source — only the ``format`` changes)."""
+    source — only the ``format`` changes).
+
+    The file streaming source requires a *directory*; the testdata ships
+    one file per table, so it is staged (copied once) into a scratch
+    drop-zone directory keyed by the source path.
+    """
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        drop_zone = src
+    else:
+        key = hashlib.md5(src.encode()).hexdigest()[:12]
+        drop_zone = os.path.join(tempfile.gettempdir(), f"mfss_stream_{key}")
+        if not os.path.isdir(drop_zone):
+            # rewrite through the batch loader: converts the physical
+            # TIMESTAMP(NANOS) column to micros so the declared stream
+            # schema (TimestampType) matches the staged files
+            load_table(spark, "events", sf_dir).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(drop_zone)
     return (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
-        .parquet(os.path.join(sf_dir, "events.parquet"))
+        .parquet(drop_zone)
     )
 
 

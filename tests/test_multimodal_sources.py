@@ -1,0 +1,76 @@
+"""Multimodal plumbing + source/sink round-trips."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mapreduce_framework_simple_spark.operators.multimodal import (
+    decode_image_meta,
+    with_binary_payload,
+)
+from mapreduce_framework_simple_spark.sources.io import (
+    load_table,
+    read_csv,
+    read_json,
+    write_parquet,
+)
+
+
+def test_decode_stub_raises_without_fake(spark, sf_dir):
+    """Real codecs are stubbed (absent in this container): default path
+    must fail loudly, not fake silently."""
+    docs = with_binary_payload(load_table(spark, "documents", sf_dir))
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(docs)
+
+
+def test_fake_decode_is_deterministic_and_typed(spark, sf_dir):
+    docs = with_binary_payload(load_table(spark, "documents", sf_dir))
+    a = decode_image_meta(docs, fake=True).toPandas().sort_values("doc_id")
+    b = decode_image_meta(docs, fake=True).toPandas().sort_values("doc_id")
+    assert (a.reset_index(drop=True) == b.reset_index(drop=True)).all().all()
+    assert a.width.between(1, 64).all() and a.height.between(1, 64).all()
+    assert (a.channels == 3).all()
+    assert (a.n_bytes > 0).all()
+
+
+def test_binary_payload_is_binary(spark, sf_dir):
+    docs = with_binary_payload(load_table(spark, "documents", sf_dir))
+    assert isinstance(docs.schema["payload"].dataType, T.BinaryType)
+
+
+def test_parquet_sink_roundtrip(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "out.parquet")
+    df = load_table(spark, "nation", sf_dir)
+    write_parquet(df, out, partition_by=("n_regionkey",))
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+    # partition pruning works on the partitioned sink
+    pruned = back.where(F.col("n_regionkey") == 1)
+    assert pruned.count() == df.where(F.col("n_regionkey") == 1).count()
+
+
+def test_csv_json_sources_roundtrip(spark, tmp_path):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("score", T.DoubleType()),
+    ])
+    df = spark.createDataFrame([(1, "a", 1.5), (2, "b", 2.5)], schema)
+    csv_path = str(tmp_path / "t.csv")
+    json_path = str(tmp_path / "t.json")
+    df.coalesce(1).write.option("header", True).csv(csv_path)
+    df.coalesce(1).write.json(json_path)
+    assert sorted(read_csv(spark, csv_path, schema).collect()) == sorted(df.collect())
+    assert sorted(read_json(spark, json_path, schema).collect()) == sorted(df.collect())
+
+
+def test_in_memory_source(spark):
+    """≙ the reference's only source: a caller-built in-memory array
+    (Simple.pm:536-546)."""
+    data = [(i, float(i) * 1.5) for i in range(100)]
+    df = spark.createDataFrame(data, "id long, v double")
+    assert df.agg(F.sum("v")).collect()[0][0] == sum(v for _, v in data)

@@ -1,0 +1,70 @@
+"""Recall / consistency tests for the approximate operators — the checks
+a value-hash oracle cannot express (SURVEY.md §5: approximate paths are
+verified by recall against the exact answer).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from mapreduce_framework_simple_spark.operators.dedup import (
+    q36_ngram_jaccard,
+    q38_minhash_lsh_pairs,
+    q39_simhash,
+)
+from mapreduce_framework_simple_spark.operators.similarity import (
+    TOP_K,
+    q40_cosine_topk,
+    q41_ann_ivf,
+)
+
+
+def test_ivf_recall_against_exact(spark, sf_dir):
+    """IVF ANN must find ≥60% of the true top-5 neighbors (4 of 16 cells
+    probed — recall is bounded by probe coverage, not by bugs)."""
+    exact = q40_cosine_topk(spark, sf_dir).toPandas()
+    approx = q41_ann_ivf(spark, sf_dir).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    a = set(zip(approx.query_id, approx.neighbor_id))
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall@{TOP_K} = {recall:.2f}"
+    # every query answered
+    assert set(approx.query_id) == set(exact.query_id)
+
+
+def test_lsh_finds_high_jaccard_pairs(spark, sf_dir):
+    """Every exact pair with Jaccard ≥ 0.8 must appear among the LSH
+    candidates (P(miss) = (1-j⁴)⁴ ≤ 2.5% per pair at j=0.8; the fixture's
+    near-dup pairs sit at j≈0.9-1.0 where P(miss) < 0.2%)."""
+    exact = q36_ngram_jaccard(spark, sf_dir).toPandas()
+    high = exact[exact.jaccard >= 0.8]
+    cands = q38_minhash_lsh_pairs(spark, sf_dir).toPandas()
+    cand_set = set(zip(cands.doc_a, cands.doc_b))
+    missed = [
+        (a, b) for a, b in zip(high.doc_a, high.doc_b) if (a, b) not in cand_set
+    ]
+    assert len(high) > 0, "fixture should contain near-dup pairs"
+    assert not missed, f"LSH missed high-jaccard pairs: {missed}"
+
+
+def test_simhash_close_for_near_dups(spark, sf_dir):
+    """Near-dup docs (Jaccard ≥ 0.9 ⇒ near-identical shingle sets) should
+    get near-identical simhash (frequency weighting can still flip a few
+    low-margin bits)."""
+    exact = q36_ngram_jaccard(spark, sf_dir).toPandas()
+    dups = exact[exact.jaccard >= 0.9]
+    assert len(dups) > 0
+    sh = q39_simhash(spark, sf_dir).toPandas().set_index("doc_id")["simhash"]
+    hd = [
+        bin(int(sh[a]) ^ int(sh[b])).count("1") for a, b in zip(dups.doc_a, dups.doc_b)
+    ]
+    assert pd.Series(hd).median() <= 4, f"hamming distances too large: {hd}"
+
+
+def test_topk_is_k_rows_per_query(spark, sf_dir):
+    df = q40_cosine_topk(spark, sf_dir).toPandas()
+    per_q = df.groupby("query_id").size()
+    assert (per_q == TOP_K).all()
+    assert (df.groupby("query_id")["rnk"].max() == TOP_K).all()
+    # no self-matches
+    assert (df.query_id != df.neighbor_id).all()

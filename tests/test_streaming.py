@@ -1,0 +1,134 @@
+"""Structured Streaming verification (SURVEY.md §5 protocol): every
+streaming pipeline is checked against its batch twin via availableNow,
+and watermark late-data drop is exercised with a multi-batch file source.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.sources.io import SCHEMAS, load_table
+from mapreduce_framework_simple_spark.streaming.windows import (
+    q50_tumbling_window,
+    q52_session_window,
+    read_events_stream,
+    run_available_now,
+    stream_session,
+    stream_tumbling,
+    stream_user_counts,
+)
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    stream = stream_tumbling(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, "t_tumbling").toPandas()
+    want = q50_tumbling_window(spark, sf_dir).toPandas()
+    key = ["window_start", "event_type"]
+    got = got.sort_values(key).reset_index(drop=True)
+    want = want.sort_values(key).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert abs(got["sum_value"].to_numpy() - want["sum_value"].to_numpy()).max() < 1e-6
+
+
+def test_stream_session_equals_batch_twin(spark, sf_dir):
+    """session_window (streaming) must produce the same number of sessions
+    per user, with the same event counts, as the gaps-and-islands batch
+    twin (q52)."""
+    stream = stream_session(read_events_stream(spark, sf_dir))
+    got = run_available_now(stream, "t_session").toPandas()
+    want = q52_session_window(spark, sf_dir).toPandas()
+    g = got.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    w = want.groupby("user_id")["n_events"].agg(["count", "sum"]).sort_index()
+    assert (g["count"] == w["count"]).all(), "session counts per user differ"
+    assert (g["sum"] == w["sum"]).all(), "events per user differ"
+
+
+def test_stream_user_counts_equals_batch(spark, sf_dir):
+    got = run_available_now(
+        stream_user_counts(read_events_stream(spark, sf_dir)), "t_ucount"
+    ).toPandas()
+    want = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("total_events"))
+        .toPandas()
+    )
+    g = got.set_index("user_id")["total_events"].sort_index()
+    w = want.set_index("user_id")["total_events"].sort_index()
+    assert (g == w).all()
+
+
+@pytest.fixture()
+def late_data_dir(spark, tmp_path):
+    """Three-file drop zone: batch 0 carries hours 0-8 of day 1 plus a
+    max-ts sentinel (day 2) that advances the watermark far ahead;
+    batch 1 is a filler event (the late-record filter runs on the
+    PREVIOUS trigger's watermark, so the sentinel only becomes effective
+    for filtering one batch later); batch 2 is a LATE event back in
+    hour 1 — far beyond the 1 h watermark, so it must be dropped."""
+    d = str(tmp_path / "events_stream")
+    os.makedirs(d)
+    rows1 = [
+        (i, f"2024-01-01 0{h}:15:00", 1, "view", 1.0, "{}")
+        for i, h in enumerate(range(0, 9))
+    ] + [(100, "2024-01-02 00:00:00", 1, "view", 1.0, "{}")]
+    rows2 = [(150, "2024-01-02 00:30:00", 1, "view", 1.0, "{}")]
+    rows3 = [(200, "2024-01-01 01:20:00", 1, "view", 1.0, "{}")]
+    for i, rows in enumerate([rows1, rows2, rows3]):
+        df = spark.createDataFrame(
+            [(r[0], r[1], r[2], r[3], r[4], r[5]) for r in rows],
+            "event_id long, ts_s string, user_id long, event_type string, value double, props string",
+        ).select(
+            "event_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/batch{i}")
+    # flatten into one dir; FileStreamSource orders by modification time,
+    # so force strictly increasing mtimes
+    out = str(tmp_path / "flat")
+    os.makedirs(out)
+    for i in range(3):
+        src = [f for f in os.listdir(f"{d}/batch{i}") if f.endswith(".parquet")][0]
+        dst = f"{out}/part-{i:05d}.parquet"
+        shutil.copy(f"{d}/batch{i}/{src}", dst)
+        os.utime(dst, (1_000_000 + i * 100, 1_000_000 + i * 100))
+    return out
+
+
+def test_watermark_drops_late_events(spark, late_data_dir):
+    """Append-mode tumbling count with a 1 h watermark: the hour-01 window
+    closes once the watermark passes (batch 1's sentinel pushes it to
+    day 2), so batch 2's late hour-01 event must NOT be counted."""
+    events = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(late_data_dir)
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.sql(
+        "SELECT n FROM t_late WHERE window_start = TIMESTAMP '2024-01-01 01:00:00'"
+    ).collect()
+    assert len(res) == 1
+    assert res[0]["n"] == 1, "late event leaked into a closed window"
