@@ -208,3 +208,81 @@ def q63_word_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.sum("partial").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q64/q65 — grouped UDF surfaces (applyInPandas / grouped-agg pandas_udf)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q64_apply_in_pandas",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) AS sum_qty,
+           avg(l_extendedprice) AS avg_price,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q64_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF (applyInPandas): each group arrives as one pandas
+    DataFrame — the faithful re-expression of the reference's
+    mapper-per-chunk contract with grouping semantics on top
+    (Simple.pm:149-339 has no grouping; users hand-rolled it in reducers).
+
+    Scale: one shuffle on the group key; each group must fit one
+    executor's memory — fine for bounded group counts (3 here), the
+    documented caveat for high-cardinality keys (use built-in aggs or
+    grouped-agg UDFs instead)."""
+
+    out_schema = T.StructType([
+        T.StructField("l_returnflag", T.StringType()),
+        T.StructField("sum_qty", T.DoubleType()),
+        T.StructField("avg_price", T.DoubleType()),
+        T.StructField("n_rows", T.LongType()),
+    ])
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+            "sum_qty": [float(pdf["l_quantity"].sum())],
+            "avg_price": [float(pdf["l_extendedprice"].mean())],
+            "n_rows": [int(len(pdf))],
+        })
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    return li.groupBy("l_returnflag").applyInPandas(summarize, out_schema)
+
+
+@query(
+    "q65_grouped_agg_udf",
+    oracle="""
+    SELECT l_linestatus,
+           sum(l_extendedprice * l_quantity) / sum(l_quantity) AS weighted_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q65_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF as a grouped-agg pandas_udf: quantity-weighted mean
+    price (≙ the reference's reducer-side merge of per-chunk partials,
+    t/01_basic.t:30-39, as a first-class aggregate).
+
+    Scale caveat (documented): grouped-agg pandas_udfs do NOT do partial
+    aggregation — all group rows ship to one executor. Use for moderate
+    group sizes; for 100 TB hot paths prefer expressing the same math as
+    built-in aggs (as the oracle shows is possible here)."""
+
+    @F.pandas_udf(T.DoubleType())
+    def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_linestatus").agg(
+        weighted_mean(F.col("l_extendedprice"), F.col("l_quantity")).alias(
+            "weighted_price"
+        )
+    )

@@ -849,3 +849,105 @@ def q25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("head_sum"),
         F.exists("embedding", lambda x: x.cast("double") > 0).alias("has_positive"),
     )
+
+
+@query(
+    "q43_map_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(len(map_keys(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)})) AS INT) AS n_keys,
+           (MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)})['etype'][1] AS etype_val,
+           array_to_string(map_keys(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS keys_csv
+    FROM events
+    """,
+)
+def q43_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType column construction + map_keys/element_at access."""
+    e = load_table(spark, "events", sf_dir)
+    m = F.create_map(
+        F.lit("etype"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return e.select(
+        "event_id",
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(m, "etype").alias("etype_val"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )
+
+
+@query(
+    "q44_from_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS INT) AS k_val,
+           CAST(json_extract(props, '$.k') AS INT) IS NOT NULL AS has_k
+    FROM events
+    """,
+)
+def q44_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured JSON parsing: from_json into a typed struct (vs q24's
+    path-extraction) — the pattern for semi-structured 100 TB event logs
+    (parse once, then columnar access)."""
+    e = load_table(spark, "events", sf_dir)
+    parsed = F.from_json(F.col("props"), "k INT")
+    return e.select(
+        "event_id",
+        parsed["k"].alias("k_val"),
+        parsed["k"].isNotNull().alias("has_k"),
+    )
+
+
+@query(
+    "q46_full_outer",
+    oracle="""
+    WITH cust AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+                  FROM customer WHERE c_acctbal > 9000 GROUP BY 1),
+    supp AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+             FROM supplier GROUP BY 1)
+    SELECT coalesce(cust.nk, supp.nk) AS nationkey,
+           CAST(coalesce(n_cust, 0) AS BIGINT) AS n_rich_customers,
+           CAST(coalesce(n_supp, 0) AS BIGINT) AS n_suppliers
+    FROM cust FULL OUTER JOIN supp ON cust.nk = supp.nk
+    """,
+)
+def q46_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two aggregates (unmatched rows on both sides)."""
+    cust = (
+        load_table(spark, "customer", sf_dir)
+        .where(F.col("c_acctbal") > 9000)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count("*").alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, "supplier", sf_dir)
+        .groupBy(F.col("s_nationkey").alias("nk2"))
+        .agg(F.count("*").alias("n_supp"))
+    )
+    return (
+        cust.join(supp, cust.nk == supp.nk2, "full_outer")
+        .select(
+            F.coalesce(cust.nk, supp.nk2).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_rich_customers"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "q47_right_join",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(count(s.s_suppkey) AS BIGINT) AS n_suppliers
+    FROM supplier s RIGHT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q47_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join keeping nations without suppliers (count(col)=0)."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey, "right")
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
