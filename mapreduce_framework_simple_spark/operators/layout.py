@@ -1,0 +1,76 @@
+"""Physical-layout operators: bucketing and skew salting.
+
+These are the two storage/shuffle levers the relational queries point at
+in docs/SCALE.md:
+
+* **Bucketing** deletes the fact⋈fact exchange entirely: write both
+  tables bucketed+sorted by the join key and Spark plans a zip-join of
+  co-located buckets — the difference between shuffling TBs and
+  shuffling nothing on every subsequent join. (The reference has no
+  storage layer at all, so this is pure north-star surface.)
+* **Salting** splits a hot key across `salt_n` sub-keys so one skewed
+  customer/user cannot serialize a stage behind a single straggler task.
+  AQE skew-join handles sort-merge cases automatically; explicit salting
+  remains the tool for broadcast-ineligible skewed aggregations and for
+  engines/pipelines where AQE is off.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32,
+                   sort_col: str | None = None) -> None:
+    """Persist as a bucketed (+sorted) managed table; joins/aggregations
+    keyed on ``bucket_col`` between same-bucketed tables need no exchange."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    w = w.sortBy(sort_col or bucket_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  on: str, how: str = "inner") -> DataFrame:
+    """Join two pre-bucketed tables on their bucket key (exchange-free —
+    asserted in tests/test_layout.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16) -> DataFrame:
+    """Two-phase skew-proof aggregation: partial-agg on (key, salt), then
+    final-agg on key. Correct for decomposable aggregates (sum/count/min/
+    max); the partial pass bounds any single task's share of a hot key to
+    1/salt_n.
+
+    ``agg_exprs``: list of (col_expr, partial_fn, final_fn, name) where
+    partial/final are e.g. (F.sum, F.sum) for sum or (F.count, F.sum)
+    for count.
+    """
+    salt = (F.rand(seed=42) * salt_n).cast("int").alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(
+        *[pf(expr).alias(f"_p_{name}") for expr, pf, _, name in agg_exprs]
+    )
+    return partial.groupBy(key).agg(
+        *[ff(F.col(f"_p_{name}")).alias(name) for _, _, ff, name in agg_exprs]
+    )
+
+
+def salted_join(skewed: DataFrame, skew_key: str, small: DataFrame,
+                small_key: str, salt_n: int = 16) -> DataFrame:
+    """Skew-proof equi-join: salt the skewed side with a random shard id,
+    explode the small side across all shard ids, join on (key, salt).
+    Output rows identical to the plain join; the hot key's rows spread
+    over ``salt_n`` tasks instead of one."""
+    salted_big = skewed.withColumn(
+        "_salt", (F.rand(seed=42) * salt_n).cast("int")
+    )
+    exploded_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    joined = salted_big.join(
+        exploded_small,
+        (salted_big[skew_key] == exploded_small[small_key])
+        & (salted_big["_salt"] == exploded_small["_salt"]),
+    )
+    return joined.drop("_salt")

@@ -254,3 +254,24 @@ def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+
+
+def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
+                      query_name: str = "to_parquet"):
+    """foreachBatch parquet sink: the production pattern for landing
+    streaming aggregates in a warehouse (idempotent per epoch via the
+    checkpointed batch id; swap the write body for MERGE INTO on a
+    lakehouse). Complete-mode snapshot per microbatch, partitioned dirs
+    by batch for replay-ability."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )

@@ -132,3 +132,28 @@ def test_watermark_drops_late_events(spark, late_data_dir):
     ).collect()
     assert len(res) == 1
     assert res[0]["n"] == 1, "late event leaked into a closed window"
+
+
+def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch sink lands the final streaming aggregate in parquet,
+    matching the batch answer."""
+    from mapreduce_framework_simple_spark.streaming.windows import stream_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_parquet(
+        stream_user_counts(read_events_stream(spark, sf_dir)), out, ckpt
+    )
+    q.awaitTermination()
+    batches = sorted(os.listdir(out))
+    assert batches, "no batches written"
+    final = spark.read.parquet(f"{out}/{batches[-1]}").toPandas()
+    want = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("total_events"))
+        .toPandas()
+    )
+    g = final.set_index("user_id")["total_events"].sort_index()
+    w = want.set_index("user_id")["total_events"].sort_index()
+    assert (g == w).all()
