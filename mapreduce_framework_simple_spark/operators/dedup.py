@@ -76,6 +76,11 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlining tokens_expr() would re-split the text once per element_at
     (~370 regex splits per document — measured 14 s vs 0.5 s at sf0.1)."""
     docs = load_table(spark, "documents", sf_dir)
+    # NOTE: explode + .distinct() (one small shuffle) deliberately beats
+    # the "obvious" shuffle-free array_distinct-before-explode: wrapping
+    # the shingle transform in array_distinct forces the whole generator
+    # out of codegen into interpreted eval (measured 0.7 s vs 16.5 s warm
+    # at sf0.1).
     return (
         docs.select("doc_id", tokens_expr().alias("toks"))
         .select("doc_id", F.explode(shingles_expr(F.col("toks"))).alias("shingle"))
