@@ -295,3 +295,75 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane-LSH near-dup: the bucketed scale path for q42's semantics
+# ---------------------------------------------------------------------------
+
+def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
+                         n_bits: int = 16, n_bands: int = 2,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """Embedding near-dup via random-hyperplane LSH (SimHash for vectors).
+
+    Signature: sign bits of H·v for a fixed seeded hyperplane matrix H
+    (identical on every executor). Docs sharing any band of sign bits
+    become candidates; candidates are verified with exact cosine.
+    P(bit match) = 1 - θ/π, so recall ≈ 1 - (1-(1-θ/π)^(bits/bands))^bands
+    — near 1 for cos → 1, which is the near-dup regime this targets (the
+    brute-force q42 covers the exploratory low-threshold regime).
+
+    Scale: signatures are one numpy matmul per Arrow batch; the only
+    shuffle is the band-bucket self-join whose buckets are near-unique
+    except for true near-dups — same shape as MinHash-LSH (q38).
+    """
+    import numpy as np
+    import pandas as pd
+
+    bits_per_band = n_bits // n_bands
+
+    def signatures(batches):
+        H = np.random.RandomState(42).randn(64, n_bits)
+        for pdf in batches:
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            bits = (mat @ H) > 0  # (n × n_bits)
+            out = {"vec_id": pdf[id_col].to_numpy(dtype="int64")}
+            for b in range(n_bands):
+                chunk = bits[:, b * bits_per_band:(b + 1) * bits_per_band]
+                out[f"band{b}"] = chunk.dot(1 << np.arange(chunk.shape[1])).astype("int64")
+            yield pd.DataFrame(out)
+
+    band_schema = ", ".join([f"band{b} long" for b in range(n_bands)])
+    sigs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+        signatures, f"vec_id long, {band_schema}"
+    ).join(df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id").cache()
+
+    pairs = None
+    for b in range(n_bands):
+        a = sigs.alias("a")
+        c = sigs.alias("b")
+        p = (
+            a.join(
+                c,
+                (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
+                & (F.col("a.vec_id") < F.col("b.vec_id")),
+            )
+            .select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.col(f"a.{vec_col}").alias("emb_a"),
+                F.col(f"b.{vec_col}").alias("emb_b"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionAll(p)
+    cand = pairs.dropDuplicates(["vec_a", "vec_b"])
+    cos = F.round(
+        dot_expr(to_double_array("emb_a"), to_double_array("emb_b"))
+        / (norm_expr(to_double_array("emb_a")) * norm_expr(to_double_array("emb_b"))),
+        6,
+    )
+    return (
+        cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
