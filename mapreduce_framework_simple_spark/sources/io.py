@@ -118,6 +118,10 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         from pyspark.sql import functions as F
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # the rebuilt ts column is a session-tz TIMESTAMP; pin UTC so
+        # window alignment and pandas conversion match the oracle's naive
+        # timestamps regardless of the host session's timezone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division: float division of epoch-nanos exceeds the
