@@ -275,3 +275,37 @@ def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
         .queryName(query_name)
         .start()
     )
+
+
+def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running (count, sum) held in explicit GroupState and emitted every
+    microbatch — the general-purpose surface for state machines that
+    windowed aggregation cannot express (the SURVEY §2.3 "stateful
+    running count per user" bullet, done with user-managed state).
+
+    Scale: state is one (long, double) pair per active user, partitioned
+    by the group key across the cluster; ProcessingTimeTimeout would
+    evict idle users in a real deployment (NoTimeout keeps the test
+    deterministic)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        import pandas as pd
+
+        cnt, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            cnt += int(len(pdf))
+            total += float(pdf["value"].sum())
+        state.update((cnt, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "total_events": [cnt], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, total_events long, total_value double",
+        stateStructType="count long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -157,3 +157,36 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
     g = final.set_index("user_id")["total_events"].sort_index()
     w = want.set_index("user_id")["total_events"].sort_index()
     assert (g == w).all()
+
+
+def test_stateful_apply_in_pandas_with_state(spark, sf_dir):
+    """Custom GroupState operator: final per-user totals equal the batch
+    answer (single microbatch over the staged file; state carries the
+    running pair)."""
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        stream_stateful_user_totals,
+    )
+
+    stream = stream_stateful_user_totals(read_events_stream(spark, sf_dir))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT user_id, max(total_events) AS total_events, max(total_value) AS total_value "
+        "FROM t_stateful GROUP BY user_id"
+    ).toPandas()
+    want = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("total_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+    )
+    g = got.set_index("user_id").sort_index()
+    w = want.set_index("user_id").sort_index()
+    assert (g["total_events"] == w["total_events"]).all()
+    assert (abs(g["total_value"] - w["total_value"]) < 1e-6).all()
