@@ -1,0 +1,66 @@
+#!/usr/bin/env python
+"""Scale probe: replicate the fact tables N× (join keys offset per
+replica so join fan-out stays realistic), then compare per-query wall
+time at 1× vs N×. Sub-linear ratios on a multi-core local session mean
+the plan parallelizes; a super-linear ratio flags a scale bug
+(quadratic operator, driver collect, broadcast overflow).
+
+Usage: python tools/scale_probe.py [N] [queries...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+DEFAULT_QUERIES = [
+    "q01_pricing_summary", "q05_join_chain", "q03_top_revenue",
+    "q13_window_topk", "q27_range_join", "q35_dedup_exact",
+]
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from mapreduce_framework_simple_spark.session import get_session
+    from mapreduce_framework_simple_spark.sources.io import load_table
+    from mapreduce_framework_simple_spark.registry import QUERIES, load_all
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    load_all()
+    spark = get_session("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    dst = f"/tmp/mfss_scale_x{n}"
+    if not os.path.isdir(dst):
+        os.makedirs(dst)
+        for t in ["region", "nation", "supplier", "customer", "part",
+                  "documents", "embeddings", "events"]:
+            os.symlink(os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet"))
+        for t, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
+            df = load_table(spark, t, src)
+            parts = [df.withColumn(key, F.col(key) + F.lit(i * 10**9)) for i in range(n)]
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionAll(p)
+            u.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+
+    for name in names:
+        QUERIES[name](spark, src).count()  # warm plan shapes
+        t0 = time.perf_counter()
+        QUERIES[name](spark, src).count()
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        QUERIES[name](spark, dst).count()
+        tn = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        print(f"{name}: 1x={t1:.2f}s {n}x={tn:.2f}s ratio={tn / max(t1, 1e-9):.1f}")
+
+
+if __name__ == "__main__":
+    main()
