@@ -146,3 +146,83 @@ def q71_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  payload_col: str = "payload", id_col: str = "doc_id",
+                  fake: bool = False) -> DataFrame:
+    """Resize stub over binary image payloads (real codec absent in this
+    container). The Spark-side contract is real: binary in → binary out
+    with typed target dims, Arrow-batched; the fake path emits a
+    deterministic md5-tagged payload so downstream plumbing is testable."""
+    if not fake:
+        raise NotImplementedError(
+            "image codecs are not available in this environment; "
+            "pass fake=True for the deterministic pseudo-resize"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            out = [
+                _hashlib.md5(bytes(p)).digest() + width.to_bytes(2, "big")
+                + height.to_bytes(2, "big")
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                "payload": out,
+            })
+
+    return df.mapInPandas(run, RESIZED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("duration_s", T.DoubleType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("mfcc", T.ArrayType(T.DoubleType())),
+])
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "doc_id", fake: bool = False) -> DataFrame:
+    """Audio feature-extraction stub (duration/RMS/MFCC-shaped vector).
+    Real torchaudio/librosa work is stubbed; the fake path derives
+    deterministic features from the payload bytes so the schema,
+    batching and array-column handling are exercised for real."""
+    if not fake:
+        raise NotImplementedError(
+            "audio codecs are not available in this environment; "
+            "pass fake=True for the deterministic pseudo-extractor"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hashlib
+
+        for pdf in batches:
+            dur, rms, mfcc = [], [], []
+            for p in pdf[payload_col]:
+                h = _hashlib.md5(bytes(p)).digest()
+                dur.append(len(bytes(p)) / 16000.0)
+                rms.append(h[0] / 255.0)
+                mfcc.append([b / 255.0 for b in h[:13]])
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "duration_s": dur,
+                "rms": rms,
+                "mfcc": mfcc,
+            })
+
+    return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)

@@ -74,3 +74,30 @@ def test_in_memory_source(spark):
     data = [(i, float(i) * 1.5) for i in range(100)]
     df = spark.createDataFrame(data, "id long, v double")
     assert df.agg(F.sum("v")).collect()[0][0] == sum(v for _, v in data)
+
+
+def test_resize_stub(spark, sf_dir):
+    from mapreduce_framework_simple_spark.operators.multimodal import resize_images
+
+    docs = with_binary_payload(load_table(spark, "documents", sf_dir))
+    with pytest.raises(NotImplementedError):
+        resize_images(docs, 32, 32)
+    out = resize_images(docs, 32, 32, fake=True)
+    assert isinstance(out.schema["payload"].dataType, T.BinaryType)
+    pdf = out.toPandas()
+    assert (pdf.width == 32).all() and (pdf.height == 32).all()
+    assert pdf.payload.map(len).eq(20).all()  # md5 + 2x2 dim bytes
+
+
+def test_audio_features_stub(spark, sf_dir):
+    from mapreduce_framework_simple_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    docs = with_binary_payload(load_table(spark, "documents", sf_dir))
+    with pytest.raises(NotImplementedError):
+        extract_audio_features(docs)
+    pdf = extract_audio_features(docs, fake=True).toPandas()
+    assert pdf.mfcc.map(len).eq(13).all()
+    assert pdf.duration_s.gt(0).all()
+    assert pdf.rms.between(0, 1).all()
