@@ -951,3 +951,36 @@ def q47_right_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("s_suppkey").alias("n_suppliers"))
     )
+
+
+@query(
+    "q54_sort_nulls",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           nullif(o_orderstatus, 'P') AS status_or_null,
+           o_totalprice AS totalprice
+    FROM orders
+    WHERE o_totalprice > 450000
+    ORDER BY status_or_null ASC NULLS FIRST, totalprice DESC, orderkey
+    LIMIT 50
+    """,
+)
+def q54_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key sort with explicit NULLS FIRST placement (engines differ
+    on the default — Spark asc = nulls first, DuckDB asc = nulls last —
+    so the contract is explicit on both sides)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.where(F.col("o_totalprice") > 450000)
+        .select(
+            F.col("o_orderkey").alias("orderkey"),
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("status_or_null"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .orderBy(
+            F.asc_nulls_first("status_or_null"),
+            F.desc("totalprice"),
+            F.asc("orderkey"),
+        )
+        .limit(50)
+    )
