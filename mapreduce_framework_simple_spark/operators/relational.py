@@ -984,3 +984,75 @@ def q54_sort_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+@query(
+    "q55_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither rollup nor cube shape): per-flag,
+    per-status, and grand total in one pass over the scan."""
+    li = load_table(spark, "lineitem", sf_dir)
+    li.createOrReplaceTempView("q55_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               count(*) AS n_rows
+        FROM q55_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@query(
+    "q56_having",
+    oracle="""
+    SELECT o_custkey AS custkey,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) >= 12 AND sum(o_totalprice) > 2000000
+    """,
+)
+def q56_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation predicate (HAVING): Catalyst folds it into a
+    filter above the final aggregate — no extra pass."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("spend"))
+        .where((F.col("n_orders") >= 12) & (F.col("spend") > 2000000))
+    )
+
+
+@query(
+    "q57_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'F') AS qty_f,
+           sum(l_quantity) FILTER (WHERE l_linestatus = 'O') AS qty_o
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q57_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long → wide) with an explicit value list — at scale the
+    value list must be declared (an unlisted pivot triggers a distinct
+    scan first); the oracle shows the equivalent FILTER aggregation."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .sum("l_quantity")
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
