@@ -174,3 +174,26 @@ def test_map_reduce_iter(spark):
         range(1000), lambda part: sum(part), sum, num_partitions=16
     )
     assert res == sum(range(1000))
+
+
+def test_mapper_failure_fails_fast(spark):
+    """Deliberate divergence from the reference (which silently DISCARDS
+    twice-failed chunks, Simple.pm:321-327): mapper errors must surface
+    as job failure — no silent data loss."""
+    def bad_mapper(chunk):
+        raise ValueError("boom")
+
+    with pytest.raises(Exception, match="boom"):
+        map_reduce([[1], [2]], bad_mapper, sum, 2, spark=spark, pre_chunked=True)
+
+
+def test_sql_temp_views(spark, sf_dir):
+    """spark.sql over the registered star-schema views (the SQL entry
+    surface next to the DataFrame API)."""
+    from mapreduce_framework_simple_spark.sources.io import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    row = spark.sql(
+        "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
+    ).collect()[0]
+    assert row["n"] > 0
