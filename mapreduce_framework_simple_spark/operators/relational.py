@@ -1056,3 +1056,97 @@ def q57_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "qty_f")
         .withColumnRenamed("O", "qty_o")
     )
+
+
+@query(
+    "q58_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           median(l_quantity)               AS med_qty,
+           quantile_cont(l_quantity, 0.25)  AS p25_qty,
+           quantile_cont(l_quantity, 0.75)  AS p75_qty,
+           quantile_cont(l_extendedprice, 0.9) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q58_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation in both engines).
+
+    Scale note: exact percentile holds per-group sorted state — fine for
+    bounded groups; unbounded-cardinality profiles should switch to
+    approx_percentile (t-digest sketch), the same exact/approx split as
+    q12/q45."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_quantity").alias("med_qty"),
+        F.percentile("l_quantity", 0.25).alias("p25_qty"),
+        F.percentile("l_quantity", 0.75).alias("p75_qty"),
+        F.percentile("l_extendedprice", 0.9).alias("p90_price"),
+    )
+
+
+@query(
+    "q59_corr_covar",
+    oracle="""
+    SELECT l_linestatus,
+           corr(l_quantity, l_extendedprice)       AS qty_price_corr,
+           covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
+           covar_pop(l_discount, l_tax)            AS disc_tax_covar_pop
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q59_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (Pearson corr, sample/population covariance)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_linestatus").agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+        F.covar_pop("l_discount", "l_tax").alias("disc_tax_covar_pop"),
+    )
+
+
+@query(
+    "q66_array_agg",
+    oracle="""
+    SELECT n_regionkey AS regionkey,
+           array_to_string(list_sort(list_distinct(list(n_name))), ',') AS nations_csv,
+           CAST(len(list_distinct(list(n_name))) AS INT) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def q66_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collect-to-array aggregation, canonicalized (sorted distinct) so
+    the nondeterministic collection order can't leak into results — the
+    required discipline for any cross-run-stable array aggregate."""
+    n = load_table(spark, "nation", sf_dir)
+    arr = F.array_sort(F.collect_set("n_name"))
+    return n.groupBy(F.col("n_regionkey").alias("regionkey")).agg(
+        F.array_join(arr, ",").alias("nations_csv"),
+        F.size(arr).alias("n_nations"),
+    )
+
+
+@query(
+    "q67_min_max_by",
+    oracle="""
+    SELECT o_orderpriority,
+           arg_min(o_totalprice, o_orderkey) AS first_order_price,
+           arg_max(o_totalprice, o_orderkey) AS last_order_price,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q67_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax aggregates). The ordering column is
+    the UNIQUE o_orderkey — argmin over a column with ties is
+    engine-arbitrary, so unique-by is the contract."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.min_by("o_totalprice", "o_orderkey").alias("first_order_price"),
+        F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
+        F.count("*").alias("n_orders"),
+    )

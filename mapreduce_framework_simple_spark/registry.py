@@ -50,4 +50,5 @@ def load_all() -> None:
         text,
     )
     from mapreduce_framework_simple_spark.functions import udfs  # noqa: F401
+    from mapreduce_framework_simple_spark.operators import iterative  # noqa: F401
     from mapreduce_framework_simple_spark.streaming import windows  # noqa: F401
