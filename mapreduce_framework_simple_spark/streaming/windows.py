@@ -309,3 +309,28 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(events_a: DataFrame, events_b: DataFrame,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream interval join: pairs of same-user events within
+    10 minutes (the streaming twin of batch q27). Both sides carry
+    watermarks and the join condition time-bounds the buffered state, so
+    each side's join buffer holds at most watermark+interval of data —
+    the textbook bounded-state stream-stream join."""
+    a = events_a.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_id").alias("a_id"),
+    )
+    b = events_b.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    )
+    return a.join(
+        b,
+        F.expr(
+            "a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + INTERVAL 10 MINUTES"
+        ),
+    )

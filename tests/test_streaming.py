@@ -190,3 +190,30 @@ def test_stateful_apply_in_pandas_with_state(spark, sf_dir):
     w = want.set_index("user_id").sort_index()
     assert (g["total_events"] == w["total_events"]).all()
     assert (abs(g["total_value"] - w["total_value"]) < 1e-6).all()
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    """Stream-stream interval join produces exactly the batch q27 pairs."""
+    from mapreduce_framework_simple_spark.operators.relational import q27_range_join
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        stream_interval_join,
+    )
+
+    joined = stream_interval_join(
+        read_events_stream(spark, sf_dir), read_events_stream(spark, sf_dir)
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT a_user AS user_id, count(*) AS n_pairs FROM t_ssjoin GROUP BY a_user"
+    ).toPandas()
+    want = q27_range_join(spark, sf_dir).toPandas()
+    g = got.set_index("user_id")["n_pairs"].sort_index()
+    w = want.set_index("user_id")["n_pairs"].sort_index()
+    assert (g == w).all(), "stream-stream join diverged from batch range join"
