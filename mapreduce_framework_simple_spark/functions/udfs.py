@@ -286,3 +286,15 @@ def q65_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_price"
         )
     )
+
+
+@query("q72_approx_percentile")  # rows-only: t-digest sketches differ across engines
+def q72_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile — the sketch twin of q58's exact percentiles
+    (same exact/approx pairing discipline as q12/q45): bounded memory per
+    group at any cardinality, accuracy set by the 10000 accuracy knob."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("med_qty_approx"),
+        F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx"),
+    )

@@ -231,3 +231,44 @@ def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
     )
+
+
+@query(
+    "q69_bigrams",
+    oracle=f"""
+    WITH t AS (SELECT {DUCK_TOKS} AS toks FROM documents),
+    b AS (SELECT unnest(CASE WHEN len(toks) >= 2
+                             THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+                             ELSE [] END) AS bigram
+          FROM t)
+    SELECT * FROM (
+        SELECT bigram, CAST(count(*) AS BIGINT) AS cnt,
+               row_number() OVER (ORDER BY count(*) DESC, bigram) AS rnk
+        FROM b GROUP BY bigram
+    ) WHERE rnk <= 100
+    """,
+)
+def q69_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 word bigrams (n-gram frequency analysis; deterministic
+    tie-break by bigram text). Same materialize-before-lambda discipline
+    as shingling."""
+    docs = load_table(spark, "documents", sf_dir)
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
+    return (
+        docs.select(tokens_expr().alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 100)
+    )
