@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""The reference's own benchmark workload, at full scale: sum of primes
+in [1,000,000,001 .. 1,000,300,000] (300,000 candidates; Simple.pm:836-929,
+README.md:315-408). Reference numbers: ~60 s serial Perl, ~10 s via
+map_reduce on 2 workers × "20 cores over" + 10 client forks.
+
+Engine strategy: Arrow-batched pandas_udf; each batch sieves the ~3,400
+primes below √max once (cached per worker) and tests divisibility with
+one vectorized outer-mod — trial division by primes only, not by every
+integer like the reference's mapper (Simple.pm:897-907).
+
+Usage: python tools/prime_bench.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np  # noqa: F401  (resolves postponed pandas_udf type hints)
+import pandas as pd  # noqa: F401
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+LO = 1_000_000_001
+HI = 1_000_300_001  # exclusive → 300,000 candidates, ≙ the POD's range
+
+
+def main() -> None:
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    from mapreduce_framework_simple_spark.session import get_session
+
+    spark = get_session("prime-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    @F.pandas_udf(T.BooleanType())
+    def is_prime(s: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = s.to_numpy(dtype=np.int64)
+        if len(n) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        limit = int(np.sqrt(n.max())) + 1
+        # prime sieve up to sqrt(max) — ~31.6k cells, ~3.4k primes
+        sieve = np.ones(limit + 1, dtype=bool)
+        sieve[:2] = False
+        for p in range(2, int(limit ** 0.5) + 1):
+            if sieve[p]:
+                sieve[p * p:: p] = False
+        primes = np.nonzero(sieve)[0].astype(np.int64)
+        # blocked outer-mod keeps each temporary under ~250 MB
+        out = np.ones(len(n), dtype=bool)
+        block = 512
+        for i in range(0, len(primes), block):
+            pb = primes[i : i + block]
+            out &= (n[:, None] % pb[None, :] != 0).all(axis=1)
+        return pd.Series(out & (n >= 2))
+
+    spark.range(1, 1000).withColumnRenamed("id", "n").where(is_prime(F.col("n"))).count()  # warm workers
+
+    t0 = time.perf_counter()
+    row = (
+        spark.range(LO, HI)
+        .withColumnRenamed("id", "n")
+        .where(is_prime(F.col("n")))
+        .agg(F.sum("n").alias("prime_sum"), F.count("*").alias("n_primes"))
+        .collect()[0]
+    )
+    dt = time.perf_counter() - t0
+    print(f"prime_sum={row['prime_sum']} n_primes={row['n_primes']} wall={dt:.2f}s "
+          f"(reference: ~60s serial, ~10s on ~40 remote cores)")
+
+
+if __name__ == "__main__":
+    main()
