@@ -1,0 +1,105 @@
+"""Custom connector via the Python DataSource API (Spark 4): a seeded
+synthetic events source.
+
+The reference's only "source" is a caller-built in-memory array
+(Simple.pm:536-546); this is the engine's extensible-connector answer —
+the same API surface a REST/queue/proprietary-format connector would
+implement. Demonstrated properties:
+
+* **partition planning**: the row range splits into N partitions, each
+  generated independently on executors (nothing flows through the
+  driver);
+* **deterministic content**: every partition seeds its RNG with
+  (seed, partition_id), so the same options always yield the same table
+  — which is what makes a synthetic source testable;
+* **filter pushdown hook**: `pushFilters` accepts equality filters on
+  `event_type` so the generator skips non-matching rows at the source
+  (the Python-API analogue of parquet PushedFilters).
+
+Usage::
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    df = (spark.read.format("synthetic_events")
+          .option("rows", 10000).option("partitions", 8)
+          .option("seed", 42).load())
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.types import StructType
+
+EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
+
+SCHEMA_DDL = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.n_rows = int(options.get("rows", 1000))
+        self.n_parts = int(options.get("partitions", 4))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 100))
+        self.type_filter: str | None = None
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        from pyspark.sql.datasource import EqualTo
+
+        remaining = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("event_type",):
+                self.type_filter = f.value
+            else:
+                remaining.append(f)
+        return remaining
+
+    def partitions(self):
+        from pyspark.sql.datasource import InputPartition
+
+        per = self.n_rows // self.n_parts
+        parts = []
+        start = 0
+        for i in range(self.n_parts):
+            end = start + per + (1 if i < self.n_rows % self.n_parts else 0)
+            parts.append(InputPartition((start, end)))
+            start = end
+        return parts
+
+    def read(self, partition):
+        import random
+        from datetime import datetime, timedelta
+
+        start, end = partition.value
+        rng = random.Random(self.seed * 1_000_003 + start)
+        base = datetime(2024, 1, 1)
+        for i in range(start, end):
+            etype = EVENT_TYPES[rng.randrange(len(EVENT_TYPES))]
+            ts = base + timedelta(seconds=rng.randrange(30 * 24 * 3600))
+            user = rng.randrange(self.n_users)
+            value = round(rng.random() * 500, 2)
+            props = '{"k": %d}' % rng.randrange(100)
+            if self.type_filter is not None and etype != self.type_filter:
+                continue  # pushdown: skip at the source
+            yield (i, ts, user, etype, value, props)
+
+
+class SyntheticEventsDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SCHEMA_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return SyntheticEventsReader(schema, self.options)
+
+
+def register(spark) -> None:
+    """Register the connector (and enable the Python-source filter
+    pushdown flag its pushFilters hook requires)."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(SyntheticEventsDataSource)

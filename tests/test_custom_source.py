@@ -1,0 +1,49 @@
+"""Custom Python DataSource connector (synthetic events)."""
+
+from __future__ import annotations
+
+from mapreduce_framework_simple_spark.sources import synthetic
+
+
+def _load(spark, **opts):
+    synthetic.register(spark)
+    r = spark.read.format("synthetic_events")
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_source_generates_requested_rows(spark):
+    df = _load(spark, rows=5000, partitions=8, seed=42)
+    assert df.count() == 5000
+    assert set(df.columns) == {"event_id", "ts", "user_id", "event_type", "value", "props"}
+    assert df.rdd.getNumPartitions() == 8
+
+
+def test_source_is_deterministic(spark):
+    a = _load(spark, rows=1000, partitions=4, seed=7).toPandas().sort_values("event_id")
+    b = _load(spark, rows=1000, partitions=4, seed=7).toPandas().sort_values("event_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    c = _load(spark, rows=1000, partitions=4, seed=8).toPandas().sort_values("event_id")
+    assert not a.reset_index(drop=True).equals(c.reset_index(drop=True))
+
+
+def test_source_composes_with_engine_ops(spark):
+    from pyspark.sql import functions as F
+
+    df = _load(spark, rows=2000, partitions=4, seed=42)
+    agg = df.groupBy("event_type").agg(F.count("*").alias("n")).toPandas()
+    assert agg.n.sum() == 2000
+    assert len(agg) == 5
+
+
+def test_source_filter_pushdown(spark):
+    from pyspark.sql import functions as F
+
+    df = _load(spark, rows=2000, partitions=4, seed=42)
+    clicks = df.where(F.col("event_type") == "click")
+    pdf = clicks.toPandas()
+    assert (pdf.event_type == "click").all()
+    # pushdown result must equal the post-hoc filter of the full scan
+    full = _load(spark, rows=2000, partitions=4, seed=42).toPandas()
+    assert len(pdf) == (full.event_type == "click").sum()
