@@ -118,6 +118,81 @@ _DUCK_SHINGLE_SETS = f"""
            FROM docs)
 """
 
+JACCARD_T = 0.5
+
+
+def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered (PPJoin-style) variant of q36 — identical results,
+    different plan. Returns
+    exactly the naive all-pairs answer (the oracle computes the naive
+    form) while never joining on hot shingles:
+
+    * order the shingle universe globally, rarest first;
+    * a pair with J ≥ t has |a∩b| ≥ ⌈t·|a|⌉ and ≥ ⌈t·|b|⌉, so its
+      globally-smallest common shingle lies within the first
+      |d| − ⌈t·|d|⌉ + 1 shingles of BOTH docs (pigeonhole) — candidates
+      are generated from those short prefixes only;
+    * candidates are verified exactly via array_intersect of the full
+      (sorted, collected) shingle arrays.
+
+    Worst-case safe: the candidate join touches ~(1−t) of each doc's
+    shingles in rarest-first order, so frequency skew cannot go
+    quadratic. On the synthetic corpus (max shingle df ≈ 25) the naive
+    join is measurably FASTER (2.6 s vs 4.4 s at sf0.1) because the
+    prefix bookkeeping (freq join + two windows + verify join) costs
+    more than the blowup it prevents — hence q36 ships the naive plan
+    and this variant is the documented escape hatch for skewed corpora
+    (equality-tested in test_similarity_dedup)."""
+    sh = shingle_id_sets(spark, sf_dir).cache()
+    from pyspark.sql import Window
+
+    freq = sh.groupBy("sid").agg(F.count("*").alias("df"))
+    # global rarest-first order; per-doc prefix positions
+    ranked = (
+        sh.join(freq, "sid")
+        .withColumn(
+            "pos",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sid"))
+            ),
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.where(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
+    ).select("doc_id", "sid")
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact verification on packed shingle arrays
+    packed = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("sid")).alias("sids"))
+    verified = (
+        cand.join(
+            packed.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a")),
+            "doc_a",
+        )
+        .join(
+            packed.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b")),
+            "doc_b",
+        )
+        .withColumn("n_inter", F.size(F.array_intersect("sids_a", "sids_b")))
+        .withColumn(
+            "jaccard_raw",
+            F.col("n_inter").cast("double")
+            / (F.size("sids_a") + F.size("sids_b") - F.col("n_inter")),
+        )
+        .where(F.col("jaccard_raw") >= JACCARD_T)
+    )
+    return verified.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
 
 @query(
     "q36_ngram_jaccard",
@@ -141,11 +216,10 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identified by their 60-bit md5-derived integer id — see
     shingle_id_expr for why that is oracle-safe).
 
-    Scale caveat (documented, by design): the shingle self-join explodes
-    on high-frequency shingles — this operator is the *ground truth* used
-    to validate the MinHash-LSH path (q38), which is what runs at 100 TB."""
-    # the shingle set feeds three plan branches (a-side, b-side, counts);
-    # without a cache Spark recomputes tokenize+explode+distinct per branch
+    Naive sid self-join — measured faster than the prefix-filtered
+    variant on this corpus (see ngram_jaccard_prefix for the
+    skew-proof alternative); q38's MinHash-LSH is the 100 TB path and
+    this operator is its ground-truth verifier."""
     sh = shingle_id_sets(spark, sf_dir).cache()
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
@@ -161,7 +235,7 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
         .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
-        .where(jac >= 0.5)
+        .where(jac >= JACCARD_T)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 

@@ -68,3 +68,19 @@ def test_topk_is_k_rows_per_query(spark, sf_dir):
     assert (df.groupby("query_id")["rnk"].max() == TOP_K).all()
     # no self-matches
     assert (df.query_id != df.neighbor_id).all()
+
+
+def test_prefix_jaccard_equals_naive(spark, sf_dir):
+    """PPJoin-style prefix filtering must return exactly the naive
+    all-pairs Jaccard answer (its soundness proof, empirically)."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        ngram_jaccard_prefix,
+    )
+
+    naive = q36_ngram_jaccard(spark, sf_dir).toPandas()
+    pref = ngram_jaccard_prefix(spark, sf_dir).toPandas()
+    key = ["doc_a", "doc_b"]
+    n = naive.sort_values(key).reset_index(drop=True)
+    p = pref.sort_values(key).reset_index(drop=True)
+    assert n[key].equals(p[key])
+    assert (abs(n.jaccard - p.jaccard) < 1e-9).all()
