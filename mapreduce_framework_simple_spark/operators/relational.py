@@ -1150,3 +1150,100 @@ def q67_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max_by("o_totalprice", "o_orderkey").alias("last_order_price"),
         F.count("*").alias("n_orders"),
     )
+
+
+@query(
+    "q73_window_distribution",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(ntile(4) OVER w AS INT)    AS price_quartile,
+           percent_rank() OVER w           AS price_pct_rank,
+           cume_dist() OVER w              AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q73_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank / cume_dist)
+    under a fully deterministic ordering."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("price_pct_rank"),
+        F.cume_dist().over(w).alias("price_cume_dist"),
+    )
+
+
+@query(
+    "q74_posexplode",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding[1:4] AS e4 FROM embeddings)
+    SELECT vec_id,
+           CAST(generate_subscripts(e4, 1) - 1 AS INT) AS pos,
+           round(CAST(unnest(e4) AS DOUBLE), 6) AS val
+    FROM e
+    """,
+)
+def q74_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (UDTF with ordinality) over an array slice."""
+    em = load_table(spark, "embeddings", sf_dir)
+    return em.select(
+        "vec_id", F.posexplode(F.slice("embedding", 1, 4)).alias("pos", "v")
+    ).select("vec_id", "pos", F.round(F.col("v").cast("double"), 6).alias("val"))
+
+
+@query(
+    "q75_string_funcs2",
+    oracle="""
+    SELECT p_partkey AS partkey,
+           lpad(p_brand, 12, '*')            AS brand_pad,
+           rpad(p_brand, 12, '.')            AS brand_rpad,
+           reverse(p_name)                   AS name_rev,
+           repeat(substr(p_type, 1, 2), 2)   AS type_rep,
+           translate(p_name, 'ae', '@3')     AS name_leet,
+           CAST(levenshtein(p_brand, p_type) AS INT) AS brand_type_dist,
+           split_part(p_type, ' ', 1)        AS type_head
+    FROM part
+    WHERE p_partkey % 3 = 0
+    """,
+)
+def q75_string_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions round 2: padding, reverse/repeat/translate,
+    edit distance (levenshtein — the character-level near-dup signal),
+    split_part."""
+    p = load_table(spark, "part", sf_dir)
+    return p.where(F.col("p_partkey") % 3 == 0).select(
+        F.col("p_partkey").alias("partkey"),
+        F.lpad("p_brand", 12, "*").alias("brand_pad"),
+        F.rpad("p_brand", 12, ".").alias("brand_rpad"),
+        F.reverse(F.col("p_name")).alias("name_rev"),
+        F.repeat(F.substring("p_type", 1, 2), 2).alias("type_rep"),
+        F.translate("p_name", "ae", "@3").alias("name_leet"),
+        F.levenshtein("p_brand", "p_type").alias("brand_type_dist"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@query(
+    "q76_date_funcs2",
+    oracle="""
+    SELECT o_orderkey AS orderkey,
+           CAST(last_day(o_orderdate) AS TIMESTAMP) AS month_end,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP) AS plus3m,
+           strftime(o_orderdate, '%Y-%m') AS ym
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+)
+def q76_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions round 2: month-end, month arithmetic (both engines
+    clamp to month length), formatting."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.where(F.col("o_orderkey") % 5 == 0).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
