@@ -1247,3 +1247,57 @@ def q76_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
+
+
+@query(
+    "q77_array_funcs2",
+    oracle="""
+    WITH e AS (SELECT vec_id,
+                      list_transform(embedding[1:6], x -> CAST(round(CAST(x AS DOUBLE) + 2, 2) AS DOUBLE)) AS a,
+                      list_transform(embedding[4:9], x -> CAST(round(CAST(x AS DOUBLE) + 2, 2) AS DOUBLE)) AS b
+               FROM embeddings)
+    SELECT vec_id,
+           CAST(len(list_distinct(list_cat(a, b))) AS INT) AS n_union,
+           CAST(len(list_filter(a, x -> list_contains(b, x))) AS INT) AS n_common,
+           array_to_string(list_transform(list_reverse(list_sort(a)), x -> CAST(x AS VARCHAR)), ',') AS a_sorted_desc
+    FROM e
+    """,
+)
+def q77_array_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions round 2: union cardinality, membership overlap,
+    descending sort — set algebra on array columns (values rounded to
+    2 dp first so equality compares are exact in both engines; shifted
+    +2 so no value rounds to signed zero — ±0.0 set-membership and
+    formatting semantics differ across engines)."""
+    em = load_table(spark, "embeddings", sf_dir)
+    a = F.transform(F.slice("embedding", 1, 6), lambda x: F.round(x.cast("double") + 2, 2))
+    b = F.transform(F.slice("embedding", 4, 6), lambda x: F.round(x.cast("double") + 2, 2))
+    return em.select(
+        "vec_id",
+        F.size(F.array_union(a, b)).alias("n_union"),
+        F.size(F.filter(a, lambda x: F.array_contains(b, x))).alias("n_common"),
+        F.array_join(
+            F.reverse(F.array_sort(a)).cast("array<string>"), ","
+        ).alias("a_sorted_desc"),
+    )
+
+
+@query(
+    "q78_bool_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           bool_and(o_totalprice > 1000)   AS all_over_1k,
+           bool_or(o_totalprice > 450000)  AS any_over_450k,
+           CAST(count_if(o_orderstatus = 'F') AS BIGINT) AS n_finished
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q78_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/some) + conditional count."""
+    o = load_table(spark, "orders", sf_dir)
+    return o.groupBy("o_orderpriority").agg(
+        F.every(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.some(F.col("o_totalprice") > 450000).alias("any_over_450k"),
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+    )
