@@ -402,3 +402,106 @@ def q39_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("simhash")
     )
+
+
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+    """Connected components by min-label propagation — the canonical
+    dedup post-step: near-dup PAIRS (q38) become dedup GROUPS, and
+    "keep one doc per component" falls out as min(doc_id) == label.
+
+    Spark-first iteration: each round joins current labels across edges
+    and takes the elementwise min; terminates when a round changes no
+    label (checked with one count per round). Label count is monotone
+    non-increasing, so rounds ≤ graph diameter ≤ max_iter for any real
+    dedup graph (components are tiny cliques).
+
+    Scale: state is one (node, label) pair per node; each round is one
+    shuffle keyed by node. The 100 TB version is the same loop over the
+    alternating small-star/large-star formulation; at dedup-graph shapes
+    (diameter ≤ 3) plain propagation converges in 2-3 rounds.
+    """
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy(F.col("a").alias("node2"))
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+_DUCK_LSH_PAIRS = f"""
+    sig2 AS (SELECT doc_id, k, min(({_DUCK_A}[k + 1] * (sid % {MINHASH_P}) + {_DUCK_B}[k + 1])
+                    % {MINHASH_P}) AS sig
+             FROM sid_sets CROSS JOIN range(0, {N_HASHES}) t(k)
+             GROUP BY doc_id, k),
+    bands AS (SELECT doc_id, k // {BAND_SIZE} AS band,
+                     string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS band_sig
+              FROM sig2 GROUP BY doc_id, k // {BAND_SIZE}),
+    pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+                          AND a.doc_id < b.doc_id)
+"""
+
+
+@query(
+    "q79_dedup_components",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_SETS},
+    {_DUCK_SID_SETS_TAIL},
+    {_DUCK_LSH_PAIRS},
+    nodes AS (SELECT doc_a AS n FROM pairs UNION SELECT doc_b FROM pairs),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+    )
+    SELECT CAST(node AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY node
+    """,
+)
+def q79_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup groups: LSH candidate pairs (q38) clustered into connected
+    components (component id = min doc_id — also the keep-policy). The
+    oracle computes the same fixpoint with a recursive CTE, so the whole
+    iterative pipeline — shingle → MinHash → LSH bands → label
+    propagation — is hash-verified end to end."""
+    pairs = q38_minhash_lsh_pairs(spark, sf_dir)
+    return connected_components(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )

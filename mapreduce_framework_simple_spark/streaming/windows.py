@@ -334,3 +334,17 @@ def stream_interval_join(events_a: DataFrame, events_b: DataFrame,
             "a_user = b_user AND b_ts > a_ts AND b_ts <= a_ts + INTERVAL 10 MINUTES"
         ),
     )
+
+
+def stream_dedup(events: DataFrame, keys: list[str] | None = None,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming deduplication: first arrival per key wins, with state
+    bounded by the watermark (dropDuplicatesWithinWatermark) — exact
+    dedup as a continuous operator, the streaming face of q35.
+
+    Scale: state holds one entry per distinct key seen within the
+    watermark horizon, evicted as event time advances — the property
+    that makes exact dedup feasible on an unbounded stream."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

@@ -217,3 +217,39 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     g = got.set_index("user_id")["n_pairs"].sort_index()
     w = want.set_index("user_id")["n_pairs"].sort_index()
     assert (g == w).all(), "stream-stream join diverged from batch range join"
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
+    """Duplicated input stream → dedup stream emits each event_id once,
+    matching the batch distinct."""
+    from mapreduce_framework_simple_spark.streaming.windows import stream_dedup
+
+    # drop zone with the events file duplicated (2 identical batches)
+    src = load_table(spark, "events", sf_dir)
+    d = str(tmp_path / "dup_zone")
+    src.coalesce(1).write.mode("overwrite").parquet(d + "/tmp1")
+    import shutil
+
+    os.makedirs(d + "/zone")
+    f = [x for x in os.listdir(d + "/tmp1") if x.endswith(".parquet")][0]
+    for i in range(2):
+        shutil.copy(f"{d}/tmp1/{f}", f"{d}/zone/part-{i:05d}.parquet")
+        os.utime(f"{d}/zone/part-{i:05d}.parquet", (1_000_000 + i * 100,) * 2)
+    events = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/zone")
+    )
+    q = (
+        stream_dedup(events)
+        .writeStream.format("memory")
+        .queryName("t_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM t_dedup").collect()[0]
+    want = src.count()
+    assert got["n"] == want, f"dedup emitted {got['n']} rows, expected {want}"
+    assert got["d"] == want
