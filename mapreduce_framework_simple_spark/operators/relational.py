@@ -857,7 +857,8 @@ def q25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            CAST(len(map_keys(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)})) AS INT) AS n_keys,
            (MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)})['etype'][1] AS etype_val,
-           array_to_string(map_keys(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS keys_csv
+           array_to_string(map_keys(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS keys_csv,
+           array_to_string(map_values(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS values_csv
     FROM events
     """,
 )
@@ -873,6 +874,7 @@ def q43_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(m, "etype").alias("etype_val"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+        F.array_join(F.map_values(m), ",").alias("values_csv"),
     )
 
 
