@@ -26,7 +26,11 @@ Usage::
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 EVENT_TYPES = ("view", "click", "purchase", "signup", "error")
@@ -97,9 +101,66 @@ class SyntheticEventsDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return SyntheticEventsReader(schema, self.options)
 
+    def streamReader(self, schema: StructType):  # noqa: N802
+        return SyntheticEventsStreamReader(schema, self.options)
+
 
 def register(spark) -> None:
     """Register the connector (and enable the Python-source filter
     pushdown flag its pushFilters hook requires)."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+class SyntheticEventsStreamReader(DataSourceStreamReader):
+    """Micro-batch stream reader for the same synthetic source: offsets
+    are batch indices; each batch generates ``rows`` deterministic rows
+    across ``partitions`` splits (same seeding discipline as the batch
+    reader). ``batches`` bounds the stream so availableNow drains and
+    terminates — the shape of any replayable offset-based source (Kafka:
+    replace batch index with topic offsets)."""
+
+    def __init__(self, schema, options: dict):
+        self.rows_per_batch = int(options.get("rows", 100))
+        self.n_parts = int(options.get("partitions", 2))
+        self.seed = int(options.get("seed", 42))
+        self.n_users = int(options.get("users", 100))
+        self.max_batches = int(options.get("batches", 3))
+
+    def initialOffset(self):  # noqa: N802
+        return {"batch": 0}
+
+    def latestOffset(self):  # noqa: N802
+        return {"batch": self.max_batches}
+
+    def partitions(self, start: dict, end: dict):
+        from pyspark.sql.datasource import InputPartition
+
+        parts = []
+        for b in range(start["batch"], end["batch"]):
+            per = self.rows_per_batch // self.n_parts
+            row0 = b * self.rows_per_batch
+            s = row0
+            for i in range(self.n_parts):
+                e = s + per + (1 if i < self.rows_per_batch % self.n_parts else 0)
+                parts.append(InputPartition((s, e)))
+                s = e
+        return parts
+
+    def read(self, partition):
+        import random
+        from datetime import datetime, timedelta
+
+        start, end = partition.value
+        rng = random.Random(self.seed * 1_000_003 + start)
+        base = datetime(2024, 1, 1)
+        for i in range(start, end):
+            etype = EVENT_TYPES[rng.randrange(len(EVENT_TYPES))]
+            ts = base + timedelta(seconds=rng.randrange(30 * 24 * 3600))
+            user = rng.randrange(self.n_users)
+            value = round(rng.random() * 500, 2)
+            props = '{"k": %d}' % rng.randrange(100)
+            yield (i, ts, user, etype, value, props)
+
+    def commit(self, end: dict) -> None:
+        pass

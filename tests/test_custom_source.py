@@ -47,3 +47,31 @@ def test_source_filter_pushdown(spark):
     # pushdown result must equal the post-hoc filter of the full scan
     full = _load(spark, rows=2000, partitions=4, seed=42).toPandas()
     assert len(pdf) == (full.event_type == "click").sum()
+
+
+def test_source_streaming_reader(spark, tmp_path):
+    """The same connector as a micro-batch stream: 3 bounded batches
+    drain under availableNow, rows deterministic per (seed, offset)."""
+    synthetic.register(spark)
+    stream = (
+        spark.readStream.format("synthetic_events")
+        .option("rows", 100)
+        .option("partitions", 2)
+        .option("batches", 3)
+        .option("seed", 42)
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_synth_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql(
+        "SELECT count(*) n, count(DISTINCT event_id) d FROM t_synth_stream"
+    ).collect()[0]
+    assert got["n"] == 300
+    assert got["d"] == 300
