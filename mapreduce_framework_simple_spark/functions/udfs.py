@@ -298,3 +298,56 @@ def q72_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_quantity", 0.5, 10000).alias("med_qty_approx"),
         F.percentile_approx("l_extendedprice", 0.9, 10000).alias("p90_price_approx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — first-class Python UDTF: context-window document chunking
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 16
+
+
+@query(
+    "q80_chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_idx
+          FROM t)
+    SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+           array_to_string(toks[chunk_idx * {CHUNK_TOKENS} + 1 :
+                                (chunk_idx + 1) * {CHUNK_TOKENS}], ' ') AS chunk,
+           CAST(least(len(toks) - chunk_idx * {CHUNK_TOKENS}, {CHUNK_TOKENS}) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def q80_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via a first-class Python UDTF (lateral
+    join): each document explodes into fixed 16-token chunks — the
+    training-data prep step that feeds tokenizers/packers.
+
+    The UDTF surface is the genuine table-function API (class with eval
+    yielding rows, registered + LATERAL-joined); the oracle reproduces
+    the chunking with list slicing. Tokenization matches the engine-wide
+    canonical tokenizer."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
+    class ChunkText:
+        def eval(self, text: str):
+            toks = [t for t in text.strip().lower().split() if t]
+            # split() splits on whitespace runs ≙ the \s+ tokenizer
+            for i in range(0, len(toks), 16):
+                piece = toks[i : i + 16]
+                yield i // 16, " ".join(piece), len(piece)
+
+    spark.udtf.register("mfss_chunk_text", ChunkText)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("q80_documents")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens "
+        "FROM q80_documents d, LATERAL mfss_chunk_text(d.text) c"
+    )
