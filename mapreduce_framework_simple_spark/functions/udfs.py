@@ -351,3 +351,59 @@ def q80_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_tokens "
         "FROM q80_documents d, LATERAL mfss_chunk_text(d.text) c"
     )
+
+
+PACK_BUDGET = 48  # tokens per packed sequence
+
+
+@query(
+    "q81_pack_chunks",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_idx
+          FROM t),
+    sized AS (SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+                     CAST(least(len(toks) - chunk_idx * {CHUNK_TOKENS}, {CHUNK_TOKENS}) AS INT) AS n_tokens
+              FROM c),
+    offs AS (SELECT doc_id, chunk_idx, n_tokens,
+                    sum(n_tokens) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+                                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_off
+             FROM sized)
+    SELECT doc_id,
+           CAST(start_off // {PACK_BUDGET} AS INT) AS seq_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS seq_tokens
+    FROM offs GROUP BY doc_id, start_off // {PACK_BUDGET}
+    """,
+)
+def q81_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (chunking's companion): chunks are packed into
+    training sequences by token offset — chunk goes to sequence
+    floor(start_offset / budget). Offset packing is fully deterministic
+    and windowable (one cumsum, no iterative bin state), the property
+    that makes it the scalable packing flavor; first-fit packing needs a
+    sequential scan and is what applyInPandas per shard would buy."""
+    chunks = q80_chunk_documents(spark, sf_dir)
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offs = chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_off"),
+    )
+    return (
+        offs.groupBy(
+            "doc_id", F.floor(F.col("start_off") / PACK_BUDGET).cast("int").alias("seq_id")
+        )
+        .agg(F.count("*").alias("n_chunks"), F.sum("n_tokens").cast("long").alias("seq_tokens"))
+    )
