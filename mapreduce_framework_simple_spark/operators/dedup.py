@@ -137,11 +137,16 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Worst-case safe: the candidate join touches ~(1−t) of each doc's
     shingles in rarest-first order, so frequency skew cannot go
-    quadratic. On the synthetic corpus (max shingle df ≈ 25) the naive
-    join is measurably FASTER (2.6 s vs 4.4 s at sf0.1) because the
-    prefix bookkeeping (freq join + two windows + verify join) costs
-    more than the blowup it prevents — hence q36 ships the naive plan
-    and this variant is the documented escape hatch for skewed corpora
+    quadratic. Measured both regimes (tools/scale_probe.py):
+
+    * normal corpus (max shingle df ≈ 25, sf0.1): naive 2.6 s,
+      prefix 4.4 s — bookkeeping outweighs the blowup it prevents;
+    * dup-heavy corpus (10× replicas, every doc has 9 exact copies):
+      naive 65.8 s, prefix 43.1 s — the quadratic term bites and the
+      prefix wins.
+
+    Hence q36 ships the naive plan for the benchmarked corpus and this
+    variant is the measured escape hatch for skewed/dup-heavy corpora
     (equality-tested in test_similarity_dedup)."""
     sh = shingle_id_sets(spark, sf_dir).cache()
     from pyspark.sql import Window

@@ -39,10 +39,16 @@ def main() -> None:
     dst = f"/tmp/mfss_scale_x{n}"
     if not os.path.isdir(dst):
         os.makedirs(dst)
-        for t in ["region", "nation", "supplier", "customer", "part",
-                  "documents", "embeddings", "events"]:
+        # dims stay as-is (replicating them would change join semantics)
+        for t in ["region", "nation", "supplier", "customer", "part"]:
             os.symlink(os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet"))
-        for t, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey")]:
+        # large tables replicate with offset keys. NOTE: replicated
+        # documents are exact cross-replica duplicates — that makes the
+        # probe a dup-heavy stress for the dedup operators (every doc has
+        # n-1 exact copies), which is the interesting regime anyway.
+        for t, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
+                       ("documents", "doc_id"), ("events", "event_id"),
+                       ("embeddings", "vec_id")]:
             df = load_table(spark, t, src)
             parts = [df.withColumn(key, F.col(key) + F.lit(i * 10**9)) for i in range(n)]
             u = parts[0]
