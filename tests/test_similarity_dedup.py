@@ -84,3 +84,27 @@ def test_prefix_jaccard_equals_naive(spark, sf_dir):
     p = pref.sort_values(key).reset_index(drop=True)
     assert n[key].equals(p[key])
     assert (abs(n.jaccard - p.jaccard) < 1e-9).all()
+
+
+def test_minhash_estimates_jaccard(spark, sf_dir):
+    """Statistical soundness of the universal-hash MinHash family: the
+    fraction of agreeing signature components estimates Jaccard
+    (E[agree] = J; with 16 components, sd ≈ sqrt(J(1-J)/16) ≤ 0.125 —
+    assert mean absolute error over the high-J pairs stays well inside
+    that)."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        q37_minhash_signatures,
+    )
+
+    truth = q36_ngram_jaccard(spark, sf_dir).toPandas()
+    sigs = q37_minhash_signatures(spark, sf_dir).toPandas()
+    wide = sigs.pivot(index="doc_id", columns="k", values="sig")
+    errs = []
+    for _, r in truth.iterrows():
+        agree = (wide.loc[r.doc_a] == wide.loc[r.doc_b]).mean()
+        errs.append(abs(agree - r.jaccard))
+    assert len(errs) > 0
+    mae = pd.Series(errs).mean()
+    assert mae <= 0.15, f"minhash estimate off: MAE={mae:.3f}"

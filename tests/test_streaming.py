@@ -253,3 +253,30 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir, tmp_path):
     want = src.count()
     assert got["n"] == want, f"dedup emitted {got['n']} rows, expected {want}"
     assert got["d"] == want
+
+
+def test_foreach_batch_checkpoint_idempotent(spark, sf_dir, tmp_path):
+    """Restarting an availableNow pipeline on the same checkpoint must be
+    a no-op: offsets are committed, no batch re-fires, output unchanged
+    (the exactly-once contract of checkpointed foreachBatch)."""
+    from mapreduce_framework_simple_spark.streaming.windows import stream_to_parquet
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q1 = stream_to_parquet(
+        stream_user_counts(read_events_stream(spark, sf_dir)), out, ckpt, "t_idem1"
+    )
+    q1.awaitTermination()
+    batches_before = sorted(os.listdir(out))
+    first = spark.read.parquet(f"{out}/{batches_before[-1]}").toPandas()
+    # second run, same checkpoint: no new batches may appear
+    q2 = stream_to_parquet(
+        stream_user_counts(read_events_stream(spark, sf_dir)), out, ckpt, "t_idem2"
+    )
+    q2.awaitTermination()
+    batches_after = sorted(os.listdir(out))
+    assert batches_after == batches_before, "restart re-fired committed batches"
+    second = spark.read.parquet(f"{out}/{batches_after[-1]}").toPandas()
+    assert first.sort_values("user_id").reset_index(drop=True).equals(
+        second.sort_values("user_id").reset_index(drop=True)
+    )
