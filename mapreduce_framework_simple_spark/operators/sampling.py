@@ -1,0 +1,120 @@
+"""Deterministic sampling operators over ``documents``.
+
+A 100 TB training-data pipeline samples constantly — holdout splits,
+per-source mixing ratios, quick-look subsets — and at that scale the
+sample must be (a) a single filter pushed to the scan (no shuffle, no
+global coordination) and (b) reproducible across engines and reruns.
+``df.sample()`` is neither: its RNG is seed+partition-layout dependent,
+so repartitioning changes the sample. Hash-based sampling — keep a row
+iff ``hash(key) mod M < threshold`` — is stable under any layout, and is
+the same trick the reference's size-balanced partitioner plays with
+deterministic striping (Simple.pm:133-144: layout decided by a pure
+function of the data, not by an RNG).
+
+md5 is the shared hash (identical in Spark and DuckDB — same convention
+as the dedup/MinHash modules), so every query here is value-hash
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.registry import query
+from mapreduce_framework_simple_spark.sources.io import load_table
+
+
+def hash_bucket(col: Column, buckets: int) -> Column:
+    """Deterministic bucket in [0, buckets): md5 of the key's string form,
+    first 4 hex digits as an integer, mod buckets. DuckDB twin:
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 4))::BIGINT % buckets``."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 4), 16, 10).cast("bigint")
+    return h % buckets
+
+
+def _duck_bucket(expr: str, buckets: int) -> str:
+    return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4))::BIGINT % {buckets}"
+
+
+@query(
+    "q83_hash_sample",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {_duck_bucket("doc_id", 20)} = 0
+    """,
+)
+def q83_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~5% sample: keep documents whose md5 bucket (of 20)
+    is 0. Membership depends only on doc_id — stable across runs,
+    partitionings, and engines.
+
+    Scale: a scan-level filter — no shuffle, no state; the projection
+    prunes to 3 columns at the parquet reader. On 100 TB this reads every
+    row group once and emits 5%; nothing else moves."""
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.where(hash_bucket(F.col("doc_id"), 20) == 0).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+@query(
+    "q84_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= 5
+    """,
+)
+def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sample: exactly 5 documents per language, chosen by
+    md5-rank — a deterministic stand-in for "uniform k per stratum"
+    (the md5 hex ordering is the shared pseudo-random permutation, same
+    convention as the MinHash module).
+
+    Scale: one shuffle on the stratum key; Spark's WindowGroupLimit
+    pushes the k=5 cut below the sort so each partition keeps a 5-row
+    heap instead of materializing the stratum."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("doc_id", "lang", F.col("rnk").cast("bigint").alias("rnk"))
+    )
+
+
+@query(
+    "q85_dataset_mix",
+    oracle=f"""
+    SELECT doc_id, source, lang
+    FROM documents
+    WHERE {_duck_bucket("doc_id", 100)}
+          < ('0x' || substr(md5(source), 1, 2))::BIGINT % 91 + 5
+    """,
+)
+def q85_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixing: every source gets its own sampling rate (5–95%,
+    derived here deterministically from md5(source) so the query is
+    self-contained at any scale factor) and each document is kept iff its
+    own hash bucket falls under its source's rate — the standard way a
+    training pipeline blends corpora at per-source ratios.
+
+    Scale: pure row-local filter, no shuffle; with a real rate table the
+    rates join in as a broadcast. Membership is layout-independent, so
+    the same mix reproduces on any cluster."""
+    docs = load_table(spark, "documents", sf_dir)
+    rate = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("bigint") % 91 + 5
+    )
+    return docs.where(hash_bucket(F.col("doc_id"), 100) < rate).select(
+        "doc_id", "source", "lang"
+    )

@@ -272,3 +272,54 @@ def q69_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 100)
     )
+
+
+@query(
+    "q86_tfidf_topk",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest({DUCK_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY doc_id, term),
+    dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df_t FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfr.df_t,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / dfr.df_t AS score
+      FROM tf JOIN dfr USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, df_t, score, rnk FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+      FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def q86_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per document by TF-IDF, using the
+    log-free rarity weight ``tf · N / df``: every arithmetic step is an
+    exactly-rounded IEEE op on integers, so Spark and DuckDB rank
+    bit-identically (ln() differs across libm implementations at the ULP
+    and could flip ranks at near-ties; N/df preserves the classic IDF
+    ordering for ranking since N is constant). Ties break on term text.
+
+    Scale: two shuffles (doc-term TF, then term DF) + a 1-row broadcast
+    for N; both aggregations partial-combine map-side. The doc-term join
+    back is on `term` — skewed stopword terms are exactly what AQE
+    skew-join splitting handles; rank is per-document (WindowGroupLimit
+    keeps 3 rows per doc)."""
+    docs = load_table(spark, "documents", sf_dir)
+    terms = docs.select("doc_id", F.explode(tokens_expr()).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfr = tf.groupBy("term").agg(F.count("*").alias("df_t"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        tf.join(dfr, "term")
+        .join(F.broadcast(n))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")) / F.col("df_t"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df_t", "score", F.col("rnk").cast("bigint").alias("rnk"))
+    )

@@ -46,7 +46,9 @@ def load_all() -> None:
         dedup,
         multimodal,
         relational,
+        sampling,
         similarity,
+        temporal,
         text,
     )
     from mapreduce_framework_simple_spark.functions import udfs  # noqa: F401
