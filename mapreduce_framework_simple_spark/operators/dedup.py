@@ -510,3 +510,39 @@ def q79_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("component"),
     )
+
+
+@query(
+    "q89_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_SETS},
+    {_DUCK_SID_SETS_TAIL},
+    {_DUCK_LSH_PAIRS},
+    nodes AS (SELECT doc_a AS n FROM pairs UNION SELECT doc_b FROM pairs),
+    sym AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION SELECT doc_b, doc_a FROM pairs),
+    reach(node, r) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT s.b, reach.r FROM reach JOIN sym s ON s.a = reach.node
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, d.lang FROM documents d
+    WHERE NOT EXISTS (SELECT 1 FROM comp c
+                      WHERE c.doc_id = d.doc_id AND c.doc_id <> c.component)
+    """,
+)
+def q89_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: the surviving corpus.
+    Every near-dup component (q79) keeps exactly one representative —
+    min doc_id, the conventional keep-first policy — and all other
+    members are anti-joined away from ``documents``.
+
+    Scale: the component list is vanishingly small next to the corpus
+    (only docs that had a near-dup), so the anti-join broadcasts the
+    drop-list against the full scan — the 100 TB pass is one map-side
+    filter, no shuffle of the corpus itself."""
+    docs = load_table(spark, "documents", sf_dir)
+    comp = q79_dedup_components(spark, sf_dir)
+    drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")

@@ -1303,3 +1303,71 @@ def q78_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.some(F.col("o_totalprice") > 450000).alias("any_over_450k"),
         F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
     )
+
+
+@query(
+    "q87_histogram",
+    oracle="""
+    SELECT least(CAST(floor(o_totalprice / 25000) AS BIGINT), 19) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt,
+           min(o_totalprice) AS min_price,
+           max(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q87_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals: 20 buckets of 25k, last
+    bucket open-ended (the width_bucket pattern spelled out portably —
+    floor-of-division is an exactly-rounded IEEE op, identical in both
+    engines). min/max per bucket are order-independent aggregates.
+
+    Scale: partial aggregation collapses every scan partition to ≤20
+    rows before the single shuffle — constant network cost at any input
+    size; the 2-column projection prunes the scan."""
+    o = load_table(spark, "orders", sf_dir)
+    bucket = F.least(F.floor(F.col("o_totalprice") / 25000).cast("bigint"), F.lit(19))
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@query(
+    "q88_time_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(count(*) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 10 MINUTE PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS n_last_10m
+    FROM events
+    """,
+)
+def q88_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: for every event, how many events of
+    the same user fall in the trailing 10-minute interval (peer rows at
+    equal ts included — RANGE semantics, both engines). The window
+    formulation of q27's range join: same answer shape with ONE shuffle
+    and a per-partition ordered scan instead of a pairwise join.
+
+    Spark's RANGE frame needs a numeric ordering key, so ts is ordered as
+    epoch-micros with a [-600e6, 0] frame — exactly INTERVAL 10 MINUTE at
+    the generator's microsecond alignment.
+
+    Scale: one hash exchange on user_id + sort; window state is a sliding
+    count, no pair materialization, and the frame bound evaluation stays
+    in codegen."""
+    e = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, Window.currentRow)
+    )
+    return e.select(
+        "event_id", "user_id", F.count("*").over(w).alias("n_last_10m")
+    )
