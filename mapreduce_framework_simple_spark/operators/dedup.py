@@ -546,3 +546,48 @@ def q89_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = q79_dedup_components(spark, sf_dir)
     drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
+
+
+@query(
+    "q91_decontamination",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_SETS},
+    probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+    rest AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+    SELECT r.doc_id,
+           CAST(count(*) AS BIGINT)        AS n_shingles,
+           CAST(count(p.shingle) AS BIGINT) AS n_hit,
+           count(p.shingle) / count(*)      AS contamination
+    FROM rest r LEFT JOIN probe p ON r.shingle = p.shingle
+    GROUP BY r.doc_id
+    """,
+)
+def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs whose id is divisible by 97 stand
+    in for an eval/benchmark corpus; every remaining training doc is
+    scored by the fraction of its distinct word-3-gram shingles that
+    also occur in the benchmark set (the standard n-gram-overlap
+    contamination check run before LLM training).
+
+    Scale: the probe side is the benchmark corpus — tiny next to 100 TB
+    of training data — so its distinct-shingle set broadcasts and the
+    whole check is one map-side left join + per-doc aggregation (single
+    shuffle on doc_id). Integer-count ratio keeps the score bit-identical
+    across engines."""
+    sh = shingle_sets(spark, sf_dir)
+    probe = (
+        sh.where(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    rest = sh.where(F.col("doc_id") % 97 != 0)
+    return (
+        rest.join(F.broadcast(probe), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("hit").alias("n_hit"),
+            (F.count("hit") / F.count("*")).alias("contamination"),
+        )
+    )

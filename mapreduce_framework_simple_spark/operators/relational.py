@@ -1371,3 +1371,28 @@ def q88_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", "user_id", F.count("*").over(w).alias("n_last_10m")
     )
+
+
+@query(
+    "q90_unpivot",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def q90_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt (the inverse of q57's pivot): part's numeric
+    measures to long form, one (partkey, metric, value) row per measure.
+    The oracle is the portable UNION-ALL spelling of the same relation.
+
+    Scale: narrow map-side transform — each scan row emits k rows, no
+    shuffle, no state; Spark's Expand operator keeps it in codegen."""
+    p = load_table(spark, "part", sf_dir)
+    return p.unpivot(
+        ids=["p_partkey"],
+        values=["p_retailprice", "p_size"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
