@@ -1,4 +1,4 @@
-"""Temporal join operators over ``events``.
+"""Temporal join operators.
 
 The reference has no joins at all (SURVEY.md §2.3: no join-like logic
 anywhere in Simple.pm) — an as-of join there would be hand-written inside
@@ -15,8 +15,8 @@ union-and-window formulation, which is the only formulation that survives
   whole-stage-codegens.
 
 DuckDB's native ``ASOF JOIN`` implements the same semantics; the oracle
-here uses the portable ``last_value IGNORE NULLS`` window identity so
-both engines execute bit-identical logic.
+uses the portable ``last_value IGNORE NULLS`` window identity so both
+engines execute bit-identical logic.
 """
 
 from __future__ import annotations
@@ -26,6 +26,56 @@ from pyspark.sql import functions as F
 
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
+
+
+def asof_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts: str,
+    carry: str,
+    alias: str,
+) -> DataFrame:
+    """Backward as-of join: every ``left`` row gains ``alias`` = the
+    ``carry`` value of the latest ``right`` row with the same ``on`` key
+    and ``right.ts <= left.ts`` (NULL when none precedes).
+
+    Semantics pinned for determinism: "at-or-before" is inclusive (a
+    right row at exactly ``left.ts`` matches), and ties among right rows
+    at the same timestamp resolve to the greatest ``carry`` value.
+
+    Implementation: tag both sides, union, and run ONE window per key
+    ordered by (ts, side, carry) carrying the last right-side value
+    forward — a single hash exchange plus a linear per-partition scan,
+    never a pairwise range join. Left rows ride along as a packed struct
+    and are re-expanded after the window, so callers keep every column.
+    """
+    carry_type = right.schema[carry].dataType
+    row_struct = F.struct(*[F.col(c) for c in left.columns])
+    lsel = left.select(
+        F.col(on).alias("__on"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__kind"),
+        F.lit(None).cast(carry_type).alias("__carry"),
+        row_struct.alias("__row"),
+    )
+    rsel = right.select(
+        F.col(on).alias("__on"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__kind"),
+        F.col(carry).alias("__carry"),
+        F.lit(None).cast(lsel.schema["__row"].dataType).alias("__row"),
+    )
+    w = (
+        Window.partitionBy("__on")
+        .orderBy("__ts", "__kind", "__carry")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = rsel.unionByName(lsel).withColumn(
+        alias,
+        F.last(F.when(F.col("__kind") == 0, F.col("__carry")), ignorenulls=True).over(w),
+    )
+    return matched.where(F.col("__kind") == 1).select("__row.*", alias)
 
 
 @query(
@@ -51,33 +101,19 @@ from mapreduce_framework_simple_spark.sources.io import load_table
 )
 def q82_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the latest click of the same
-    user at-or-before the purchase timestamp (NULL when none precedes).
-
-    Implementation: tag both sides, union, then one window per user
-    ordered by (ts, kind, event_id) carrying the last click id forward.
-    ``kind`` orders clicks before purchases at equal ``ts`` (at-or-before
-    semantics); ``event_id`` breaks exact click ties deterministically.
+    user at-or-before the purchase timestamp (NULL when none precedes);
+    click-id ties at equal ts resolve to the greater id. Built on the
+    generic :func:`asof_backward` operator.
 
     Scale: ONE shuffle (hash on user_id) + per-partition sort — no
     pairwise range-join blowup, state is a single value per scan, and the
     whole pipeline stays in whole-stage codegen. Skewed users cost
     O(n log n) locally instead of O(n²) pairs."""
     e = load_table(spark, "events", sf_dir)
-    u = e.where(F.col("event_type").isin("click", "purchase")).select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(F.lit(0)).alias("kind"),
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "kind", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    carried = u.withColumn(
-        "click_id",
-        F.last(F.when(F.col("kind") == 0, F.col("event_id")), ignorenulls=True).over(w),
-    )
-    return carried.where(F.col("kind") == 1).select(
-        F.col("event_id").alias("purchase_id"), "user_id", "click_id"
-    )
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts", "event_id")
+    return asof_backward(
+        purchases, clicks, on="user_id", ts="ts", carry="event_id", alias="click_id"
+    ).select("purchase_id", "user_id", "click_id")

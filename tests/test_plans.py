@@ -61,3 +61,62 @@ def test_global_topk_avoids_total_sort(spark, sf_dir):
 def test_window_topk_group_limit_pushdown(spark, sf_dir):
     plan = formatted_plan(q13_window_topk(spark, sf_dir))
     assert "WindowGroupLimit" in plan, "rank filter not pushed below the window sort"
+
+
+def test_sampling_filters_no_shuffle(spark, sf_dir):
+    """q83/q85/q90 are scan-local: zero exchanges anywhere in the plan."""
+    from mapreduce_framework_simple_spark.operators.relational import q90_unpivot
+    from mapreduce_framework_simple_spark.operators.sampling import (
+        q83_hash_sample,
+        q85_dataset_mix,
+    )
+
+    for q in (q83_hash_sample, q85_dataset_mix, q90_unpivot):
+        plan = formatted_plan(q(spark, sf_dir))
+        assert "Exchange" not in plan, f"{q.__name__} grew a shuffle"
+
+
+def test_asof_join_single_shuffle_no_join(spark, sf_dir):
+    """The union+window as-of join must plan as ONE exchange and NO join
+    operator — that absence IS the scale guarantee (no range-join pair
+    blowup)."""
+    from mapreduce_framework_simple_spark.operators.temporal import q82_asof_join
+
+    import re
+
+    plan = formatted_plan(q82_asof_join(spark, sf_dir))
+    # formatted plans list each node twice (tree + detail); count details
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, "as-of join should shuffle exactly once"
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert op not in plan, f"as-of join planned a {op}"
+
+
+def test_time_range_frame_single_shuffle(spark, sf_dir):
+    from mapreduce_framework_simple_spark.operators.relational import (
+        q88_time_range_frame,
+    )
+
+    import re
+
+    plan = formatted_plan(q88_time_range_frame(spark, sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1
+    assert "Window" in plan
+
+
+def test_decontamination_probe_broadcasts(spark, sf_dir):
+    """The probe (benchmark) shingle set must broadcast — the corpus side
+    of the contamination check never shuffles for the join."""
+    from mapreduce_framework_simple_spark.operators.dedup import q91_decontamination
+
+    assert has_broadcast_join(q91_decontamination(spark, sf_dir))
+
+
+def test_stratified_sample_group_limit_pushdown(spark, sf_dir):
+    from mapreduce_framework_simple_spark.operators.sampling import (
+        q84_stratified_sample,
+    )
+
+    plan = formatted_plan(q84_stratified_sample(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, "k-per-stratum cut not pushed below sort"

@@ -1,0 +1,60 @@
+"""Edge-case semantics of the generic as-of join operator: the cases a
+scale run never isolates — empty right side, exact-timestamp ties,
+duplicate right rows at one timestamp — pinned on tiny in-memory frames.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from mapreduce_framework_simple_spark.operators.temporal import asof_backward
+
+
+def _t(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute, 0)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(10), lid=100),  # clicks at 5 and 10 precede
+            Row(k=1, ts=_t(3), lid=101),   # no click at-or-before
+            Row(k=2, ts=_t(20), lid=102),  # user with no clicks at all
+            Row(k=3, ts=_t(7), lid=103),   # two clicks tie at ts=7
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(5), rid=500),
+            Row(k=1, ts=_t(10), rid=501),  # exactly at left ts → matches
+            Row(k=1, ts=_t(11), rid=502),  # after → never matches
+            Row(k=3, ts=_t(7), rid=503),
+            Row(k=3, ts=_t(7), rid=504),   # tie → greater rid wins
+        ]
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark):
+    left, right = _frames(spark)
+    out = {
+        r["lid"]: r["matched"]
+        for r in asof_backward(
+            left, right, on="k", ts="ts", carry="rid", alias="matched"
+        ).collect()
+    }
+    assert out == {
+        100: 501,  # at-or-before is inclusive: ts=10 click beats ts=5
+        101: None,  # nothing precedes
+        102: None,  # key absent from right side
+        103: 504,  # equal-ts tie resolves to greatest carry value
+    }
+
+
+def test_asof_backward_keeps_all_left_columns_and_rows(spark):
+    left, right = _frames(spark)
+    out = asof_backward(left, right, on="k", ts="ts", carry="rid", alias="matched")
+    assert set(out.columns) == {"k", "ts", "lid", "matched"}
+    assert out.count() == left.count()
