@@ -1396,3 +1396,64 @@ def q90_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+@query(
+    "q92_recursive_chain",
+    oracle="""
+    WITH RECURSIVE u AS (
+      SELECT event_id, user_id, ts,
+             lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ),
+    chain(event_id, user_id, depth) AS (
+      SELECT event_id, user_id, 1 AS depth
+      FROM u WHERE prev_id IS NULL OR gap_us > 600000000
+      UNION ALL
+      SELECT u.event_id, u.user_id, chain.depth + 1
+      FROM chain JOIN u ON u.user_id = chain.user_id
+                       AND u.prev_id = chain.event_id
+      WHERE u.gap_us <= 600000000
+    )
+    SELECT event_id, user_id, CAST(depth AS BIGINT) AS depth FROM chain
+    """,
+)
+def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): position of every event in
+    its user's activity chain — an event starts a chain (depth 1) when
+    nothing precedes it within 10 minutes, otherwise it extends the chain
+    of its immediate predecessor. Linked-list precompute via lag() keeps
+    the recursion linear (each event has exactly one predecessor), so the
+    fixpoint's total work is O(rows), reached in max-chain-length rounds.
+
+    Scale: the lag() window is one shuffle on user_id; each recursive
+    round is an equi-join on (user_id, prev_id) whose frontier shrinks to
+    the still-growing chains — AQE sizes each round's shuffle at runtime.
+    Same recursion the oracle runs (epoch_us ≙ unix_micros)."""
+    e = load_table(spark, "events", sf_dir)
+    e.createOrReplaceTempView("q92_events")
+    return spark.sql(
+        """
+        WITH RECURSIVE u AS (
+          SELECT event_id, user_id, ts,
+                 lag(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS prev_id,
+                 unix_micros(ts) - unix_micros(lag(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+          FROM q92_events
+        ),
+        chain(event_id, user_id, depth) AS (
+          SELECT event_id, user_id, 1 AS depth
+          FROM u WHERE prev_id IS NULL OR gap_us > 600000000
+          UNION ALL
+          SELECT u.event_id, u.user_id, chain.depth + 1
+          FROM chain JOIN u ON u.user_id = chain.user_id
+                           AND u.prev_id = chain.event_id
+          WHERE u.gap_us <= 600000000
+        )
+        SELECT event_id, user_id, CAST(depth AS BIGINT) AS depth FROM chain
+        """
+    )
