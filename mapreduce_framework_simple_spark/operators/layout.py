@@ -74,3 +74,48 @@ def salted_join(skewed: DataFrame, skew_key: str, small: DataFrame,
         & (salted_big["_salt"] == exploded_small["_salt"]),
     )
     return joined.drop("_salt")
+
+
+def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
+                   key: str) -> None:
+    """MERGE/upsert into a parquet dataset: rows in ``updates`` replace
+    target rows with the same ``key``; unmatched update rows are inserted.
+
+    Plain parquet has no transactional MERGE (that is a table-format
+    feature — Delta/Iceberg/Hudi), so this is the rewrite formulation:
+    anti-join the target against the update keys, union the updates, and
+    atomically swap via overwrite. At 100 TB the same operator runs
+    per-partition: partition the target by a key prefix (write_parquet's
+    partition_by), derive the touched partitions from the update set, and
+    rewrite only those — the anti-join side then reads a pruned subset,
+    not the whole table.
+
+    The update side is broadcast (updates ≪ target in any real upsert),
+    so the target pass is one map-side anti-join — no shuffle of the
+    target."""
+    current = spark.read.parquet(target_path)
+    remaining = current.join(
+        F.broadcast(updates.select(key).distinct()), key, "left_anti"
+    )
+    merged = remaining.unionByName(updates.select(*current.columns))
+    # parquet overwrite is not atomic mid-job; materialize first so the
+    # source scan never reads the path it is replacing
+    staged = merged.localCheckpoint(eager=True)
+    staged.write.mode("overwrite").parquet(target_path)
+
+
+def write_range_partitioned(df: DataFrame, path: str, col: str,
+                            n_files: int = 8) -> None:
+    """Range-partitioned sorted write: global range-shuffle on ``col``,
+    sort within each output file, so every file covers a disjoint value
+    range and its parquet footer min/max statistics are tight.
+
+    This is the data-skipping layout: a later read filtered on ``col``
+    prunes to the one or two files whose range intersects the predicate
+    (row-group skipping via footer stats), instead of scanning all files.
+    At 100 TB the same pattern is the difference between a full-table
+    scan and touching a handful of files for any range query on the sort
+    key."""
+    (df.repartitionByRange(n_files, F.col(col))
+       .sortWithinPartitions(col)
+       .write.mode("overwrite").parquet(path))

@@ -89,3 +89,56 @@ def test_salted_join_matches_plain(spark, sf_dir):
     plain = li.join(p, li.l_partkey == p.p_partkey).count()
     salted = salted_join(li, "l_partkey", p, "p_partkey", salt_n=4).count()
     assert salted == plain
+
+
+def test_upsert_parquet_replaces_and_inserts(spark, sf_dir, tmp_path):
+    from mapreduce_framework_simple_spark.operators.layout import upsert_parquet
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    path = str(tmp_path / "orders_upsert")
+    load_table(spark, "orders", sf_dir).write.parquet(path)
+    before = spark.read.parquet(path)
+    n_before = before.count()
+    keys = [r.o_orderkey for r in before.select("o_orderkey").limit(2).collect()]
+
+    updates = spark.createDataFrame(
+        [
+            # replace an existing order, insert a brand-new key
+            (keys[0], 1, "X", 999.0, None, "1-URGENT"),
+            (10**12, 1, "N", 1.0, None, "5-LOW"),
+        ],
+        schema=before.schema,
+    )
+    upsert_parquet(spark, path, updates, key="o_orderkey")
+    after = spark.read.parquet(path)
+
+    assert after.count() == n_before + 1  # one replaced, one inserted
+    row = after.where(F.col("o_orderkey") == keys[0]).collect()
+    assert len(row) == 1 and row[0].o_orderstatus == "X"
+    assert after.where(F.col("o_orderkey") == 10**12).count() == 1
+    assert after.where(F.col("o_orderkey") == keys[1]).count() == 1  # untouched
+
+
+def test_range_partitioned_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
+    import glob
+
+    from mapreduce_framework_simple_spark.operators.layout import (
+        write_range_partitioned,
+    )
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    path = str(tmp_path / "orders_ranged")
+    write_range_partitioned(
+        load_table(spark, "orders", sf_dir), path, col="o_totalprice", n_files=4
+    )
+    # per-file min/max must not overlap — that disjointness is what lets
+    # a range predicate prune to one file
+    ranges = []
+    for f in sorted(glob.glob(path + "/part-*.parquet")):
+        pdf = spark.read.parquet(f).agg(
+            F.min("o_totalprice"), F.max("o_totalprice")
+        ).collect()[0]
+        ranges.append((pdf[0], pdf[1]))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
