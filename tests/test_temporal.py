@@ -58,3 +58,16 @@ def test_asof_backward_keeps_all_left_columns_and_rows(spark):
     out = asof_backward(left, right, on="k", ts="ts", carry="rid", alias="matched")
     assert set(out.columns) == {"k", "ts", "lid", "matched"}
     assert out.count() == left.count()
+
+
+def test_recursive_and_window_chain_depth_agree(spark, sf_dir):
+    """q92 (WITH RECURSIVE) and q93 (gaps-and-islands windows) are two
+    plans for the same relation; their outputs must be identical."""
+    from mapreduce_framework_simple_spark.operators.relational import (
+        q92_recursive_chain,
+        q93_chain_depth_window,
+    )
+
+    a = {tuple(r) for r in q92_recursive_chain(spark, sf_dir).collect()}
+    b = {tuple(r) for r in q93_chain_depth_window(spark, sf_dir).collect()}
+    assert a == b
