@@ -348,3 +348,51 @@ def stream_dedup(events: DataFrame, keys: list[str] | None = None,
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def stream_tws_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user running (count, sum) on transformWithStateInPandas —
+    Spark 4's successor to applyInPandasWithState (same semantics as
+    stream_stateful_user_totals, new API): typed ValueState handles,
+    explicit processor lifecycle (init/handleInputRows/close), timer
+    support, and a RocksDB-backed state store.
+
+    Scale: identical state footprint to the GroupState version (one
+    (long, double) pair per user, partitioned by key); RocksDB keeps
+    hot state off-heap and incremental-checkpoints to the stream's
+    checkpoint location — the state backend built for billions of keys.
+
+    The processor class is defined inside this function deliberately:
+    module-level classes cloudpickle by *reference* and fail to import
+    on executors whose working directory is not the repo (the driver
+    contract runs from an arbitrary cwd)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "count long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            cnt, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                cnt += int(len(pdf))
+                total += float(pdf["value"].sum())
+            self._totals.update((cnt, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "total_events": [cnt], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, total_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
