@@ -1514,3 +1514,76 @@ def q93_chain_depth_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id",
         F.row_number().over(wd).cast("bigint").alias("depth"),
     )
+
+
+@query(
+    "q94_pct_of_total",
+    oracle="""
+    WITH g AS (SELECT l_returnflag, sum(l_quantity) AS sum_qty
+               FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, sum_qty,
+           sum_qty / sum(sum_qty) OVER () AS pct
+    FROM g
+    """,
+)
+def q94_pct_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each return flag's share of total quantity — a
+    window over an *aggregate* (the share-of-whole pattern). Quantities
+    are integral doubles, so sums and the single division are exact IEEE
+    ops — bit-identical across engines.
+
+    Scale: the aggregation collapses to ≤3 rows before the unpartitioned
+    window, so the "global" window is 3 rows on one core — the anti-
+    pattern of a global window over raw data never materializes."""
+    li = load_table(spark, "lineitem", sf_dir)
+    g = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("sum_qty"))
+    w = Window.partitionBy()
+    return g.select(
+        "l_returnflag", "sum_qty",
+        (F.col("sum_qty") / F.sum("sum_qty").over(w)).alias("pct"),
+    )
+
+
+@query(
+    "q95_funnel_conversion",
+    oracle="""
+    WITH p AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'purchase')
+    SELECT p.user_id,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(CASE WHEN EXISTS (
+                 SELECT 1 FROM events c
+                 WHERE c.event_type = 'click' AND c.user_id = p.user_id
+                   AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 10 MINUTE)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+    FROM p GROUP BY p.user_id
+    """,
+)
+def q95_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel conversion: per user, how many purchases were preceded by a
+    click within 10 minutes (click→purchase conversion, the standard
+    product-analytics funnel step). The existence check is a left-semi
+    join with the range predicate evaluated inside the user_id key group.
+
+    Scale: both probes are equi-keyed on user_id — shuffled hash
+    semi-join, never a cross join; the semi-join short-circuits on first
+    match so hot users don't multiply pairs. AQE splits skewed users."""
+    e = load_table(spark, "events", sf_dir)
+    p = e.where(F.col("event_type") == "purchase").select("user_id", "event_id", "ts")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    converted = p.join(
+        c,
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 10 MINUTES")),
+        "left_semi",
+    )
+    n_all = p.groupBy("user_id").agg(F.count("*").alias("n_purchases"))
+    n_conv = converted.groupBy("user_id").agg(F.count("*").alias("n_conv"))
+    return n_all.join(n_conv, "user_id", "left").select(
+        "user_id",
+        "n_purchases",
+        F.coalesce(F.col("n_conv"), F.lit(0)).alias("n_converted"),
+    )
