@@ -219,7 +219,8 @@ def q63_word_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            sum(l_quantity) AS sum_qty,
-           avg(l_extendedprice) AS avg_price,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)) AS avg_price,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
     GROUP BY l_returnflag
@@ -244,10 +245,14 @@ def q64_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        # prices are 2-dp decimals: average via exact integer cents so the
+        # result is bit-identical to the oracle's (pandas .mean() pairwise
+        # summation drifts from SQL avg at the 1e-10 level)
+        cents = (pdf["l_extendedprice"] * 100).round().astype("int64")
         return pd.DataFrame({
             "l_returnflag": [pdf["l_returnflag"].iloc[0]],
             "sum_qty": [float(pdf["l_quantity"].sum())],
-            "avg_price": [float(pdf["l_extendedprice"].mean())],
+            "avg_price": [float(cents.sum()) / (100.0 * len(pdf))],
             "n_rows": [int(len(pdf))],
         })
 
@@ -261,7 +266,9 @@ def q64_apply_in_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q65_grouped_agg_udf",
     oracle="""
     SELECT l_linestatus,
-           sum(l_extendedprice * l_quantity) / sum(l_quantity) AS weighted_price
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+             / (100.0 * sum(CAST(l_quantity AS BIGINT))) AS weighted_price
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -278,7 +285,11 @@ def q65_grouped_agg_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(T.DoubleType())
     def weighted_mean(price: pd.Series, qty: pd.Series) -> float:
-        return float((price * qty).sum() / qty.sum())
+        # exact integer arithmetic (2-dp prices, integral quantities) so
+        # the result bit-matches the oracle regardless of summation order
+        cents = (price * 100).round().astype("int64")
+        q = qty.round().astype("int64")
+        return float((cents * q).sum()) / (100.0 * float(q.sum()))
 
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_linestatus").agg(

@@ -522,19 +522,30 @@ def q13_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q14_window_running",
     oracle="""
+    WITH c AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                      CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+               FROM orders)
     SELECT o_custkey AS custkey, o_orderkey AS orderkey,
-           sum(o_totalprice) OVER (
+           CAST(sum(cents) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_spend,
-           avg(o_totalprice) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)         AS avg_last3
-    FROM orders
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 100
+             AS running_spend,
+           CAST(sum(cents) OVER w3 AS DOUBLE)
+             / (100.0 * count(*) OVER w3)                        AS avg_last3
+    FROM c
+    WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
     """,
 )
 def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total + sliding 3-row mean per customer (ROWS frames)."""
+    """Running total + sliding 3-row mean per customer (ROWS frames).
+
+    Prices are 2-dp decimals, so both engines accumulate EXACT integer
+    cents (sum order-independent) and perform one identical double
+    division at the end — a float running sum is summation-order
+    sensitive and drifts at the 1e-9 level between engines."""
     o = load_table(spark, "orders", sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
     ordering = [F.asc("o_orderdate"), F.asc("o_orderkey")]
     w_run = (
         Window.partitionBy("o_custkey").orderBy(*ordering)
@@ -544,8 +555,11 @@ def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        F.sum("o_totalprice").over(w_run).alias("running_spend"),
-        F.avg("o_totalprice").over(w_3).alias("avg_last3"),
+        (F.sum(cents).over(w_run).cast("double") / 100).alias("running_spend"),
+        (
+            F.sum(cents).over(w_3).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).over(w_3))
+        ).alias("avg_last3"),
     )
 
 
@@ -744,24 +758,30 @@ def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
            abs(l_extendedprice - 50000.0) AS abs_dev,
            sqrt(l_quantity)               AS sqrt_qty,
-           pow(1 + l_discount, 2)         AS disc_sq,
-           ln(l_extendedprice)            AS ln_price,
-           floor(l_quantity / 7)          AS qty_bucket,
+           round(pow(1 + l_discount, 2), 9) AS disc_sq,
+           round(ln(l_extendedprice), 9)    AS ln_price,
+           CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
            CAST(mod(l_orderkey, 97) AS BIGINT) AS key_mod
     FROM lineitem
     WHERE l_linenumber = 1 AND l_quantity >= 10
     """,
 )
 def q22_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math function battery (note: Spark F.log == natural log == DuckDB ln)."""
+    """Math function battery (note: Spark F.log == natural log == DuckDB ln).
+
+    Transcendental outputs (ln, pow) are rounded to 9 dp in BOTH engines:
+    libm implementations legitimately differ by 1 ULP (observed on 64/7050
+    rows for ln at sf0.01), so raw transcendentals must never land in a
+    hashed result column.
+    """
     li = load_table(spark, "lineitem", sf_dir)
     return li.where((F.col("l_linenumber") == 1) & (F.col("l_quantity") >= 10)).select(
         F.col("l_orderkey").alias("orderkey"),
         F.col("l_linenumber").alias("linenumber"),
         F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
         F.sqrt("l_quantity").alias("sqrt_qty"),
-        F.pow(1 + F.col("l_discount"), 2).alias("disc_sq"),
-        F.log(F.col("l_extendedprice")).alias("ln_price"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 9).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 9).alias("ln_price"),
         F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
         F.pmod(F.col("l_orderkey"), F.lit(97)).alias("key_mod"),
     )
@@ -775,7 +795,7 @@ def q22_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE 'small' END AS price_band,
            coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_label,
            CAST(count(*) AS BIGINT) AS n_orders,
-           sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS n_urgent
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent
     FROM orders
     GROUP BY 1, 2
     """,
@@ -1092,20 +1112,26 @@ def q58_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q59_corr_covar",
     oracle="""
     SELECT l_linestatus,
-           corr(l_quantity, l_extendedprice)       AS qty_price_corr,
-           covar_samp(l_quantity, l_extendedprice) AS qty_price_covar,
-           covar_pop(l_discount, l_tax)            AS disc_tax_covar_pop
+           round(corr(l_quantity, l_extendedprice), 12)       AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 6)  AS qty_price_covar,
+           round(covar_pop(l_discount, l_tax), 12)            AS disc_tax_covar_pop
     FROM lineitem
     GROUP BY l_linestatus
     """,
 )
 def q59_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bivariate statistics (Pearson corr, sample/population covariance)."""
+    """Bivariate statistics (Pearson corr, sample/population covariance).
+
+    Rounded in BOTH engines (dp chosen per column magnitude so the
+    rounding absorbs ≥6 orders of magnitude of ULP drift): co-moment
+    aggregates combine partials in engine-specific order, so raw outputs
+    differ at the last couple of ULPs (observed) — same rule as raw
+    transcendentals: never hash them unrounded."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_linestatus").agg(
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
-        F.covar_pop("l_discount", "l_tax").alias("disc_tax_covar_pop"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 12).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 12).alias("disc_tax_covar_pop"),
     )
 
 

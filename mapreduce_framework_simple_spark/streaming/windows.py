@@ -142,28 +142,35 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q53_stateful_running_count",
     oracle="""
     SELECT event_id, user_id,
-           CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_count,
-           sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                            ROWS UNBOUNDED PRECEDING) AS running_value
+           CAST(count(*) OVER w AS BIGINT) AS running_count,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+             AS running_value
     FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
     """,
 )
 def q53_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user running count/sum at every event — the batch twin of a
     stateful streaming accumulator (flatMapGroupsWithState-style); the
-    streaming form lives in :func:`stream_user_counts`."""
+    streaming form lives in :func:`stream_user_counts`.
+
+    ``value`` is a 2-dp decimal, so the running sum accumulates exact
+    integer cents in both engines (order-independent) with one identical
+    double division at the end — a raw float running sum drifts between
+    engines at the 1e-9 level."""
     from pyspark.sql import Window
 
     e = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    cents = F.round(F.col("value") * 100).cast("long")
     return e.select(
         "event_id",
         "user_id",
         F.count("*").over(w).cast("long").alias("running_count"),
-        F.sum("value").over(w).alias("running_value"),
+        (F.sum(cents).over(w).cast("double") / 100).alias("running_value"),
     )
 
 
