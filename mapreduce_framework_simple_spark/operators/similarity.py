@@ -1,18 +1,22 @@
 """Similarity search over the ``embeddings`` table (array<float>, dim 64).
 
-Two paths, per the north star:
+Four paths, per the north star — none of which materializes the corpus on
+the driver:
 
-* **Brute-force cosine top-k** (q40) — the exact baseline and DuckDB
-  oracle target. All vector math is JVM-side higher-order functions
-  (zip_with + left-fold aggregate), so both engines execute the identical
-  sequential double-precision fold; cosines are rounded to 6 dp *before*
-  ranking so rank order is identical across engines.
+* **Exact cosine top-k** (q40) — query set broadcast via ``sc.broadcast``
+  (bounded, documented), corpus streamed through ``mapInPandas``; all
+  math accumulates sequentially over dimensions, the DuckDB fold order,
+  so oracle comparison is bit-exact.
 * **IVF (inverted-file) ANN** (q41, rows-only + recall-tested) — the
-  100 TB path: partition vectors into Voronoi cells around centroids,
-  probe the nearest few cells per query. Turns an O(N·Q) scan into
-  O(N/cells · probes · Q) with a broadcast of the (tiny) centroid set.
-
-Embedding-cosine near-dup (q42) reuses the brute-force kernel pairwise.
+  100 TB top-k path: partition vectors into Voronoi cells around
+  centroids, probe the nearest few cells per query. Turns an O(N·Q) scan
+  into O(N/cells · probes · Q) with a broadcast of the (tiny) centroids.
+* **Exact all-pairs near-dup** (q42) — distributed block self-join
+  (cogrouped applyInPandas): quadratic work by nature (ground truth) but
+  fully distributed in memory and compute.
+* **Hyperplane-LSH near-dup** (q96) — the 100 TB near-dup path: banded
+  sign-bit signatures, bucket candidate join, exact verify; the oracle
+  replicates the full pipeline bit-exactly from shared inlined constants.
 """
 
 from __future__ import annotations
@@ -74,51 +78,87 @@ def _duck_norm(a: str) -> str:
     )
 
 
+MAX_BROADCAST_QUERIES = 100_000  # documented bound: Q·dim·8B ≈ 50 MB at 64 dims
+
+
 def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
                           emit_top_k: int | None = None,
                           threshold: float | None = None):
-    """Vectorized pairwise-cosine kernel: the reference vector set
-    (queries or the whole corpus) rides to every executor inside the
-    mapInPandas closure as one numpy matrix; each Arrow batch of corpus
-    vectors scores against it with a single BLAS matmul.
+    """Vectorized query-vs-corpus cosine kernel. The reference (QUERY) set
+    — never the corpus — is collected once on the driver and shipped via
+    ``sc.broadcast``, so executors hold ONE torrent-distributed copy
+    instead of a per-task closure payload; the corpus only ever streams
+    through ``mapInPandas`` Arrow batches. The query-set size is bounded
+    (``MAX_BROADCAST_QUERIES``); corpus-sized reference sets must use the
+    block self-join kernel (:func:`_block_pairs_cosine`) or the LSH path.
 
     Why not the JVM higher-order-function fold: Spark evaluates lambda
     functions interpreted (outside codegen), ~50 boxed ops per element —
-    measured 21 s for 2M pairs, vs <1 s for the same flops in one matmul.
+    measured 21 s for 2M pairs, vs <1 s for the same flops vectorized.
+
+    Cross-engine parity: dot products and norms accumulate SEQUENTIALLY
+    over dimensions (one vectorized FMA per dim), the exact addition
+    order of the DuckDB ``list_reduce`` fold — results are bit-identical,
+    not merely close.
 
     Emits (query_id=ref id, neighbor_id=corpus id, cos_sim UNROUNDED);
-    per-batch top-k pruning when ``emit_top_k`` (global top-k ⊆ union of
-    per-batch top-k), threshold filter when ``threshold``.
-
-    Scale: ref set is O(queries)·dim — broadcastable by construction; at
-    IVF scale the same kernel runs per cell with the cell's vectors as
-    ``ref_df``.
+    per-batch top-k pruning when ``emit_top_k`` — pruned on the ROUNDED
+    score with a margin so the union of batch survivors provably contains
+    the global rounded-order top-k; threshold prefilter when
+    ``threshold`` keeps raw ≥ threshold − 5e-7 (half the 6-dp rounding
+    quantum) so the final rounded cut decides, never the prefilter.
     """
     import numpy as np  # local: keeps the shipped closure self-contained
-    import pandas as pd
 
     ref = ref_df.toPandas()
-    ref_ids = ref["vec_id"].to_numpy(dtype="int64")
-    ref_mat = np.stack([np.asarray(v, dtype="float64") for v in ref["embedding"]])
-    ref_unit = ref_mat / np.linalg.norm(ref_mat, axis=1, keepdims=True)
+    if len(ref) > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"query set has {len(ref)} vectors (> {MAX_BROADCAST_QUERIES}); "
+            "use the block or LSH kernels for corpus-scale reference sets"
+        )
+    ref_ids_l = ref["vec_id"].to_numpy(dtype="int64")
+    ref_mat_l = np.stack([np.asarray(v, dtype="float64") for v in ref["embedding"]])
+    bc = spark.sparkContext.broadcast((ref_ids_l, ref_mat_l))
     top_k = emit_top_k
     thresh = threshold
 
     def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        ref_ids, ref_mat = bc.value
+        dim = ref_mat.shape[1]
+        # ref norms: sequential fold order (0.0 + x0² + x1² + …)
+        racc = np.zeros(len(ref_mat))
+        for d in range(dim):
+            racc += ref_mat[:, d] * ref_mat[:, d]
+        rnorm = np.sqrt(racc)
         for pdf in batches:
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
-            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
-            sims = unit @ ref_unit.T  # (batch × ref)
+            nacc = np.zeros(len(mat))
+            dots = np.zeros((len(mat), len(ref_mat)))
+            for d in range(dim):  # sequential over dims == the SQL fold
+                nacc += mat[:, d] * mat[:, d]
+                dots += mat[:, d:d + 1] * ref_mat[:, d][None, :]
+            bnorm = np.sqrt(nacc)
+            sims = dots / (rnorm[None, :] * bnorm[:, None])
             out_q, out_n, out_c = [], [], []
             for j in range(sims.shape[1]):
                 col = sims[:, j]
                 mask = ids != ref_ids[j]
                 if thresh is not None:
-                    mask &= col >= thresh - 1e-9  # final exact cut in Spark
+                    # half the 6-dp rounding ulp: anything the rounded cut
+                    # could accept survives the prefilter
+                    mask &= col >= thresh - 5e-7
                 idx = np.nonzero(mask)[0]
                 if top_k is not None and len(idx) > top_k:
-                    idx = idx[np.argsort(-col[idx], kind="stable")[: top_k + 8]]
+                    r6 = np.round(col[idx], 6)
+                    kth = -np.partition(-r6, top_k - 1)[top_k - 1]
+                    # keep everything within one rounding quantum of the
+                    # batch's k-th ROUNDED score: superset of any rounded-
+                    # order top-k regardless of HALF_UP/half-even edge rows
+                    idx = idx[r6 >= kth - 1e-6]
                 out_q.append(np.full(len(idx), ref_ids[j]))
                 out_n.append(ids[idx])
                 out_c.append(col[idx])
@@ -258,6 +298,93 @@ def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NEARDUP_THRESHOLD = 0.45
+N_BLOCKS = 8  # B(B+1)/2 = 36 block pairs; each vector shuffles (B+1)× total
+
+
+def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
+                        threshold: float) -> DataFrame:
+    """Distributed exact all-pairs cosine via a block self-join: vectors
+    hash into B blocks; the B(B+1)/2 unordered block pairs cogroup, and
+    each group scores its |N/B|×|N/B| cross with vectorized numpy. NOTHING
+    is materialized on the driver — both sides stream through the shuffle,
+    so the plan survives a corpus that would OOM a collect (the round-1
+    kernel's failure mode).
+
+    Cross-engine parity: dots/norms accumulate sequentially over dims —
+    bit-identical to the DuckDB list_reduce fold (see
+    :func:`_pairwise_cosine_scan`).
+
+    Scale: O(N²/B²) work per group, N·(B+1) rows shuffled; quadratic by
+    nature (it's the exact ground truth) — the subquadratic production
+    paths are q41 (IVF) and q96 (hyperplane LSH)."""
+    em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    em = em.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(N_BLOCKS) for b in range(N_BLOCKS) if a <= b],
+        "ba int, bb int",
+    )
+    left = (
+        em.alias("ea")
+        .join(F.broadcast(block_pairs.alias("pa")), F.col("ea.blk") == F.col("pa.ba"))
+        .select(
+            F.col("pa.ba").alias("ba"), F.col("pa.bb").alias("bb"),
+            F.col("ea.vec_id").alias("vec_id"), F.col("ea.embedding").alias("embedding"),
+        )
+    )
+    right = (
+        em.alias("eb")
+        .join(F.broadcast(block_pairs.alias("pb")), F.col("eb.blk") == F.col("pb.bb"))
+        .select(
+            F.col("pb.ba").alias("ba"), F.col("pb.bb").alias("bb"),
+            F.col("eb.vec_id").alias("vec_id"), F.col("eb.embedding").alias("embedding"),
+        )
+    )
+    thresh = threshold
+
+    def cross_cos(l, r):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "vec_a": np.array([], dtype="int64"),
+            "vec_b": np.array([], dtype="int64"),
+            "cos_raw": np.array([], dtype="float64"),
+        })
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        la = np.stack([np.asarray(v, dtype="float64") for v in l["embedding"]])
+        rb = np.stack([np.asarray(v, dtype="float64") for v in r["embedding"]])
+        lids = l["vec_id"].to_numpy(dtype="int64")
+        rids = r["vec_id"].to_numpy(dtype="int64")
+        dim = la.shape[1]
+        lacc = np.zeros(len(la))
+        racc = np.zeros(len(rb))
+        dots = np.zeros((len(la), len(rb)))
+        for d in range(dim):  # sequential over dims == the SQL fold
+            lacc += la[:, d] * la[:, d]
+            racc += rb[:, d] * rb[:, d]
+            dots += la[:, d:d + 1] * rb[:, d][None, :]
+        cos = dots / (np.sqrt(lacc)[:, None] * np.sqrt(racc)[None, :])
+        keep = cos >= thresh - 5e-7
+        if l["ba"].iloc[0] == l["bb"].iloc[0]:
+            # diagonal group: both orientations of every pair are present —
+            # the id order dedupes them
+            keep &= lids[:, None] < rids[None, :]
+            ii, jj = np.nonzero(keep)
+            va, vb = lids[ii], rids[jj]
+        else:
+            # off-diagonal group: each unordered pair appears exactly once,
+            # in block (not id) orientation — normalize to (min, max)
+            ii, jj = np.nonzero(keep)
+            va = np.minimum(lids[ii], rids[jj])
+            vb = np.maximum(lids[ii], rids[jj])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_raw": cos[ii, jj]})
+
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("ba", "bb"))
+        .applyInPandas(cross_cos, "vec_a long, vec_b long, cos_raw double")
+    )
 
 
 @query(
@@ -273,25 +400,26 @@ NEARDUP_THRESHOLD = 0.45
     """,
 )
 def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine high-similarity pairs (cos ≥ 0.45), brute-force.
+    """Embedding-cosine high-similarity pairs (cos ≥ 0.45), exact — on the
+    DISTRIBUTED block self-join kernel: no driver-side materialization of
+    the corpus anywhere in the plan (the round-1 version collected the
+    whole table into every task closure).
 
     (Threshold is data-driven: the synthetic embeddings max out near
     cos ≈ 0.55 pairwise, so a production-style 0.98 dedup cut would
     select nothing — 0.45 keeps the operator observable end-to-end.)
 
     Scale caveat (by design, like q36): all-pairs is the oracle-checkable
-    ground truth; at 100 TB the same threshold runs on q41's IVF cells
-    (near-dups share a cell with probability → 1 as cos → 1)."""
-    scored = _pairwise_cosine_scan(
-        spark, sf_dir, load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding"),
-        threshold=NEARDUP_THRESHOLD,
-    )
+    ground truth and stays quadratic in WORK, but now distributes —
+    B(B+1)/2 block-pair tasks, N·(B+1) rows shuffled, O((N/B)²) memory
+    per task. The subquadratic production paths are q41 (IVF) and q96
+    (hyperplane-LSH candidates + exact verify)."""
+    scored = _block_pairs_cosine(spark, sf_dir, NEARDUP_THRESHOLD)
     return (
-        scored.where(F.col("query_id") < F.col("neighbor_id"))
-        .select(
-            F.col("query_id").alias("vec_a"),
-            F.col("neighbor_id").alias("vec_b"),
-            F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
+        scored.select(
+            "vec_a",
+            "vec_b",
+            F.round(F.col("cos_raw"), 6).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= NEARDUP_THRESHOLD)
     )
@@ -301,8 +429,45 @@ def q42_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Hyperplane-LSH near-dup: the bucketed scale path for q42's semantics
 # ---------------------------------------------------------------------------
 
+LSH_N_BITS = 16
+LSH_N_BANDS = 2
+
+
+def _lsh_hyperplanes(n_bits: int):
+    """The fixed seeded hyperplane matrix H (64 × n_bits). Driver-side
+    helper for SQL generation; executor closures inline the identical
+    RandomState(42) call directly (module references don't survive
+    cloudpickle when the consumer's cwd isn't the repo)."""
+    import numpy as np
+
+    return np.random.RandomState(42).randn(64, n_bits)
+
+
+def _lsh_band_exprs_sql(vec: str, n_bits: int = LSH_N_BITS,
+                        n_bands: int = LSH_N_BANDS) -> list[str]:
+    """DuckDB expressions computing the SAME banded sign-bit signature as
+    the Spark kernel: the hyperplane constants are inlined as full-
+    precision literals, and each dot is the sequential list_reduce fold —
+    the exact addition order of the Spark-side per-dim accumulation — so
+    the sign of every bit is bit-identical across engines."""
+    H = _lsh_hyperplanes(n_bits)
+    bpb = n_bits // n_bands
+    out = []
+    for b in range(n_bands):
+        terms = []
+        for i in range(bpb):
+            lits = ", ".join(repr(float(x)) for x in H[:, b * bpb + i])
+            dot = (
+                f"list_reduce(list_prepend(0.0, list_transform(list_zip({vec}, [{lits}]), "
+                "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+        out.append("(" + " + ".join(terms) + ")")
+    return out
+
+
 def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
-                         n_bits: int = 16, n_bands: int = 2,
+                         n_bits: int = LSH_N_BITS, n_bands: int = LSH_N_BANDS,
                          id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH (SimHash for vectors).
@@ -312,9 +477,9 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
     become candidates; candidates are verified with exact cosine.
     P(bit match) = 1 - θ/π, so recall ≈ 1 - (1-(1-θ/π)^(bits/bands))^bands
     — near 1 for cos → 1, which is the near-dup regime this targets (the
-    brute-force q42 covers the exploratory low-threshold regime).
+    exact q42 covers the exploratory low-threshold regime).
 
-    Scale: signatures are one numpy matmul per Arrow batch; the only
+    Scale: signatures are 64 vectorized FMAs per Arrow batch; the only
     shuffle is the band-bucket self-join whose buckets are near-unique
     except for true near-dups — same shape as MinHash-LSH (q38).
     """
@@ -327,7 +492,10 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
         H = np.random.RandomState(42).randn(64, n_bits)
         for pdf in batches:
             mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
-            bits = (mat @ H) > 0  # (n × n_bits)
+            acc = np.zeros((len(mat), n_bits))
+            for d in range(mat.shape[1]):  # sequential over dims == SQL fold
+                acc += mat[:, d:d + 1] * H[d][None, :]
+            bits = acc > 0  # (n × n_bits), bit-identical to the oracle's
             out = {"vec_id": pdf[id_col].to_numpy(dtype="int64")}
             for b in range(n_bands):
                 chunk = bits[:, b * bits_per_band:(b + 1) * bits_per_band]
@@ -367,3 +535,55 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
         cand.select("vec_a", "vec_b", cos.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+_LSH_BANDS_SQL = _lsh_band_exprs_sql("embedding")
+# Lower cut than q42: LSH band recall at cos≈0.45 on this weakly-clustered
+# synthetic corpus keeps ~0 pairs; 0.30 keeps the operator observable
+# (≈30 verified pairs at sf0.01) while exercising the identical pipeline.
+NEARDUP_LSH_THRESHOLD = 0.3
+
+
+@query(
+    "q96_embed_neardup_lsh",
+    oracle=f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               {_LSH_BANDS_SQL[0]} AS band0,
+               {_LSH_BANDS_SQL[1]} AS band1
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS emb_a, b.embedding AS emb_b
+        FROM sig a JOIN sig b
+          ON a.vec_id < b.vec_id
+         AND (a.band0 = b.band0 OR a.band1 = b.band1)
+    ),
+    scored AS (
+        SELECT vec_a, vec_b,
+               round({_duck_dot('emb_a', 'emb_b')}
+                     / ({_duck_norm('emb_a')} * {_duck_norm('emb_b')}), 6) AS cos_sim
+        FROM cand
+    )
+    SELECT vec_a, vec_b, cos_sim FROM scored WHERE cos_sim >= {NEARDUP_LSH_THRESHOLD}
+    """,
+)
+def q96_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup, LSH-bucketed — the declared 100 TB path for
+    q42's semantics: hyperplane sign-bit signatures, band-bucket
+    candidate join, exact-cosine verification of candidates only. No
+    all-pairs join, no driver-side vector materialization anywhere.
+
+    The oracle replicates the ENTIRE pipeline in SQL (same inlined
+    hyperplane constants, same sequential fold order, so every sign bit
+    and cosine is bit-identical) — this checks the operator exactly, not
+    just statistically; recall vs the exact q42 is covered separately in
+    tests (planted near-dups, recall ≥ 0.9 at cos ≥ 0.95).
+
+    At exploratory thresholds the band filter keeps only a slice
+    of true pairs (hyperplane LSH is built for the cos → 1 regime);
+    that trade is the point — candidates stay near-linear while q42 pays
+    the quadratic ground-truth cost."""
+    em = load_table(spark, "embeddings", sf_dir)
+    return hyperplane_lsh_pairs(em, threshold=NEARDUP_LSH_THRESHOLD)

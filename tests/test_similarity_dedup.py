@@ -108,3 +108,31 @@ def test_minhash_estimates_jaccard(spark, sf_dir):
     assert len(errs) > 0
     mae = pd.Series(errs).mean()
     assert mae <= 0.15, f"minhash estimate off: MAE={mae:.3f}"
+
+
+def test_query_broadcast_bound_enforced(spark, sf_dir, monkeypatch):
+    """The query-vs-corpus kernel must REFUSE corpus-scale reference sets
+    (the round-1 scale-killer was collecting the whole corpus onto the
+    driver); the bound is the documented contract."""
+    import pytest as _pytest
+
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "MAX_BROADCAST_QUERIES", 10)
+    em = S.load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    with _pytest.raises(ValueError, match="query set"):
+        S._pairwise_cosine_scan(spark, sf_dir, em, emit_top_k=5)
+
+
+def test_q42_plan_is_distributed_cogroup(spark, sf_dir):
+    """q42's physical plan must be the cogrouped block self-join — no
+    driver-side materialization anywhere (the plan shows the corpus only
+    flowing through scans, joins, and FlatMapCoGroupsInPandas)."""
+    from mapreduce_framework_simple_spark.operators.similarity import (
+        q42_embed_neardup,
+    )
+
+    plan = q42_embed_neardup(spark, sf_dir)._sc._jvm.PythonSQLUtils.explainString(
+        q42_embed_neardup(spark, sf_dir)._jdf.queryExecution(), "formatted"
+    )
+    assert "FlatMapCoGroupsInPandas" in plan
