@@ -40,6 +40,8 @@ HEADLINE = [
     "q40_cosine_topk",        # similarity search
     "q50_tumbling_window",    # event-time windows (batch twin)
     "q61_prime_sum",          # pandas_udf compute-bound
+    "q79_dedup_components",   # iterative (label propagation to fixpoint)
+    "q82_asof_join",          # temporal as-of join (union+window)
 ]
 
 

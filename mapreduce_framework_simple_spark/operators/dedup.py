@@ -460,9 +460,17 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             .where(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # the count() above materialized new_labels' cache, so the old
+        # round's cache is dead weight from here — release it, or executor
+        # storage grows linearly with iteration count on large graphs
+        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()
+    # the final labels cache stays live: it is materialized (the changed-
+    # count ran on it) and the caller's first action would otherwise
+    # recompute every propagation round from scratch. One bounded DF.
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

@@ -17,6 +17,8 @@ in docs/SCALE.md:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,16 +94,32 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
 
     The update side is broadcast (updates ≪ target in any real upsert),
     so the target pass is one map-side anti-join — no shuffle of the
-    target."""
+    target.
+
+    Durability: the merged result is written to a sibling staging path
+    and swapped in with directory renames, so the original dataset stays
+    intact on disk until the replacement is fully written — an executor
+    or job failure mid-write leaves the target untouched (the round-1
+    localCheckpoint+overwrite version deleted the target before the new
+    data was durable). The rename pair is not a single atomic operation;
+    on object stores / HDFS use a transactional table format
+    (Delta/Iceberg/Hudi) for true atomic MERGE."""
+    import shutil
+
     current = spark.read.parquet(target_path)
     remaining = current.join(
         F.broadcast(updates.select(key).distinct()), key, "left_anti"
     )
     merged = remaining.unionByName(updates.select(*current.columns))
-    # parquet overwrite is not atomic mid-job; materialize first so the
-    # source scan never reads the path it is replacing
-    staged = merged.localCheckpoint(eager=True)
-    staged.write.mode("overwrite").parquet(target_path)
+    staging = target_path.rstrip("/") + ".staging"
+    backup = target_path.rstrip("/") + ".backup"
+    # staging write reads the ORIGINAL target path — no self-overwrite
+    merged.write.mode("overwrite").parquet(staging)
+    if os.path.exists(backup):
+        shutil.rmtree(backup)
+    os.rename(target_path, backup)
+    os.rename(staging, target_path)
+    shutil.rmtree(backup)
 
 
 def write_range_partitioned(df: DataFrame, path: str, col: str,

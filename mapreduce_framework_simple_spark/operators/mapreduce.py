@@ -34,10 +34,20 @@ from typing import Any
 from pyspark.sql import SparkSession
 
 # Partitioning strategies ≙ reference create_assigned_data methods
-# (Simple.pm:34-146). Strategies 1d-1f (server-capacity weighting,
-# Simple.pm:66-132) are intentionally absent: Spark's scheduler fills
-# executor slots proportionally to their cores already (SURVEY.md §2.1).
+# (Simple.pm:34-146).
 CHUNK_METHODS = ("element_sequential", "element_shuffle", "volume_uniform")
+# Strategies 1d-1f (server-capacity-weighted assignment, Simple.pm:66-132
+# + the spec probe Simple.pm:457-474) are accepted as NO-OP parity shims
+# mapping to sequential striping: the weighting decided which WORKER URL
+# got which chunk, and on Spark task placement is the scheduler's job —
+# executor slots already fill proportionally to their cores (SURVEY.md
+# §2.1). The aliases exist so a caller ported from the reference runs
+# unmodified.
+CAPACITY_METHOD_ALIASES = (
+    "element_server_cores",   # Simple.pm: weight by probed core count
+    "element_server_workers", # Simple.pm: weight by configured workers
+    "element_core_clock",     # Simple.pm: weight by cores × clock
+)
 
 
 def create_assigned_data(data: Sequence[Any], chunk_num: int = 8,
@@ -54,11 +64,20 @@ def create_assigned_data(data: Sequence[Any], chunk_num: int = 8,
     * ``volume_uniform`` — sort by serialized size, round-robin: chunks get
       size-balanced (Simple.pm:133-144); pickle size stands in for the
       reference's MessagePack size (Simple.pm:134-137).
+    * ``element_server_cores`` / ``element_server_workers`` /
+      ``element_core_clock`` — accepted for reference parity
+      (Simple.pm:66-132) and treated as ``element_sequential``: capacity
+      weighting steered worker ASSIGNMENT, which Spark's scheduler owns.
     """
     if chunk_num <= 0:
         raise ValueError("chunk_num must be positive")
+    if method in CAPACITY_METHOD_ALIASES:
+        method = "element_sequential"
     if method not in CHUNK_METHODS:
-        raise ValueError(f"unknown method {method!r}; expected one of {CHUNK_METHODS}")
+        raise ValueError(
+            f"unknown method {method!r}; expected one of "
+            f"{CHUNK_METHODS + CAPACITY_METHOD_ALIASES}"
+        )
     items = list(data)
     if method == "element_shuffle":
         random.Random(seed).shuffle(items)

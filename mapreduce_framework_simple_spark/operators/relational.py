@@ -1424,6 +1424,12 @@ def q90_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Runaway guard for q92's linear recursion: high enough never to trip on a
+# convergent chain recursion, still finite so a genuinely cyclic frontier
+# aborts instead of spinning. Overridable per deployment via Spark conf.
+Q92_RECURSION_ROW_LIMIT = 2_000_000_000
+
+
 @query(
     "q92_recursive_chain",
     oracle="""
@@ -1465,8 +1471,10 @@ def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # recursive output == input rows; the default 1M-row safety limit
     # (spark.sql.cteRecursionRowLimit) trips on any event table >1M rows
     # even though the recursion is linear and convergent — found by the
-    # 10× scale probe. Size it to the input instead of a magic constant.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(max(1_000_000, e.count() * 2)))
+    # 10× scale probe. A fixed high ceiling keeps the runaway guard
+    # WITHOUT a driver-side count() scan before the query even starts
+    # (the round-1 version paid a full table scan here).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(Q92_RECURSION_ROW_LIMIT))
     return spark.sql(
         """
         WITH RECURSIVE u AS (

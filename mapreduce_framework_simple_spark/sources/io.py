@@ -117,11 +117,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events":
         from pyspark.sql import functions as F
 
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # the rebuilt ts column is a session-tz TIMESTAMP; pin UTC so
-        # window alignment and pandas conversion match the oracle's naive
-        # timestamps regardless of the host session's timezone
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # Both configs ship in session.builder(); they are REQUIRED for a
+        # correct events read (nanos parquet; UTC-stable ts arithmetic).
+        # Externally-built sessions (the round driver's vanilla session)
+        # don't use the factory, so self-heal here — but only touch conf
+        # when the value is actually wrong, and always to the same fixed
+        # values, so repeated/concurrent reads are idempotent rather than
+        # a per-read side effect.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+            # the rebuilt ts column is a session-tz TIMESTAMP; pin UTC so
+            # window alignment and pandas conversion match the oracle's
+            # naive timestamps regardless of the host session's timezone
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         if dict(df.dtypes).get("ts") == "bigint":
             # integer division: float division of epoch-nanos exceeds the

@@ -197,3 +197,23 @@ def test_sql_temp_views(spark, sf_dir):
         "SELECT count(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey"
     ).collect()[0]
     assert row["n"] > 0
+
+
+def test_capacity_weighted_method_aliases():
+    """Reference methods 1d-1f (Simple.pm:66-132) are accepted as no-op
+    parity shims — a ported caller runs unmodified; chunking equals the
+    sequential striping (capacity weighting steered worker placement,
+    which Spark's scheduler owns)."""
+    from mapreduce_framework_simple_spark.operators.mapreduce import (
+        CAPACITY_METHOD_ALIASES,
+        create_assigned_data,
+    )
+
+    data = list(range(17))
+    expected = create_assigned_data(data, 4, method="element_sequential")
+    for alias in CAPACITY_METHOD_ALIASES:
+        assert create_assigned_data(data, 4, method=alias) == expected
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown method"):
+        create_assigned_data(data, 4, method="element_bogus")

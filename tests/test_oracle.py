@@ -39,3 +39,41 @@ def test_query_matches_oracle(spark, sf_dir, name):
     ddf = con.execute(ORACLES[name]).fetchdf()
     problems = compare_frames(sdf, ddf)
     assert not problems, f"{name}: {problems[:5]} (spark rows={len(sdf)}, duck rows={len(ddf)})"
+
+
+def test_strict_compare_flags_hugeint_dtype_drift():
+    """Harness-level guard for the q26 class of failure: a DuckDB oracle
+    whose integer sum comes back HUGEINT (surfacing as float/object in
+    pandas) must FAIL strict comparison even when every value is equal —
+    the driver's canonical hash is dtype-sensitive, so the repo harness
+    must be too."""
+    import duckdb
+    import pandas as pd
+
+    from oracle_harness import compare_frames
+
+    spark_like = pd.DataFrame({"g": ["a", "b"], "n": pd.array([1, 2], dtype="int64")})
+    # deliberately uncast: DuckDB sum() over INTEGER yields HUGEINT
+    duck = duckdb.sql(
+        "SELECT g, sum(n) AS n FROM (VALUES ('a', 1), ('b', 2)) t(g, n) GROUP BY g"
+    ).fetchdf()
+    problems = compare_frames(spark_like, duck, strict=True)
+    assert problems and "dtype drift" in problems[0]
+    # the cast version is clean
+    duck_cast = duckdb.sql(
+        "SELECT g, CAST(sum(n) AS BIGINT) AS n FROM (VALUES ('a', 1), ('b', 2)) t(g, n) GROUP BY g"
+    ).fetchdf()
+    assert compare_frames(spark_like, duck_cast, strict=True) == []
+
+
+def test_strict_compare_flags_ulp_float_drift():
+    """1-ULP float differences (the q22 ln() class) must fail strict
+    comparison but pass the legacy 4-dp tolerance."""
+    import pandas as pd
+
+    from oracle_harness import compare_frames
+
+    a = pd.DataFrame({"x": [10.81438556982772]})
+    b = pd.DataFrame({"x": [10.814385569827719]})
+    assert compare_frames(a, b, strict=True)
+    assert compare_frames(a, b, strict=False) == []

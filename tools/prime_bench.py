@@ -58,7 +58,8 @@ def main() -> None:
         block = 512
         for i in range(0, len(primes), block):
             pb = primes[i : i + block]
-            out &= (n[:, None] % pb[None, :] != 0).all(axis=1)
+            keep = (n[:, None] % pb[None, :] != 0) | (n[:, None] == pb[None, :])
+            out &= keep.all(axis=1)
         return pd.Series(out & (n >= 2))
 
     spark.range(1, 1000).withColumnRenamed("id", "n").where(is_prime(F.col("n"))).count()  # warm workers
