@@ -599,3 +599,44 @@ def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("hit") / F.count("*")).alias("contamination"),
         )
     )
+
+
+@query(
+    "q100_shingle_containment",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_SETS},
+    stats AS (SELECT shingle, count(*) AS n_docs FROM sh GROUP BY shingle)
+    SELECT sh.doc_id,
+           CAST(count(*) AS BIGINT)                              AS n_shingles,
+           CAST(count(*) FILTER (WHERE stats.n_docs >= 2) AS BIGINT)
+                                                                 AS n_shared,
+           CAST(count(*) FILTER (WHERE stats.n_docs >= 2) AS DOUBLE)
+             / count(*)                                          AS containment
+    FROM sh JOIN stats USING (shingle)
+    GROUP BY sh.doc_id
+    """,
+)
+def q100_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (substring-level) duplication signal: for each doc,
+    the fraction of its distinct word-3-gram shingles that ALSO occur in
+    at least one other document. This is the scalable approximation of
+    suffix-array substring dedup used to spot partially-copied documents
+    that whole-doc dedup (q35) and near-dup pairing (q38) both miss —
+    containment → 1 means the doc is assembled from corpus-repeated
+    spans even when no single partner doc is similar.
+
+    Score is (int FILTER count) / (int count) — exact in both engines.
+
+    Scale: one shuffle to distinct (doc, shingle), one partial-aggregated
+    count keyed by shingle, one join back on shingle (AQE handles hot
+    boilerplate shingles), one doc_id aggregation. No pairwise term
+    anywhere — corpus-linear where true substring dedup is superlinear."""
+    sh = shingle_sets(spark, sf_dir)
+    stats = sh.groupBy("shingle").agg(F.count("*").alias("n_docs"))
+    j = sh.join(stats, "shingle")
+    shared = F.sum(F.when(F.col("n_docs") >= 2, 1).otherwise(0)).cast("long")
+    return j.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        shared.alias("n_shared"),
+        (shared.cast("double") / F.count("*")).alias("containment"),
+    )

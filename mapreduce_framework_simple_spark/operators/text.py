@@ -323,3 +323,215 @@ def q86_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 3)
         .select("doc_id", "term", "tf", "df_t", "score", F.col("rnk").cast("bigint").alias("rnk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style filtering / repetition / lexical-diversity operators
+# (training-data curation extensions; all integer-ratio math, so every
+# engine computes bit-identical scores)
+# ---------------------------------------------------------------------------
+
+def bigrams_expr(toks: Column) -> Column:
+    """Word-bigram array with the same stop<start guard as shingles_expr."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+DUCK_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END"
+)
+
+
+@query(
+    "q97_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, {DUCK_BIGRAMS} AS bgs FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT)                AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+             / len(toks)                            AS dup_token_frac,
+           CAST(len(bgs) AS BIGINT)                 AS n_bigrams,
+           CAST(len(list_distinct(bgs)) AS BIGINT)  AS n_distinct_bigrams,
+           CASE WHEN len(bgs) > 0 THEN
+             CAST(len(bgs) - len(list_distinct(bgs)) AS DOUBLE) / len(bgs)
+           ELSE 0.0 END                             AS dup_bigram_frac
+    FROM b
+    """,
+)
+def q97_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (the Gopher/MassiveText "repetition"
+    filter family): fraction of duplicate tokens and duplicate word
+    bigrams per document. High duplicate-n-gram fractions are the
+    canonical signal for boilerplate/spam in pre-training corpora.
+
+    Every score is (int − int) / int on counts — exactly-rounded IEEE
+    division of identical integers in both engines.
+
+    Scale: pure map-side column expressions (no explode, no shuffle —
+    the distinct runs inside each row's array); whole-stage codegen, one
+    pass over the corpus. Arrays are materialized before the distinct
+    (lambda bodies get no subexpression elimination)."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokens_expr().alias("toks"))
+    b = t.select("doc_id", "toks", bigrams_expr(F.col("toks")).alias("bgs"))
+    n_t, nd_t = F.size("toks"), F.size(F.array_distinct("toks"))
+    n_b, nd_b = F.size("bgs"), F.size(F.array_distinct("bgs"))
+    return b.select(
+        "doc_id",
+        n_t.cast("long").alias("n_tokens"),
+        nd_t.cast("long").alias("n_distinct_tokens"),
+        ((n_t - nd_t).cast("double") / n_t).alias("dup_token_frac"),
+        n_b.cast("long").alias("n_bigrams"),
+        nd_b.cast("long").alias("n_distinct_bigrams"),
+        F.when(n_b > 0, (n_b - nd_b).cast("double") / n_b)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+# Gopher-rule thresholds (integer-scaled so the keep decision is an
+# integer comparison — no float thresholds to drift cross-engine):
+#   3 ≤ mean word length ≤ 10   ⇔  3·n ≤ Σlen ≤ 10·n
+#   ≥ 2 stopword hits
+#   top word ≤ 20% of tokens    ⇔  5·top_cnt ≤ n
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3, 10
+GOPHER_MIN_STOP_HITS = 2
+GOPHER_TOP_WORD_DENOM = 5
+
+
+@query(
+    "q98_gopher_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    w AS (SELECT doc_id, unnest(toks) AS word FROM t),
+    topw AS (SELECT doc_id, max(cnt) AS top_cnt
+             FROM (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
+             GROUP BY doc_id),
+    base AS (SELECT doc_id,
+                    CAST(len(toks) AS BIGINT) AS n_tokens,
+                    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
+                      AS sum_token_len,
+                    CAST(len(list_filter(toks,
+                      x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT)
+                      AS stop_hits
+             FROM t)
+    SELECT base.doc_id, n_tokens, sum_token_len, stop_hits,
+           CAST(top_cnt AS BIGINT) AS top_word_cnt,
+           (sum_token_len >= {GOPHER_MIN_MWL} * n_tokens AND
+            sum_token_len <= {GOPHER_MAX_MWL} * n_tokens AND
+            stop_hits >= {GOPHER_MIN_STOP_HITS} AND
+            {GOPHER_TOP_WORD_DENOM} * top_cnt <= n_tokens) AS keep
+    FROM base JOIN topw ON base.doc_id = topw.doc_id
+    """,
+)
+def q98_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate: mean-word-length bounds, minimum
+    stopword evidence, and a top-word concentration cap combine into one
+    boolean ``keep`` per document. Thresholds are integer-scaled
+    (3·n ≤ Σlen, 5·top ≤ n) so the decision never touches a float.
+
+    Scale: the per-doc stats are map-side array ops; the only shuffle is
+    the (doc, word) count feeding the top-word cap — partial-aggregated,
+    keyed by doc_id, trivially parallel. This is the shape of every
+    production quality gate: one corpus pass, one bounded shuffle."""
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id", tokens_expr().alias("toks"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.aggregate("toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .alias("sum_token_len"),
+        F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("stop_hits"),
+    )
+    topw = (
+        t.select("doc_id", F.explode("toks").alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_word_cnt"))
+    )
+    j = base.join(topw, "doc_id")
+    keep = (
+        (F.col("sum_token_len") >= GOPHER_MIN_MWL * F.col("n_tokens"))
+        & (F.col("sum_token_len") <= GOPHER_MAX_MWL * F.col("n_tokens"))
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+        & (GOPHER_TOP_WORD_DENOM * F.col("top_word_cnt") <= F.col("n_tokens"))
+    )
+    return j.select(
+        "doc_id", "n_tokens", "sum_token_len", "stop_hits",
+        F.col("top_word_cnt").cast("long").alias("top_word_cnt"),
+        keep.alias("keep"),
+    )
+
+
+@query(
+    "q99_type_token_ratio",
+    oracle=f"""
+    WITH t AS (SELECT source, {DUCK_TOKS} AS toks FROM documents),
+    w AS (SELECT source, unnest(toks) AS word FROM t)
+    SELECT source,
+           CAST(count(*) AS BIGINT)              AS total_tokens,
+           CAST(count(DISTINCT word) AS BIGINT)  AS distinct_words,
+           CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS type_token_ratio
+    FROM w GROUP BY source
+    """,
+)
+def q99_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source: type-token ratio (distinct words /
+    total tokens) — the standard corpus-level diversity diagnostic for
+    dataset mixing decisions. Exact integer division in both engines.
+
+    Scale: explode feeds partial counts map-side; the distinct-count is
+    the expand-based two-phase count_distinct, partial-aggregated on
+    (source, word) before the final source-level merge — one logical
+    shuffle keyed by a low-cardinality column, no row-per-token ever
+    crosses the wire."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select("source", F.explode(tokens_expr()).alias("word"))
+    return words.groupBy("source").agg(
+        F.count("*").alias("total_tokens"),
+        F.count_distinct("word").alias("distinct_words"),
+        (F.count_distinct("word").cast("double") / F.count("*")).alias(
+            "type_token_ratio"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (library operator; no oracle — DuckDB and Java regex
+# dialects differ, so cross-engine hashing would test the regex engines,
+# not the operator. Verified by tests on planted PII.)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
+PII_REPLACEMENT = "[PII]"
+
+
+def scrub_pii(df: DataFrame, col: str = "text",
+              replacement: str = PII_REPLACEMENT) -> DataFrame:
+    """Redact emails and phone numbers from a text column, adding an
+    ``n_pii`` count of redacted spans. Pure JVM regexp ops (no Python in
+    the path); patterns are deliberately conservative — production
+    pipelines layer jurisdiction-specific pattern packs on this hook.
+
+    Scale: map-side narrow transform, codegen-friendly, zero shuffle."""
+    n = F.size(F.regexp_extract_all(F.col(col), F.lit(PII_EMAIL), 0)) + F.size(
+        F.regexp_extract_all(F.col(col), F.lit(PII_PHONE), 0)
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col(col), PII_EMAIL, replacement),
+        PII_PHONE,
+        replacement,
+    )
+    return df.withColumn("n_pii", n.cast("int")).withColumn(col, scrubbed)

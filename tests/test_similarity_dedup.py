@@ -136,3 +136,23 @@ def test_q42_plan_is_distributed_cogroup(spark, sf_dir):
         q42_embed_neardup(spark, sf_dir)._jdf.queryExecution(), "formatted"
     )
     assert "FlatMapCoGroupsInPandas" in plan
+
+
+def test_scrub_pii_redacts_planted_pii(spark):
+    """PII scrub on planted emails/phones: spans redacted, counts right,
+    clean rows untouched."""
+    from mapreduce_framework_simple_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@example.co.uk or 555-123-4567 today"),
+            (2, "no personal data here at all"),
+            (3, "a@b.io and c@d.org wrote 212 555 0199"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["n_pii"] == 2 and out[1]["text"].count("[PII]") == 2
+    assert "example" not in out[1]["text"] and "4567" not in out[1]["text"]
+    assert out[2]["n_pii"] == 0 and out[2]["text"] == "no personal data here at all"
+    assert out[3]["n_pii"] == 3 and out[3]["text"].count("[PII]") == 3
