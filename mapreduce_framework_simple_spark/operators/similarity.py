@@ -314,9 +314,13 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
     bit-identical to the DuckDB list_reduce fold (see
     :func:`_pairwise_cosine_scan`).
 
-    Scale: O(N²/B²) work per group, N·(B+1) rows shuffled; quadratic by
-    nature (it's the exact ground truth) — the subquadratic production
-    paths are q41 (IVF) and q96 (hyperplane LSH)."""
+    Scale: O(N²/B²) work per group, N·(B+1) rows shuffled; the cross
+    products inside each group are CHUNKED so task temporaries stay at a
+    constant ~134 MB no matter how large a block gets (a block-size
+    miscalibration costs time, never an OOM). N_BLOCKS is the parallelism
+    knob: B(B+1)/2 tasks; production sizes B ≈ √(N²/target_task_work).
+    Work is quadratic by nature (it's the exact ground truth) — the
+    subquadratic production paths are q41 (IVF) and q96 (hyperplane LSH)."""
     em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     em = em.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
     block_pairs = spark.createDataFrame(
@@ -359,26 +363,40 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
         dim = la.shape[1]
         lacc = np.zeros(len(la))
         racc = np.zeros(len(rb))
-        dots = np.zeros((len(la), len(rb)))
         for d in range(dim):  # sequential over dims == the SQL fold
             lacc += la[:, d] * la[:, d]
             racc += rb[:, d] * rb[:, d]
-            dots += la[:, d:d + 1] * rb[:, d][None, :]
-        cos = dots / (np.sqrt(lacc)[:, None] * np.sqrt(racc)[None, :])
-        keep = cos >= thresh - 5e-7
-        if l["ba"].iloc[0] == l["bb"].iloc[0]:
-            # diagonal group: both orientations of every pair are present —
-            # the id order dedupes them
-            keep &= lids[:, None] < rids[None, :]
-            ii, jj = np.nonzero(keep)
-            va, vb = lids[ii], rids[jj]
-        else:
-            # off-diagonal group: each unordered pair appears exactly once,
-            # in block (not id) orientation — normalize to (min, max)
-            ii, jj = np.nonzero(keep)
-            va = np.minimum(lids[ii], rids[jj])
-            vb = np.maximum(lids[ii], rids[jj])
-        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cos_raw": cos[ii, jj]})
+        lnorm, rnorm = np.sqrt(lacc), np.sqrt(racc)
+        diagonal = l["ba"].iloc[0] == l["bb"].iloc[0]
+        # chunked cross product: temporaries stay ≤ CH² × 8 B regardless of
+        # block row counts, so a block-size miscalibration degrades to more
+        # chunks, never an executor OOM
+        CH = 4096
+        parts = []
+        for i0 in range(0, len(la), CH):
+            i1 = min(i0 + CH, len(la))
+            for j0 in range(0, len(rb), CH):
+                j1 = min(j0 + CH, len(rb))
+                dots = np.zeros((i1 - i0, j1 - j0))
+                for d in range(dim):  # sequential over dims == the SQL fold
+                    dots += la[i0:i1, d:d + 1] * rb[j0:j1, d][None, :]
+                cos = dots / (lnorm[i0:i1, None] * rnorm[None, j0:j1])
+                keep = cos >= thresh - 5e-7
+                if diagonal:
+                    # both orientations of every pair are present in the
+                    # diagonal group — the id order dedupes them
+                    keep &= lids[i0:i1, None] < rids[None, j0:j1]
+                ii, jj = np.nonzero(keep)
+                a = lids[i0:i1][ii]
+                b = rids[j0:j1][jj]
+                if not diagonal:
+                    # off-diagonal group: each unordered pair appears exactly
+                    # once, in block (not id) orientation — normalize
+                    a, b = np.minimum(a, b), np.maximum(a, b)
+                parts.append(pd.DataFrame({
+                    "vec_a": a, "vec_b": b, "cos_raw": cos[ii, jj],
+                }))
+        return pd.concat(parts, ignore_index=True) if parts else empty
 
     return (
         left.groupby("ba", "bb")

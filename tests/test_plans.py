@@ -120,3 +120,55 @@ def test_stratified_sample_group_limit_pushdown(spark, sf_dir):
 
     plan = formatted_plan(q84_stratified_sample(spark, sf_dir))
     assert "WindowGroupLimit" in plan, "k-per-stratum cut not pushed below sort"
+
+
+def test_repetition_score_no_shuffle(spark, sf_dir):
+    """q97 must stay a map-side transform: all dup-fraction math runs
+    inside each row's arrays — a shuffle would mean someone rewrote it
+    with explode+groupBy."""
+    from mapreduce_framework_simple_spark.operators.text import (
+        q97_repetition_score,
+    )
+
+    plan = formatted_plan(q97_repetition_score(spark, sf_dir))
+    assert "Exchange" not in plan, "q97 grew a shuffle"
+
+
+def test_gopher_gate_single_logical_shuffle(spark, sf_dir):
+    """q98's only wide op is the (doc, word) top-word count; everything
+    else is map-side. Two physical exchanges max (word count + join
+    alignment), never a sort-merge join of the corpus against itself."""
+    import re
+
+    from mapreduce_framework_simple_spark.operators.text import q98_gopher_rules
+
+    plan = formatted_plan(q98_gopher_rules(spark, sf_dir))
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges <= 3, f"q98 shuffles {n_exchanges}×"
+    assert "CartesianProduct" not in plan
+
+
+def test_shingle_containment_no_pairwise_join(spark, sf_dir):
+    """q100 must never plan a doc-pair join — its whole point is being
+    the corpus-linear alternative to pairwise substring comparison."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        q100_shingle_containment,
+    )
+
+    plan = formatted_plan(q100_shingle_containment(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only join is shingle-stats back onto (doc, shingle) — equi-join
+    # keyed by shingle, no inequality condition anywhere
+    assert "NestedLoop" not in plan
+
+
+def test_lsh_neardup_no_cartesian(spark, sf_dir):
+    """q96's candidate join must be an equi-join on band values (bucket
+    join), never a cartesian/NLJ over the corpus."""
+    from mapreduce_framework_simple_spark.operators.similarity import (
+        q96_embed_neardup_lsh,
+    )
+
+    plan = formatted_plan(q96_embed_neardup_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
