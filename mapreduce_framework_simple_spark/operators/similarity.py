@@ -605,3 +605,67 @@ def q96_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic ground-truth cost."""
     em = load_table(spark, "embeddings", sf_dir)
     return hyperplane_lsh_pairs(em, threshold=NEARDUP_LSH_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# IVF with a physical bucketed layout: the partition-pruned probe that the
+# SCALE.md design promises ("in production the corpus is bucketed by
+# cell_id so a probe is a partition-pruned read, not a filter").
+# ---------------------------------------------------------------------------
+
+def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """IVF build step: materialize the corpus partitioned by cell_id.
+    Each Voronoi cell becomes its own parquet directory, so a probe reads
+    only the probed cells' files — partition pruning at the source, the
+    layout that turns IVF from a full-scan-with-filter into a
+    fraction-of-corpus read at 100 TB."""
+    ivf_assignments(spark, sf_dir).write.partitionBy("cell_id").mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
+    """Approximate top-k against the bucketed IVF index — q41's answer,
+    but the candidate read is PARTITION-PRUNED: the probed cell ids
+    (a few ints per query, collected from the tiny query×centroid
+    ranking — bounded by Q·N_PROBE, never corpus-sized) become a
+    partition predicate on the index scan, so only probed directories
+    are read. Tests assert result equality with q41 and the presence of
+    partition filters in the scan."""
+    em = load_table(spark, "embeddings", sf_dir)
+    cents = em.where(F.col("vec_id") % N_CELLS_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    q = em.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    from pyspark.sql import Window
+
+    qc = q.join(F.broadcast(cents)).select(
+        "query_id", "q_emb", "cell_id",
+        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cell_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
+    probes = (
+        qc.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", "cell_id")
+    )
+    # Q·N_PROBE ints — the probe list is driver-sized by construction
+    probe_cells = sorted({r["cell_id"] for r in probes.select("cell_id").distinct().collect()})
+    idx = spark.read.parquet(index_path).where(F.col("cell_id").isin(probe_cells))
+    cand = probes.join(idx, "cell_id").where(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            dot_expr(to_double_array("q_emb"), to_double_array("embedding"))
+            / (norm_expr(to_double_array("q_emb")) * norm_expr(to_double_array("embedding"))),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .where(F.col("rnk") <= TOP_K)
+    )

@@ -156,3 +156,24 @@ def test_scrub_pii_redacts_planted_pii(spark):
     assert "example" not in out[1]["text"] and "4567" not in out[1]["text"]
     assert out[2]["n_pii"] == 0 and out[2]["text"] == "no personal data here at all"
     assert out[3]["n_pii"] == 3 and out[3]["text"].count("[PII]") == 3
+
+
+def test_ivf_bucketed_probe_prunes_partitions(spark, sf_dir, tmp_path):
+    """The bucketed IVF probe must (a) return exactly q41's answer and
+    (b) plan the index read with partition filters on cell_id — the
+    physical layout doing the work, not a post-scan filter."""
+    from mapreduce_framework_simple_spark.operators.similarity import (
+        ivf_probe_bucketed,
+        q41_ann_ivf,
+        write_ivf_index,
+    )
+    from mapreduce_framework_simple_spark.plans.explain import formatted_plan
+
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(spark, sf_dir, path)
+    got = ivf_probe_bucketed(spark, sf_dir, path)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan and "cell_id" in plan.split("PartitionFilters", 1)[1][:200]
+    g = got.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    e = q41_ann_ivf(spark, sf_dir).toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    assert g[["query_id", "neighbor_id", "rnk"]].equals(e[["query_id", "neighbor_id", "rnk"]])
