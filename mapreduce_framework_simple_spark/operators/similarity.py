@@ -299,6 +299,8 @@ def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 NEARDUP_THRESHOLD = 0.45
 N_BLOCKS = 8  # B(B+1)/2 = 36 block pairs; each vector shuffles (B+1)× total
+# cross-product chunk edge: temporaries ≤ CH²·8 B (~134 MB at 4096)
+BLOCK_CHUNK_ROWS = 4096
 
 
 def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
@@ -344,6 +346,9 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
         )
     )
     thresh = threshold
+    # captured as a closure LOCAL (module globals pickle by reference and
+    # would fail to import on executors when the driver cwd isn't the repo)
+    chunk_rows = BLOCK_CHUNK_ROWS
 
     def cross_cos(l, r):
         import numpy as np
@@ -371,7 +376,7 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
         # chunked cross product: temporaries stay ≤ CH² × 8 B regardless of
         # block row counts, so a block-size miscalibration degrades to more
         # chunks, never an executor OOM
-        CH = 4096
+        CH = chunk_rows
         parts = []
         for i0 in range(0, len(la), CH):
             i1 = min(i0 + CH, len(la))

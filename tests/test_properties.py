@@ -66,3 +66,39 @@ def test_minhash_permutation_is_injective_enough(a, b):
         # not a guarantee of inequality (collisions allowed), but the ids
         # must be stable and 60-bit bounded
         assert 0 <= sid(a) < 2**60 and 0 <= sid(b) < 2**60
+
+
+def test_block_pair_kernel_matches_bruteforce_property(spark, monkeypatch, tmp_path):
+    """Property: the chunked block self-join kernel returns EXACTLY the
+    brute-force all-pairs answer on randomized vector sets — guards the
+    diagonal/off-diagonal orientation logic and the chunk boundaries
+    (chunk size forced tiny so multi-chunk paths execute)."""
+    import numpy as np
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    monkeypatch.setattr(S, "BLOCK_CHUNK_ROWS", 3)  # force multi-chunk paths
+    rng = np.random.RandomState(11)
+    n = 57  # not divisible by N_BLOCKS → ragged blocks
+    mat = rng.randn(n, 8)
+    sf = str(tmp_path)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [row.astype("float32") for row in mat],
+    })
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.Table.from_pandas(pdf), f"{sf}/embeddings.parquet")
+
+    got = S._block_pairs_cosine(spark, sf, threshold=-1.0).toPandas()
+    got = got.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    # brute force in numpy (float32→float64 like the kernel)
+    m = mat.astype("float32").astype("float64")
+    cos = (m @ m.T) / (np.linalg.norm(m, axis=1)[:, None] * np.linalg.norm(m, axis=1)[None, :])
+    exp = [(a, b) for a in range(n) for b in range(a + 1, n)]
+    assert len(got) == len(exp), "pair count mismatch"
+    assert list(zip(got.vec_a, got.vec_b)) == exp
+    exp_cos = np.array([cos[a, b] for a, b in exp])
+    assert np.allclose(got.cos_raw.to_numpy(), exp_cos, atol=1e-9)
