@@ -1621,3 +1621,78 @@ def q95_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         F.coalesce(F.col("n_conv"), F.lit(0)).alias("n_converted"),
     )
+
+
+@query(
+    "q101_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) % 2 = 0
+    GROUP BY event_type
+    """,
+)
+def q101_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured data through Spark 4's VARIANT type: parse_json
+    once into a variant column, then variant_get typed extractions —
+    the open-format answer to repeated get_json_object string parsing
+    (q24's formulation). One parse per row, binary-encoded traversal for
+    every subsequent access.
+
+    Scale: parse and extraction are map-side codegen'd expressions; the
+    aggregate is a standard partial-agg shuffle. At 100 TB the win over
+    string JSON is parsing ONCE into the columnar-friendly binary
+    encoding instead of per-extraction re-parsing."""
+    e = load_table(spark, "events", sf_dir)
+    v = e.withColumn("pv", F.parse_json(F.col("props")))
+    k = F.variant_get(F.col("pv"), "$.k", "int")
+    return (
+        v.where(k % 2 == 0)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(k).cast("long").alias("sum_k"),
+        )
+    )
+
+
+@query(
+    "q102_edit_distance",
+    oracle="""
+    SELECT p_partkey AS partkey, p_brand,
+           lag(p_name) OVER w AS prev_name,
+           CAST(CASE WHEN lag(p_name) OVER w IS NULL THEN NULL
+                     ELSE levenshtein(p_name, lag(p_name) OVER w) END AS INT)
+             AS edit_dist
+    FROM part
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_partkey)
+    """,
+)
+def q102_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity operator: Levenshtein distance between each part
+    name and the previous name in its brand (lag window) — the fuzzy-
+    match primitive for catalog/entity-resolution pipelines. Edit
+    distance is an integer DP identical in every implementation, so the
+    oracle comparison is exact with no rounding discipline needed.
+
+    Scale: one shuffle on the window partition key; levenshtein is a
+    per-row O(len²) JVM expression inside codegen — no Python, no
+    quadratic pairwise term (neighbor-only comparison; all-pairs fuzzy
+    matching belongs to the LSH/blocking families)."""
+    p = load_table(spark, "part", sf_dir)
+    w = Window.partitionBy("p_brand").orderBy("p_partkey")
+    prev = F.lag("p_name").over(w)
+    return p.select(
+        F.col("p_partkey").alias("partkey"),
+        "p_brand",
+        prev.alias("prev_name"),
+        F.when(prev.isNull(), F.lit(None).cast("int"))
+        .otherwise(F.levenshtein(F.col("p_name"), prev))
+        .alias("edit_dist"),
+    )
