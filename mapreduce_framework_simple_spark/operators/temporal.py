@@ -117,3 +117,43 @@ def q82_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_backward(
         purchases, clicks, on="user_id", ts="ts", carry="event_id", alias="click_id"
     ).select("purchase_id", "user_id", "click_id")
+
+
+@query(
+    "q103_scd2_intervals",
+    oracle="""
+    SELECT user_id, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           lead(ts) OVER w IS NULL AS is_current,
+           value,
+           event_id
+    FROM events
+    WHERE event_type = 'purchase'
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q103_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension (type 2) interval construction: each
+    purchase becomes a validity row [valid_from, valid_to) per user, the
+    open interval marking the current record — the standard history-
+    table build that point-in-time (as-of, q82) joins consume.
+
+    Scale: ONE shuffle on the dimension key, one window pass; interval
+    assembly never joins the table against itself (the naive SCD2 build
+    is a self-join on "next change", which skew-explodes on hot keys).
+    Timestamps pass through exactly (no arithmetic), so the oracle
+    comparison needs no rounding discipline."""
+    e = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().alias("is_current"),
+            "value",
+            "event_id",
+        )
+    )
