@@ -17,8 +17,6 @@ in docs/SCALE.md:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,29 +95,45 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
     target.
 
     Durability: the merged result is written to a sibling staging path
-    and swapped in with directory renames, so the original dataset stays
-    intact on disk until the replacement is fully written — an executor
-    or job failure mid-write leaves the target untouched (the round-1
-    localCheckpoint+overwrite version deleted the target before the new
-    data was durable). The rename pair is not a single atomic operation;
-    on object stores / HDFS use a transactional table format
-    (Delta/Iceberg/Hudi) for true atomic MERGE."""
-    import shutil
+    and swapped in with filesystem renames THROUGH THE HADOOP FS API (so
+    the same code path works on local paths, HDFS, and anything else
+    Spark can write to), and the original dataset stays on disk as
+    ``<target>.backup`` until the new data is in place — a crash before
+    the swap leaves the target untouched, a crash mid-swap is recovered
+    on the next call (the backup is restored before reading). The rename
+    pair is still not a single atomic operation; object stores without
+    atomic rename need a transactional table format (Delta/Iceberg/Hudi)
+    for true atomic MERGE."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    def _p(s: str):
+        return jvm.org.apache.hadoop.fs.Path(s)
 
-    current = spark.read.parquet(target_path)
+    target = target_path.rstrip("/")
+    staging, backup = target + ".staging", target + ".backup"
+    fs = _p(target).getFileSystem(hconf)
+    # crash recovery: a previous call that renamed target→backup but died
+    # before promoting staging left no target — restore the backup
+    if not fs.exists(_p(target)) and fs.exists(_p(backup)):
+        if not fs.rename(_p(backup), _p(target)):
+            raise IOError(f"upsert recovery: cannot restore {backup} → {target}")
+
+    current = spark.read.parquet(target)
     remaining = current.join(
         F.broadcast(updates.select(key).distinct()), key, "left_anti"
     )
     merged = remaining.unionByName(updates.select(*current.columns))
-    staging = target_path.rstrip("/") + ".staging"
-    backup = target_path.rstrip("/") + ".backup"
     # staging write reads the ORIGINAL target path — no self-overwrite
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(backup):
-        shutil.rmtree(backup)
-    os.rename(target_path, backup)
-    os.rename(staging, target_path)
-    shutil.rmtree(backup)
+    if fs.exists(_p(backup)):
+        fs.delete(_p(backup), True)
+    if not fs.rename(_p(target), _p(backup)):
+        raise IOError(f"upsert swap: cannot move {target} aside")
+    if not fs.rename(_p(staging), _p(target)):
+        # put the original back rather than leaving no dataset
+        fs.rename(_p(backup), _p(target))
+        raise IOError(f"upsert swap: cannot promote {staging}; original restored")
+    fs.delete(_p(backup), True)
 
 
 def write_range_partitioned(df: DataFrame, path: str, col: str,

@@ -758,8 +758,8 @@ def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_orderkey AS orderkey, l_linenumber AS linenumber,
            abs(l_extendedprice - 50000.0) AS abs_dev,
            sqrt(l_quantity)               AS sqrt_qty,
-           round(pow(1 + l_discount, 2), 9) AS disc_sq,
-           round(ln(l_extendedprice), 9)    AS ln_price,
+           round(pow(1 + l_discount, 2), 6) AS disc_sq,
+           round(ln(l_extendedprice), 6)    AS ln_price,
            CAST(floor(l_quantity / 7) AS BIGINT) AS qty_bucket,
            CAST(mod(l_orderkey, 97) AS BIGINT) AS key_mod
     FROM lineitem
@@ -769,10 +769,13 @@ def q21_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q22_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function battery (note: Spark F.log == natural log == DuckDB ln).
 
-    Transcendental outputs (ln, pow) are rounded to 9 dp in BOTH engines:
+    Transcendental outputs (ln, pow) are rounded to 6 dp in BOTH engines:
     libm implementations legitimately differ by 1 ULP (observed on 64/7050
     rows for ln at sf0.01), so raw transcendentals must never land in a
-    hashed result column.
+    hashed result column. 6 dp (not 9): rounding only absorbs drift when
+    both raw values fall on the same side of a boundary — the straddle
+    probability is ULP/quantum, ~2e-9 per drifting row at 6 dp vs ~2e-6
+    at 9 dp.
     """
     li = load_table(spark, "lineitem", sf_dir)
     return li.where((F.col("l_linenumber") == 1) & (F.col("l_quantity") >= 10)).select(
@@ -780,8 +783,8 @@ def q22_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").alias("linenumber"),
         F.abs(F.col("l_extendedprice") - 50000.0).alias("abs_dev"),
         F.sqrt("l_quantity").alias("sqrt_qty"),
-        F.round(F.pow(1 + F.col("l_discount"), 2), 9).alias("disc_sq"),
-        F.round(F.log(F.col("l_extendedprice")), 9).alias("ln_price"),
+        F.round(F.pow(1 + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).alias("ln_price"),
         F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
         F.pmod(F.col("l_orderkey"), F.lit(97)).alias("key_mod"),
     )
@@ -1112,9 +1115,9 @@ def q58_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q59_corr_covar",
     oracle="""
     SELECT l_linestatus,
-           round(corr(l_quantity, l_extendedprice), 12)       AS qty_price_corr,
+           round(corr(l_quantity, l_extendedprice), 9)        AS qty_price_corr,
            round(covar_samp(l_quantity, l_extendedprice), 6)  AS qty_price_covar,
-           round(covar_pop(l_discount, l_tax), 12)            AS disc_tax_covar_pop
+           round(covar_pop(l_discount, l_tax), 9)             AS disc_tax_covar_pop
     FROM lineitem
     GROUP BY l_linestatus
     """,
@@ -1123,15 +1126,16 @@ def q59_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics (Pearson corr, sample/population covariance).
 
     Rounded in BOTH engines (dp chosen per column magnitude so the
-    rounding absorbs ≥6 orders of magnitude of ULP drift): co-moment
+    rounding quantum sits ≥6 orders of magnitude above the observed ULP
+    drift — boundary-straddle risk ≤1e-9 per row): co-moment
     aggregates combine partials in engine-specific order, so raw outputs
     differ at the last couple of ULPs (observed) — same rule as raw
     transcendentals: never hash them unrounded."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.groupBy("l_linestatus").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 12).alias("qty_price_corr"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
-        F.round(F.covar_pop("l_discount", "l_tax"), 12).alias("disc_tax_covar_pop"),
+        F.round(F.covar_pop("l_discount", "l_tax"), 9).alias("disc_tax_covar_pop"),
     )
 
 
@@ -1473,8 +1477,12 @@ def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # even though the recursion is linear and convergent — found by the
     # 10× scale probe. A fixed high ceiling keeps the runaway guard
     # WITHOUT a driver-side count() scan before the query even starts
-    # (the round-1 version paid a full table scan here).
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(Q92_RECURSION_ROW_LIMIT))
+    # (the round-1 version paid a full table scan here). Only the
+    # untouched 1M default is raised: a deployment that set its own
+    # ceiling keeps it.
+    cur = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
+    if cur is None or int(cur) == 1_000_000:
+        spark.conf.set("spark.sql.cteRecursionRowLimit", str(Q92_RECURSION_ROW_LIMIT))
     return spark.sql(
         """
         WITH RECURSIVE u AS (

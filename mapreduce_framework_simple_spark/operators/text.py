@@ -355,8 +355,9 @@ DUCK_BIGRAMS = (
     SELECT doc_id,
            CAST(len(toks) AS BIGINT)                AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
-           CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
-             / len(toks)                            AS dup_token_frac,
+           CASE WHEN len(toks) > 0 THEN
+             CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE 0.0 END                             AS dup_token_frac,
            CAST(len(bgs) AS BIGINT)                 AS n_bigrams,
            CAST(len(list_distinct(bgs)) AS BIGINT)  AS n_distinct_bigrams,
            CASE WHEN len(bgs) > 0 THEN
@@ -387,7 +388,9 @@ def q97_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         n_t.cast("long").alias("n_tokens"),
         nd_t.cast("long").alias("n_distinct_tokens"),
-        ((n_t - nd_t).cast("double") / n_t).alias("dup_token_frac"),
+        F.when(n_t > 0, (n_t - nd_t).cast("double") / n_t)
+        .otherwise(F.lit(0.0))
+        .alias("dup_token_frac"),
         n_b.cast("long").alias("n_bigrams"),
         nd_b.cast("long").alias("n_distinct_bigrams"),
         F.when(n_b > 0, (n_b - nd_b).cast("double") / n_b)
@@ -416,8 +419,8 @@ GOPHER_TOP_WORD_DENOM = 5
              GROUP BY doc_id),
     base AS (SELECT doc_id,
                     CAST(len(toks) AS BIGINT) AS n_tokens,
-                    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT)
-                      AS sum_token_len,
+                    CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
+                         AS BIGINT) AS sum_token_len,
                     CAST(len(list_filter(toks,
                       x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT)
                       AS stop_hits
@@ -526,12 +529,12 @@ def scrub_pii(df: DataFrame, col: str = "text",
     pipelines layer jurisdiction-specific pattern packs on this hook.
 
     Scale: map-side narrow transform, codegen-friendly, zero shuffle."""
+    after_email = F.regexp_replace(F.col(col), PII_EMAIL, replacement)
+    # phones are counted on the email-redacted text, so a phone-looking
+    # span INSIDE an email local-part is not double-counted — n_pii
+    # always equals the number of redacted spans
     n = F.size(F.regexp_extract_all(F.col(col), F.lit(PII_EMAIL), 0)) + F.size(
-        F.regexp_extract_all(F.col(col), F.lit(PII_PHONE), 0)
+        F.regexp_extract_all(after_email, F.lit(PII_PHONE), 0)
     )
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(F.col(col), PII_EMAIL, replacement),
-        PII_PHONE,
-        replacement,
-    )
+    scrubbed = F.regexp_replace(after_email, PII_PHONE, replacement)
     return df.withColumn("n_pii", n.cast("int")).withColumn(col, scrubbed)

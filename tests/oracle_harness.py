@@ -39,8 +39,11 @@ def canonicalize(df: pd.DataFrame, round_floats: bool = True) -> pd.DataFrame:
             df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
         elif s.dtype == object:
             # decimals / HUGEINT etc. arrive as objects; normalize numerics
+            # — but only round them under the legacy tolerance: in strict
+            # mode a 4-dp rounding here would mask exactly the driver-hash
+            # drift strict mode exists to catch
             def norm(v):
-                if isinstance(v, float):
+                if round_floats and isinstance(v, float):
                     return round(v, FLOAT_DECIMALS)
                 return v
             df[c] = s.map(norm)

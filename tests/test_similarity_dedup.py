@@ -131,10 +131,9 @@ def test_q42_plan_is_distributed_cogroup(spark, sf_dir):
     from mapreduce_framework_simple_spark.operators.similarity import (
         q42_embed_neardup,
     )
+    from mapreduce_framework_simple_spark.plans.explain import formatted_plan
 
-    plan = q42_embed_neardup(spark, sf_dir)._sc._jvm.PythonSQLUtils.explainString(
-        q42_embed_neardup(spark, sf_dir)._jdf.queryExecution(), "formatted"
-    )
+    plan = formatted_plan(q42_embed_neardup(spark, sf_dir))
     assert "FlatMapCoGroupsInPandas" in plan
 
 
@@ -156,6 +155,19 @@ def test_scrub_pii_redacts_planted_pii(spark):
     assert "example" not in out[1]["text"] and "4567" not in out[1]["text"]
     assert out[2]["n_pii"] == 0 and out[2]["text"] == "no personal data here at all"
     assert out[3]["n_pii"] == 3 and out[3]["text"].count("[PII]") == 3
+
+
+def test_scrub_pii_overlap_counts_spans_not_patterns(spark):
+    """A phone-shaped span inside an email local-part must count once:
+    n_pii equals redacted spans, not pattern hits."""
+    from mapreduce_framework_simple_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "contact 555-123-4567@mail.com")], "id long, text string"
+    )
+    row = scrub_pii(df).collect()[0]
+    assert row["text"].count("[PII]") == 1
+    assert row["n_pii"] == 1
 
 
 def test_ivf_bucketed_probe_prunes_partitions(spark, sf_dir, tmp_path):
