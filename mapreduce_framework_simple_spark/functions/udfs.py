@@ -112,13 +112,18 @@ def q61_prime_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
             if sieve[p]:
                 sieve[p * p:: p] = False
         primes = np.nonzero(sieve)[0].astype(np.int64)
-        # blocked outer-mod keeps each temporary bounded (batch × block)
+        # blocked outer-mod keeps each temporary bounded (batch × block);
+        # the n==p guard only matters when a candidate can BE a sieve
+        # prime (n ≤ √max) — skip the second comparison array otherwise
         out = np.ones(len(n), dtype=bool)
         block = 512
+        overlap = int(n.min()) <= int(primes[-1]) if len(primes) else False
         for i in range(0, len(primes), block):
             pb = primes[i: i + block]
-            keep = (n[:, None] % pb[None, :] != 0) | (n[:, None] == pb[None, :])
-            out &= keep.all(axis=1)
+            nz = n[:, None] % pb[None, :] != 0
+            if overlap:
+                nz |= n[:, None] == pb[None, :]
+            out &= nz.all(axis=1)
         return pd.Series(out & (n >= 2))
 
     nums = spark.range(PRIME_LO, PRIME_HI).withColumnRenamed("id", "n")

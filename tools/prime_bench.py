@@ -56,10 +56,15 @@ def main() -> None:
         # blocked outer-mod keeps each temporary under ~250 MB
         out = np.ones(len(n), dtype=bool)
         block = 512
+        # the n==p guard only matters when a candidate can BE a sieve
+        # prime (n ≤ √max); skip the second comparison array otherwise
+        overlap = int(n.min()) <= int(primes[-1]) if len(primes) else False
         for i in range(0, len(primes), block):
             pb = primes[i : i + block]
-            keep = (n[:, None] % pb[None, :] != 0) | (n[:, None] == pb[None, :])
-            out &= keep.all(axis=1)
+            nz = n[:, None] % pb[None, :] != 0
+            if overlap:
+                nz |= n[:, None] == pb[None, :]
+            out &= nz.all(axis=1)
         return pd.Series(out & (n >= 2))
 
     spark.range(1, 1000).withColumnRenamed("id", "n").where(is_prime(F.col("n"))).count()  # warm workers
