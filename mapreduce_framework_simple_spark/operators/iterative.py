@@ -118,3 +118,110 @@ def q68_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_members"), F.round(F.avg("sim"), 6).alias("mean_sim"))
         .orderBy("cluster")
     )
+
+
+PR_DAMPING = 0.85
+PR_ITER = 8
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             n_iter: int = PR_ITER, damping: float = PR_DAMPING,
+             ) -> tuple[DataFrame, list[float]]:
+    """PageRank by power iteration — the second canonical iterative
+    DataFrame algorithm (next to k-means/label-propagation): each round
+    distributes every node's rank over its out-edges and re-aggregates,
+    with the damping teleport term.
+
+    Spark-first shape: out-degrees computed once and cached; one round =
+    one equi-join (rank ⋈ edges) + one partial-aggregated shuffle keyed
+    by dst. Superseded rank caches are unpersisted every round (the
+    connected-components discipline). Returns (ranks, per-round L1
+    deltas — monotonically shrinking for any graph).
+
+    Scale: state is one (node, rank) row per node; per-round cost is one
+    shuffle of the edge list — the same shape GraphX/Pregel executes.
+    Dangling nodes keep the teleport mass only (standard simplification,
+    documented)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
+    ranks = nodes.withColumn("rank", F.lit(1.0)).cache()
+    deltas: list[float] = []
+    for _ in range(n_iter):
+        contribs = (
+            ranks.join(deg, ranks.node == deg.src, "inner")
+            .join(e, "src")
+            .select(F.col("dst").alias("node2"), (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("node2")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        new_ranks = (
+            ranks.join(contribs, ranks.node == F.col("node2"), "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # localCheckpoint, not cache: each round's plan references the
+            # previous round's JOINS, so without truncation the logical
+            # plan doubles per iteration and the driver OOMs just PRINTING
+            # it by ~8 rounds. Truncation keeps plans O(1) per round.
+            # (Blocks are unreplicated executor storage: an executor loss
+            # restarts the pagerank call — acceptable for an iterative
+            # driver loop, same trade MLlib makes with periodic
+            # checkpointing.)
+            .localCheckpoint(eager=True)
+        )
+        delta = (
+            new_ranks.alias("n")
+            .join(ranks.alias("o"), "node")
+            .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        deltas.append(float(delta))
+        ranks.unpersist()
+        ranks = new_ranks
+    e.unpersist()
+    nodes.unpersist()
+    deg.unpersist()
+    return ranks, deltas
+
+
+@query("q104_pagerank")  # rows-only: iterative float fixpoint, not SQL-expressible
+def q104_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier transaction graph (distinct
+    trading pairs from orders⋈lineitem, both directions): which suppliers
+    sit most centrally in the purchase network. Deterministic input ⇒
+    deterministic fixpoint; convergence (shrinking L1 deltas) asserted in
+    tests, like k-means (q68).
+
+    Scale: the edge build is two broadcast-free equi-joins feeding a
+    distinct; each PR round shuffles the edge list once — the Pregel
+    shape, linear per round."""
+    from mapreduce_framework_simple_spark.sources.io import load_table as _lt
+
+    o = _lt(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = _lt(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    pairs = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))
+        .distinct()
+    )
+    # bipartite, both directions (undirected random walk)
+    edges = pairs.selectExpr("cust AS src", "-supp AS dst").unionAll(
+        pairs.selectExpr("-supp AS src", "cust AS dst")
+    )  # suppliers negated so the two key spaces cannot collide
+    ranks, _ = pagerank(edges)
+    return (
+        ranks.where(F.col("node") < 0)
+        .select((-F.col("node")).alias("suppkey"), F.round("rank", 6).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("suppkey"))
+        .limit(10)
+    )

@@ -16,3 +16,25 @@ def test_kmeans_converges_and_is_deterministic(spark, sf_dir):
     # full partition of the corpus, no empty output
     assert df.n_members.sum() == 500
     assert len(df) <= K
+
+
+def test_pagerank_converges_and_ranks_degree(spark):
+    """On a star graph the hub must outrank every leaf, and the L1 delta
+    must shrink monotonically (power iteration's contraction property)."""
+    from mapreduce_framework_simple_spark.operators.iterative import pagerank
+
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks, deltas = pagerank(e, n_iter=6)
+    r = {row["node"]: row["rank"] for row in ranks.collect()}
+    assert all(r[0] > r[i] for i in range(1, 9)), "hub must dominate leaves"
+    assert all(deltas[i + 1] <= deltas[i] + 1e-9 for i in range(len(deltas) - 1)), deltas
+
+
+def test_q104_pagerank_deterministic(spark, sf_dir):
+    from mapreduce_framework_simple_spark.operators.iterative import q104_pagerank
+
+    a = q104_pagerank(spark, sf_dir).toPandas()
+    b = q104_pagerank(spark, sf_dir).toPandas()
+    assert 1 <= len(a) <= 10  # top-10 cap; small SFs have <10 suppliers
+    assert a.equals(b), "fixpoint must be run-to-run deterministic"
