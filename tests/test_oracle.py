@@ -22,10 +22,22 @@ def test_entry_smoke(spark):
     assert df.columns
 
 
+# The ONLY queries allowed to skip the DuckDB hash check — each is a
+# sketch/iterative operator with an exact twin or recall test instead.
+ROWS_ONLY = {
+    "q41_ann_ivf",  # recall-tested vs exact q40
+    "q45_approx_distinct",  # HLL sketch; exact twin q12
+    "q68_kmeans",  # iterative float fixpoint; convergence-tested
+    "q72_approx_percentile",  # sketch; exact twin q58
+    "q104_pagerank",  # iterative float fixpoint; invariants tested
+}
+
+
 def test_every_query_has_runnable_spark_impl():
     assert len(QUERIES) >= 40
-    # oracle coverage: the vast majority must be hash-checkable
-    assert len(ORACLES) >= len(QUERIES) - 4
+    # oracle coverage: everything outside the named rows-only set must be
+    # hash-checkable, and the rows-only set must not silently grow
+    assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
