@@ -132,10 +132,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # naive timestamps regardless of the host session's timezone
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer division: float division of epoch-nanos exceeds the
             # 53-bit double mantissa and drifts by ±1 µs
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) parquet surfaces as
+            # TIMESTAMP_NTZ; with the session tz pinned to UTC above, the
+            # cast to session-tz TIMESTAMP is value-exact and gives every
+            # downstream query (unix_micros, windows, pandas bridge) one
+            # uniform timestamp type regardless of writer precision
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(path)
 
