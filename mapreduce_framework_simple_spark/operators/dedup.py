@@ -438,33 +438,34 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .withColumn("label", F.col("node"))
         .cache()
     )
+    cached = labels  # the handle actually holding each round's cache
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node2"))
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        # carry the pre-round label through the merge so the convergence
+        # check is a filter over this same frame — not a second
+        # new-vs-old join (one fewer shuffle per round)
+        merged = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
                     "label"
                 ),
             )
             .cache()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        # the count() above materialized new_labels' cache, so the old
+        changed = merged.where(F.col("label") != F.col("old_label")).count()
+        # the count() above materialized merged's cache, so the old
         # round's cache is dead weight from here — release it, or executor
         # storage grows linearly with iteration count on large graphs
-        labels.unpersist()
-        labels = new_labels
+        cached.unpersist()
+        cached = merged
+        labels = merged.select("node", "label")
         if changed == 0:
             break
     sym.unpersist()
