@@ -557,9 +557,9 @@ def q89_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
 
 
-@query(
-    "q91_decontamination",
-    oracle=f"""
+# Shared by q91 (plain broadcast join) and q108 (Bloom-prefiltered):
+# both compute the EXACT same answer, so both hash against this oracle.
+_DUCK_DECON_ORACLE = f"""
     WITH {_DUCK_SHINGLE_SETS},
     probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
     rest AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 <> 0)
@@ -569,8 +569,10 @@ def q89_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(p.shingle) / count(*)      AS contamination
     FROM rest r LEFT JOIN probe p ON r.shingle = p.shingle
     GROUP BY r.doc_id
-    """,
-)
+    """
+
+
+@query("q91_decontamination", oracle=_DUCK_DECON_ORACLE)
 def q91_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs whose id is divisible by 97 stand
     in for an eval/benchmark corpus; every remaining training doc is
@@ -640,4 +642,161 @@ def q100_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_shingles"),
         shared.alias("n_shared"),
         (shared.cast("double") / F.count("*")).alias("containment"),
+    )
+
+
+@query(
+    "q107_dedup_triangles",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_SETS},
+    {_DUCK_SID_SETS_TAIL},
+    {_DUCK_LSH_PAIRS},
+    deg AS (SELECT n, count(*) AS d FROM (
+                SELECT doc_a AS n FROM pairs
+                UNION ALL SELECT doc_b FROM pairs) GROUP BY n),
+    tri AS (SELECT count(*) AS t
+            FROM pairs e1
+            JOIN pairs e2 ON e2.doc_a = e1.doc_b
+            JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b)
+    SELECT CAST((SELECT count(*) FROM deg) AS BIGINT)               AS n_nodes,
+           CAST((SELECT count(*) FROM pairs) AS BIGINT)             AS n_edges,
+           CAST((SELECT sum(d * (d - 1) / 2) FROM deg) AS BIGINT)   AS n_wedges,
+           CAST((SELECT t FROM tri) AS BIGINT)                      AS n_triangles,
+           CASE WHEN (SELECT sum(d * (d - 1) / 2) FROM deg) > 0
+                THEN 3.0 * (SELECT t FROM tri)
+                     / (SELECT sum(d * (d - 1) / 2) FROM deg)
+                ELSE 0.0 END                                        AS clustering
+    """,
+)
+def q107_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup candidate graph (q38's LSH pairs):
+    n_nodes/n_edges/n_wedges/n_triangles and the global clustering
+    coefficient 3·triangles/wedges. High clustering means LSH candidates
+    form tight cliques (true dup groups); low clustering means chains of
+    borderline pairs — a standard health check on a dedup run before
+    committing to component-collapse (q79).
+
+    Scale: triangle counting by oriented edge join — edges are stored
+    once with doc_a < doc_b, so e1(a,b)⋈e2(b,c)⋈e3(a,c) enumerates each
+    triangle exactly once via two equi-join shuffles; wedge counts are one
+    degree aggregation. At 100 TB the orientation flips to degree-order
+    (low-degree endpoint first), which bounds the wedge fan-out per node
+    by sqrt(|E|) even under power-law skew; on dedup graphs (tiny cliques)
+    id-order is already balanced. The clustering ratio is an exact IEEE
+    division of two identically-computed integers, so it hashes
+    identically across engines."""
+    pairs = q38_minhash_lsh_pairs(spark, sf_dir).cache()
+    deg = (
+        pairs.select(F.col("doc_a").alias("n"))
+        .unionAll(pairs.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+    )
+    wedge_stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = pairs.agg(F.count("*").alias("n_edges"))
+    out = (
+        wedge_stats.crossJoin(n_edges)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
+    return out
+
+
+BLOOM_K = 4  # hash functions; with m = 32·n bits, FP rate ≈ (1-e^(-1/8))^4 ≈ 2e-4
+
+
+@query("q108_bloom_decontaminate", oracle=_DUCK_DECON_ORACLE)
+def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination — q91's scale path, same exact
+    answer (it shares q91's hash oracle). The probe corpus's shingle ids
+    are folded into a Bloom bitmap (k=4 seeded xxhash64 positions, m=32·n
+    bits); training-side shingles gather their 4 bits from the broadcast
+    bitmap (vectorized numpy, Arrow-batched) and only the might-contain
+    survivors — true hits plus ~2e-4 false positives — enter the exact
+    broadcast join that q91 runs on every row. Bloom filters have no
+    false negatives, so the verified result is exactly q91's.
+
+    Scale: at 100 TB the join input shrinks from every (doc, shingle) row
+    to contamination-rate × corpus, while the bitmap (m/8 bytes; ~4 MB for
+    a 1M-shingle benchmark suite) broadcasts once per executor instead of
+    a per-task hashed relation. The one driver action (count of the probe
+    set) scans only the benchmark corpus — tiny by premise — to size m
+    deterministically."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    sh = shingle_id_sets(spark, sf_dir)
+    probe = sh.where(F.col("doc_id") % 97 == 0).select("sid").distinct().cache()
+    rest = sh.where(F.col("doc_id") % 97 != 0)
+
+    n_probe = probe.count()  # probe corpus is tiny by premise (see docstring)
+    m = 1 << max(13, (32 * max(n_probe, 1) - 1).bit_length())
+
+    def positions(col):  # k seeded positions, identical JVM expr both sides
+        return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(BLOOM_K)]
+
+    bits = np.zeros(m, dtype=bool)
+    pos_rows = (
+        probe.select(F.explode(F.array(*positions(F.col("sid")))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits[[r["p"] for r in pos_rows]] = True
+    b_bits = spark.sparkContext.broadcast(bits)
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pandas_udf's hint inference then fails to resolve `pd` — the
+    # explicit SeriesToSeries eval type is set via the plain decorator form
+    def _might_contain(p0, p1, p2, p3):
+        bm = b_bits.value
+        return pd.Series(
+            bm[p0.to_numpy()] & bm[p1.to_numpy()] & bm[p2.to_numpy()] & bm[p3.to_numpy()]
+        )
+
+    from pyspark.sql.functions import PandasUDFType
+
+    might_contain = pandas_udf(_might_contain, "boolean", PandasUDFType.SCALAR)
+
+    flagged = rest.where(might_contain(*positions(F.col("sid"))))
+    hits = (
+        flagged.join(F.broadcast(probe.withColumn("hit", F.lit(1))), "sid", "left")
+        .where(F.col("hit") == 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = rest.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double")
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
     )

@@ -118,3 +118,44 @@ def q85_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.where(hash_bucket(F.col("doc_id"), 100) < rate).select(
         "doc_id", "source", "lang"
     )
+
+
+@query(
+    "q106_source_quota",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 12
+    """,
+)
+def q106_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota downsampling: cap every source at K=12 documents,
+    chosen by md5(doc_id) rank — how a pipeline rebalances a corpus where
+    one crawl dominates (quota-capping overrepresented domains). The
+    hash-order rank makes the winners a deterministic uniform sample of
+    each source, not "whatever sorted first".
+
+    Scale: one shuffle on source. A window over a giant skewed source
+    would bottleneck on its single partition, so the plan pre-prunes with
+    an AQE-friendly shape: rows are ranked only within each source and
+    the filter is pushed into the window via WindowGroupLimit (Spark's
+    top-k-per-group rewrite keeps at most K rows per source per map task
+    before the shuffle)."""
+    docs = load_table(spark, "documents", sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    )
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 12)
+        .withColumn("rk", F.col("rk").cast("long"))
+    )

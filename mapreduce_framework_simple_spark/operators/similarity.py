@@ -662,3 +662,74 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     # the probes cache stays live for the returned (lazy) plan: it is
     # Q·N_PROBE rows — bounded driver-of-the-query state, one small DF
     return _score_and_rank_candidates(probes.join(idx, "cell_id"))
+
+
+@query(
+    "q109_centroid_assign",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    ex AS (SELECT label, generate_subscripts(vec, 1) AS pos, unnest(vec) AS x
+           FROM e),
+    cd AS (SELECT label AS clabel, pos, avg(x) AS cx FROM ex GROUP BY 1, 2),
+    cent AS (SELECT clabel, list(cx ORDER BY pos) AS cvec FROM cd GROUP BY 1),
+    scored AS (SELECT e.vec_id, e.label, cent.clabel,
+                      round({_duck_dot('e.vec', 'cent.cvec')}
+                            / ({_duck_norm('e.vec')} * {_duck_norm('cent.cvec')}),
+                            9) AS cos
+               FROM e CROSS JOIN cent),
+    pred AS (SELECT vec_id, label, clabel AS pred_label
+             FROM (SELECT *, row_number() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, clabel ASC) AS rn
+                   FROM scored)
+             WHERE rn = 1)
+    SELECT label, CAST(pred_label AS INT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY label, pred_label
+    """,
+)
+def q109_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification over the embedding corpus: average
+    each label's vectors into a centroid, assign every vector to its
+    highest-cosine centroid, and report the label × predicted-label
+    confusion counts — the standard cluster-purity / probe-classifier
+    check run on embedding tables before using them for curation.
+
+    Scale: the centroid build is one posexplode + (label, pos) partial
+    aggregation — corpus-sized map work but a tiny shuffle (labels × dim
+    rows). Centroids then BROADCAST (labels × dim doubles — KBs), so
+    assignment is a map-side cross product with 10 fused dot products per
+    row and zero shuffle; the confusion aggregation moves ≤ labels² rows.
+    Cosines are rounded to 9 dp before the argmax so a 1-ULP libm
+    difference can never flip the winner across engines; ties break to
+    the smaller label in both (max_by on (cos, -label))."""
+    e = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "label", to_double_array("embedding").alias("vec")
+    )
+    cent = (
+        e.select("label", F.posexplode("vec").alias("pos", "x"))
+        .groupBy(F.col("label").alias("clabel"), F.col("pos"))
+        .agg(F.avg("x").alias("cx"))
+        .groupBy("clabel")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s.cx,
+            ).alias("cvec")
+        )
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.round(
+            dot_expr("vec", "cvec") / (norm_expr("vec") * norm_expr("cvec")), 9
+        ).alias("cos"),
+    )
+    pred = scored.groupBy("vec_id", "label").agg(
+        F.max_by(
+            "clabel", F.struct(F.col("cos"), (-F.col("clabel")).cast("double"))
+        ).alias("pred_label")
+    )
+    return pred.groupBy("label", "pred_label").agg(F.count("*").alias("n"))

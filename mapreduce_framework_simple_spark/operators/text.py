@@ -538,3 +538,77 @@ def scrub_pii(df: DataFrame, col: str = "text",
     )
     scrubbed = F.regexp_replace(after_email, PII_PHONE, replacement)
     return df.withColumn("n_pii", n.cast("int")).withColumn(col, scrubbed)
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram language model (CCNet-style perplexity signal)
+# ---------------------------------------------------------------------------
+
+def bigrams_expr(toks: Column) -> Column:
+    """Adjacent token pairs as ``"w1 w2"`` strings; <2 tokens → empty.
+    DuckDB twin: ``list_transform(range(1, len(toks)), i -> toks[i] || ' '
+    || toks[i+1])`` (1-indexed, end-exclusive)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "q105_bigram_lm",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i+1])) AS bg
+           FROM t WHERE len(toks) >= 2),
+    cb AS (SELECT bg, count(*) AS c_bg FROM bg GROUP BY bg),
+    cw AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c_bg) AS c_w1
+           FROM cb GROUP BY 1),
+    scored AS (SELECT b.doc_id, ln(CAST(cb.c_bg AS DOUBLE) / cw.c_w1) AS lp
+               FROM bg b
+               JOIN cb ON b.bg = cb.bg
+               JOIN cw ON split_part(b.bg, ' ', 1) = cw.w1)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(-avg(lp), 6)       AS cross_entropy
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cross-entropy under a bigram LM estimated from the
+    corpus itself — the CCNet/KenLM-style fluency signal used to rank
+    training documents by "how surprising is this text given the corpus"
+    (high cross-entropy ⇒ atypical/noisy doc). MLE estimates, no
+    smoothing: every document bigram occurs in the corpus (it contributed
+    to the counts), so P(w2|w1) = C(w1 w2) / C(w1·) is always positive.
+
+    Scale: the LM tables are vocabulary-bounded (Zipf), orders of
+    magnitude smaller than the corpus, so both count joins broadcast;
+    the only corpus-sized shuffle is the final per-doc aggregation on
+    doc_id. ln() output is averaged then rounded to 6 dp before hashing
+    (raw libm transcendentals differ by 1 ULP across engines)."""
+    docs = load_table(spark, "documents", sf_dir)
+    bg = docs.select(
+        "doc_id", F.explode(bigrams_expr(tokens_expr())).alias("bg")
+    )
+    c_bg = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
+    c_w1 = c_bg.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("c_bg").alias("c_w1"))
+    scored = (
+        bg.join(F.broadcast(c_bg), "bg")
+        .join(
+            F.broadcast(c_w1),
+            F.substring_index(F.col("bg"), " ", 1) == F.col("w1"),
+        )
+        .select(
+            "doc_id",
+            F.log(F.col("c_bg").cast("double") / F.col("c_w1")).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+    )

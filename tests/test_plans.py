@@ -172,3 +172,62 @@ def test_lsh_neardup_no_cartesian(spark, sf_dir):
     plan = formatted_plan(q96_embed_neardup_lsh(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_lm_count_tables_broadcast(spark, sf_dir):
+    """q105's LM count tables are vocabulary-bounded — both joins back
+    onto the exploded bigram stream must broadcast; the only corpus-sized
+    shuffle is the final per-doc aggregation."""
+    from mapreduce_framework_simple_spark.operators.text import q105_bigram_lm
+
+    plan = formatted_plan(q105_bigram_lm(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2, "LM count join lost its broadcast"
+    assert "SortMergeJoin" not in plan
+
+
+def test_source_quota_group_limit_pushdown(spark, sf_dir):
+    """q106's per-source K cut must plan as WindowGroupLimit (top-k rows
+    held per group per map task before the shuffle), not a full sort of
+    every source partition."""
+    from mapreduce_framework_simple_spark.operators.sampling import q106_source_quota
+
+    plan = formatted_plan(q106_source_quota(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, "per-source quota cut not pushed below sort"
+
+
+def test_triangle_join_no_cartesian(spark, sf_dir):
+    """q107's triangle enumeration is two equi-joins over oriented edges —
+    never a cartesian/NLJ (the crossJoins in the plan combine three
+    single-row aggregates, which is fine)."""
+    from mapreduce_framework_simple_spark.operators.dedup import q107_dedup_triangles
+
+    plan = formatted_plan(q107_dedup_triangles(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_decontaminate_matches_exact_and_broadcasts(spark, sf_dir):
+    """q108 = q91 exactly (Bloom has no false negatives; FPs die in the
+    exact verify join), and its verify join must broadcast the probe."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        q108_bloom_decontaminate,
+        q91_decontamination,
+    )
+
+    a = q108_bloom_decontaminate(spark, sf_dir)
+    b = q91_decontamination(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert has_broadcast_join(a)
+
+
+def test_centroid_assign_broadcasts_and_single_corpus_shuffle(spark, sf_dir):
+    """q109's centroid table must broadcast for the assignment pass; the
+    corpus itself shuffles only for the (label, pos) centroid build and
+    the final tiny confusion aggregation."""
+    from mapreduce_framework_simple_spark.operators.similarity import (
+        q109_centroid_assign,
+    )
+
+    df = q109_centroid_assign(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
