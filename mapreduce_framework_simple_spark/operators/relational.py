@@ -1704,3 +1704,40 @@ def q102_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.levenshtein(F.col("p_name"), prev))
         .alias("edit_dist"),
     )
+
+
+@query(
+    "q111_event_anomalies",
+    oracle="""
+    WITH cuts AS (SELECT event_type, quantile_cont(value, 0.99) AS p99
+                  FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, e.value, round(c.p99, 6) AS p99_cut
+    FROM events e JOIN cuts c ON e.event_type = c.event_type
+    WHERE e.value > c.p99
+    """,
+)
+def q111_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold anomaly detection: flag events whose value exceeds their
+    type's 99th percentile — the outlier screen a metrics pipeline runs
+    before alerting or before excluding spikes from training data.
+
+    The cut is an EXACT percentile (order statistic + fixed linear
+    interpolation — q58's established cross-engine pairing), so the
+    keep/drop comparison is evaluated against bit-identical cut values in
+    both engines and no row can flip sides; the reported cut column is
+    rounded for hash stability only.
+
+    Scale: the percentile holds per-type sorted state (bounded: one group
+    per event_type); the cut table is a handful of rows and broadcasts
+    back onto the stream, so the detection pass is map-side with one
+    aggregation shuffle on event_type. For unbounded-cardinality keys the
+    sketch twin is approx_percentile (q72's family)."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    cuts = ev.groupBy("event_type").agg(F.percentile("value", 0.99).alias("p99"))
+    return (
+        ev.join(F.broadcast(cuts), "event_type")
+        .where(F.col("value") > F.col("p99"))
+        .select(
+            "event_id", "event_type", "value", F.round("p99", 6).alias("p99_cut")
+        )
+    )

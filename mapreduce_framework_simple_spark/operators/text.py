@@ -612,3 +612,77 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("cross_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate sketch + exact verification
+# ---------------------------------------------------------------------------
+
+HH_K = 30        # report words with count > n/K
+HH_CAP = 64      # sketch capacity; undercount ≤ n_partition/(CAP+1) < n/K
+
+
+@query(
+    "q110_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS toks FROM documents),
+    words AS (SELECT unnest(toks) AS word FROM toks)
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM words GROUP BY word
+    HAVING count(*) * {HH_K} > (SELECT count(*) FROM words)
+    """,
+)
+def q110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent words (count > n/HH_K) by Misra-Gries sketch + exact
+    verification — the heavy-hitters primitive a corpus pipeline runs to
+    find boilerplate tokens/templates without a full word-count shuffle.
+
+    Two-phase exactness: each partition runs a capacity-HH_CAP Misra-Gries
+    sketch (every prune subtracts the (len-CAP)-th smallest counter from
+    ALL counters, so each unit of decrement is paid by ≥ CAP+1 counters —
+    per-partition undercount ≤ n_p/(CAP+1)). Any word with global count
+    > n/K exceeds n_p/K > n_p/(CAP+1) in at least one partition
+    (pigeonhole), so the union of partition candidates is a SUPERSET of
+    the true heavy hitters; an exact count of candidates only (broadcast
+    semi-join, integer threshold cnt·K > n) then removes false
+    candidates. The result is exactly SQL's HAVING count(*)·K > n — which
+    is the oracle.
+
+    Scale: the full token stream is never shuffled — each partition emits
+    ≤ CAP candidate words; the exact pass counts only the (tiny)
+    candidate set map-side via broadcast and shuffles ≤ CAP·partitions
+    rows. The n total rides along as a 1-row agg crossed into the filter
+    (no driver action)."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf  # noqa: F401  (parity with sibling ops)
+
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select(F.explode(tokens_expr()).alias("word"))
+
+    cap = HH_CAP
+
+    def mg_partition(batches):
+        cnt: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                cnt[w] = cnt.get(w, 0) + int(c)
+            if len(cnt) > cap:
+                m = sorted(cnt.values())[len(cnt) - cap - 1]
+                cnt = {w: c - m for w, c in cnt.items() if c > m}
+        yield pd.DataFrame({"word": list(cnt.keys())})
+
+    candidates = (
+        words.mapInPandas(mg_partition, schema="word string").distinct()
+    )
+    exact = (
+        words.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = words.agg(F.count("*").alias("n"))
+    return (
+        exact.crossJoin(total)
+        .where(F.col("cnt") * HH_K > F.col("n"))
+        .select("word", "cnt")
+    )

@@ -248,14 +248,18 @@ def stream_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> DataFrame:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
     """Drain the stream with an availableNow trigger into a memory sink
     and return the result as a batch DataFrame (the SURVEY.md §5
-    batch-vs-stream verification harness)."""
+    batch-vs-stream verification harness). ``output_mode='append'`` for
+    non-aggregated streams (enrichment/filter pipelines), where complete
+    mode is not allowed."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -282,6 +286,20 @@ def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
         .queryName(query_name)
         .start()
     )
+
+
+def stream_enrich_static(
+    events: DataFrame, dim: DataFrame, on: str = "event_type", how: str = "inner"
+) -> DataFrame:
+    """Stream-static enrichment: join a live stream against a batch
+    dimension/rules table (thresholds, feature flags, reference data).
+    The static side is re-planned per microbatch — a restart picks up a
+    refreshed table — and is explicitly broadcast, so each microbatch is
+    a map-side hash join with no shuffle of the stream and no streaming
+    state. The canonical use here: apply q111's batch-computed p99 cut
+    table to the event stream for online anomaly flagging
+    (test_stream_enrich_anomalies_equals_batch)."""
+    return events.join(F.broadcast(dim), on, how)
 
 
 def stream_stateful_user_totals(events: DataFrame) -> DataFrame:

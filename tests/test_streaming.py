@@ -327,3 +327,36 @@ def test_transform_with_state_equals_batch(spark, sf_dir):
     w = want.set_index("user_id").sort_index()
     assert (g["total_events"] == w["total_events"]).all()
     assert (abs(g["total_value"] - w["total_value"]) < 1e-6).all()
+
+
+def test_stream_enrich_anomalies_equals_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: the batch-computed p99 cut
+    table applied to the live event stream must flag exactly the events
+    the batch query (q111) flags."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.relational import (
+        q111_event_anomalies,
+    )
+    from mapreduce_framework_simple_spark.sources.io import load_table
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        stream_enrich_static,
+    )
+
+    cuts = (
+        load_table(spark, "events", sf_dir)
+        .groupBy("event_type")
+        .agg(F.percentile("value", 0.99).alias("p99"))
+    )
+    flagged = stream_enrich_static(
+        read_events_stream(spark, sf_dir), cuts
+    ).where(F.col("value") > F.col("p99")).select("event_id")
+    got = sorted(
+        run_available_now(flagged, "t_enrich", output_mode="append")
+        .toPandas()["event_id"]
+        .tolist()
+    )
+    want = sorted(q111_event_anomalies(spark, sf_dir).toPandas()["event_id"].tolist())
+    assert got == want and len(got) > 0
