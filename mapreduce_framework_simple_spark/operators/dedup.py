@@ -800,3 +800,78 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+@query(
+    "q112_lsh_quality",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_SETS},
+    {_DUCK_SID_SETS_TAIL},
+    {_DUCK_LSH_PAIRS},
+    cnt AS (SELECT doc_id, count(*) AS n FROM sid_sets GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sid_sets a JOIN sid_sets b ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= {JACCARD_T}),
+    j AS (SELECT count(*) FILTER (t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL) AS n_hit,
+                 count(*) FILTER (t.doc_a IS NOT NULL) AS n_truth,
+                 count(*) FILTER (p.doc_a IS NOT NULL) AS n_cand
+          FROM truth t FULL OUTER JOIN pairs p
+               ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT)  AS n_candidates,
+           CAST(n_hit AS BIGINT)   AS n_hit,
+           CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand ELSE 0.0 END
+               AS precision,
+           CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth ELSE 0.0 END
+               AS recall
+    FROM j
+    """,
+)
+def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH tuning report: precision/recall of the MinHash-LSH candidate
+    pairs (q38, the 100 TB path) against exact Jaccard ≥ 0.5 ground
+    truth (q36) — the evaluation every dedup rollout runs before trusting
+    banding parameters at scale. One row: truth/candidate/hit counts and
+    the two ratios (exact integer division, bit-stable across engines).
+
+    Scale: this is an OFFLINE eval on a sample — the ground-truth side is
+    q36's quadratic join, priced accordingly; production tunes bands on a
+    hash-sampled slice (q83) and ships only q38. The pair-set comparison
+    itself is one full-outer equi-join on (doc_a, doc_b) — linear in the
+    pair lists."""
+    truth = q36_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    cand = q38_minhash_lsh_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("ca"), F.col("doc_b").alias("cb")
+    )
+    j = truth.join(
+        cand,
+        (F.col("doc_a") == F.col("ca")) & (F.col("doc_b") == F.col("cb")),
+        "full_outer",
+    )
+    agg = j.agg(
+        F.count(F.when(F.col("doc_a").isNotNull() & F.col("ca").isNotNull(), 1)).alias(
+            "n_hit"
+        ),
+        F.count(F.when(F.col("doc_a").isNotNull(), 1)).alias("n_truth"),
+        F.count(F.when(F.col("ca").isNotNull(), 1)).alias("n_candidates"),
+    )
+    return agg.select(
+        "n_truth",
+        "n_candidates",
+        "n_hit",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.col("n_hit").cast("double") / F.col("n_candidates"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("precision"),
+        F.when(
+            F.col("n_truth") > 0, F.col("n_hit").cast("double") / F.col("n_truth")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("recall"),
+    )

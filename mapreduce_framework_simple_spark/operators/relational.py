@@ -1741,3 +1741,45 @@ def q111_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id", "event_type", "value", F.round("p99", 6).alias("p99_cut")
         )
     )
+
+
+@query(
+    "q113_weekly_trend",
+    oracle="""
+    WITH w AS (SELECT event_type, date_trunc('week', ts) AS week,
+                      count(*) AS n_events
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, week, CAST(n_events AS BIGINT) AS n_events,
+           CAST(lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+                AS BIGINT) AS prev_n,
+           round(CAST(n_events - lag(n_events) OVER (PARTITION BY event_type ORDER BY week) AS DOUBLE)
+                 / lag(n_events) OVER (PARTITION BY event_type ORDER BY week), 6)
+               AS wow_change
+    FROM w
+    """,
+)
+def q113_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week event-volume trend per type: weekly counts plus the
+    relative change vs the prior week — the time-series health report
+    layered on any event stream. The change is a ratio of two identically
+    computed integers (exact IEEE division, then fixed rounding), so it
+    hashes identically across engines; weeks truncate to Monday in both.
+
+    Scale: one aggregation shuffle on (event_type, week) with map-side
+    partial counts; the lag window repartitions the (tiny) weekly rollup
+    by event_type — the corpus itself is touched once."""
+    ev = load_table(spark, "events", sf_dir)
+    w = ev.groupBy(
+        "event_type", F.date_trunc("week", F.col("ts")).alias("week")
+    ).agg(F.count("*").alias("n_events"))
+    win = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(win)
+    return w.select(
+        "event_type",
+        "week",
+        "n_events",
+        prev.alias("prev_n"),
+        F.round(
+            (F.col("n_events") - prev).cast("double") / prev, 6
+        ).alias("wow_change"),
+    )
