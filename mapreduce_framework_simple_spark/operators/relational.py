@@ -1783,3 +1783,138 @@ def q113_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_events") - prev).cast("double") / prev, 6
         ).alias("wow_change"),
     )
+
+
+@query(
+    "q114_rfm_segments",
+    oracle="""
+    WITH rfm AS (
+        SELECT o_custkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, last_order, frequency, monetary_cents,
+               ntile(4) OVER (ORDER BY last_order, o_custkey)      AS r_q,
+               ntile(4) OVER (ORDER BY frequency, o_custkey)       AS f_q,
+               ntile(4) OVER (ORDER BY monetary_cents, o_custkey)  AS m_q
+        FROM rfm
+    )
+    SELECT o_custkey AS custkey, last_order,
+           CAST(frequency AS BIGINT) AS frequency,
+           CAST(monetary_cents AS BIGINT) AS monetary_cents,
+           CAST(r_q AS INT) AS r_q, CAST(f_q AS INT) AS f_q,
+           CAST(m_q AS INT) AS m_q,
+           CAST(r_q * 100 + f_q * 10 + m_q AS INT) AS rfm_code
+    FROM scored
+    """,
+)
+def q114_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation:
+    per-customer order stats quartiled into a 3-digit segment code — the
+    canonical warehouse scoring query. Monetary sums EXACT INTEGER CENTS
+    (per-row round(price·100) is identical in both engines; integer sums
+    are order-independent), so the quartile ordering can never be flipped
+    by float summation order; all ntile orderings tie-break on custkey.
+
+    Scale: one aggregation shuffle on custkey; the three global ntile
+    windows sort the (customer-sized, not order-sized) rollup — for
+    1e9+ customers the quartile cut would switch to percentile_approx
+    thresholds + a broadcast join, trading exact quartile boundaries for
+    no global sort (the q12/q45 exact/sketch split)."""
+    o = load_table(spark, "orders", sf_dir)
+    rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count("*").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    r_q = F.ntile(4).over(Window.orderBy("last_order", "custkey"))
+    f_q = F.ntile(4).over(Window.orderBy("frequency", "custkey"))
+    m_q = F.ntile(4).over(Window.orderBy("monetary_cents", "custkey"))
+    return (
+        rfm.withColumn("r_q", r_q)
+        .withColumn("f_q", f_q)
+        .withColumn("m_q", m_q)
+        .withColumn(
+            "rfm_code", (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q"))
+        )
+    )
+
+
+@query(
+    "q115_copurchase_lift",
+    oracle="""
+    WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+                     count(*) AS n_pair
+              FROM pp a JOIN pp b
+                ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+              GROUP BY 1, 2),
+    freq AS (SELECT l_partkey, count(*) AS n FROM pp GROUP BY 1),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pp)
+    SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
+           round(CAST(n_pair AS DOUBLE) * tot.n_orders / (fa.n * fb.n), 6)
+               AS lift
+    FROM pairs
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b
+    CROSS JOIN tot
+    WHERE n_pair >= 2
+    """,
+)
+def q115_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing in the same
+    order ≥2 times, scored by lift = P(a,b)/(P(a)·P(b)) — association
+    mining over the fact table. Lift multiplies/divides identically
+    computed integers (exact under IEEE until ~2⁵³), then rounds, so the
+    hash is engine-stable.
+
+    Scale: the self-join key is l_orderkey, whose per-key fan-out is the
+    per-order line count — bounded by the order-entry process (≤ single
+    digits), so pair generation is O(corpus · lines-per-order), never
+    quadratic in the table; the n≥2 filter and part-frequency joins run
+    on the (much smaller) pair rollup, with the 1-row order total crossed
+    in as a broadcast."""
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey").distinct()
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_pair"))
+        .where(F.col("n_pair") >= 2)
+    )
+    freq = li.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n"))
+    tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    return (
+        pairs.join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double") * F.col("n_orders")
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
