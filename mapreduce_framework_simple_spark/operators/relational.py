@@ -1918,3 +1918,66 @@ def q115_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@query(
+    "q116_column_profile",
+    oracle="""
+    SELECT 'l_quantity' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+           min(l_quantity) AS min_val, max(l_quantity) AS max_val
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_extendedprice) AS BIGINT),
+           CAST(count(DISTINCT l_extendedprice) AS BIGINT),
+           min(l_extendedprice), max(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_discount) AS BIGINT),
+           CAST(count(DISTINCT l_discount) AS BIGINT),
+           min(l_discount), max(l_discount)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(l_tax) AS BIGINT),
+           CAST(count(DISTINCT l_tax) AS BIGINT),
+           min(l_tax), max(l_tax)
+    FROM lineitem
+    """,
+)
+def q116_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (ANALYZE-style data-quality summary): row count,
+    null count, exact distinct count, min and max for each numeric
+    lineitem measure — the statistics pass every ingestion pipeline runs
+    before trusting a new drop. Min/max are raw stored values (no
+    arithmetic), so no rounding discipline is needed.
+
+    Scale: ONE scan computes all four profiles (Spark plans the multi-
+    count_distinct via a single expand + partial-agg pipeline, not four
+    scans — the unpivot to rows happens on the 1-row aggregate). Exact
+    distinct counts expand the aggregation buffer; profile jobs over
+    ~1e9-cardinality columns switch to approx_count_distinct (q45's
+    sketch) at a documented accuracy trade."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count("*").alias(f"{c}__rows"),
+            (F.count("*") - F.count(c)).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(c).alias(f"{c}__min"),
+            F.max(c).alias(f"{c}__max"),
+        ]
+    one = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
+        for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
+    )

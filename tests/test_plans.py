@@ -231,3 +231,42 @@ def test_centroid_assign_broadcasts_and_single_corpus_shuffle(spark, sf_dir):
     assert has_broadcast_join(df)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitters_never_shuffles_token_stream(spark, sf_dir):
+    """q110's whole point: the exploded token stream feeds the MG sketch
+    and a broadcast semi-join — the only exchanges carry candidate words
+    (≤ cap·partitions rows) and 1-row totals, never per-token rows. The
+    plan must show the candidate join as broadcast, not sort-merge."""
+    from mapreduce_framework_simple_spark.operators.text import q110_heavy_hitters
+
+    plan = formatted_plan(q110_heavy_hitters(spark, sf_dir))
+    assert "SortMergeJoin" not in plan, "token-side join planned as SMJ"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_copurchase_lift_dim_joins_broadcast(spark, sf_dir):
+    """q115's frequency tables and the 1-row order total must broadcast —
+    the pair rollup never shuffles again for enrichment."""
+    from mapreduce_framework_simple_spark.operators.relational import (
+        q115_copurchase_lift,
+    )
+
+    df = q115_copurchase_lift(spark, sf_dir)
+    assert has_broadcast_join(df)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_column_profile_single_scan(spark, sf_dir):
+    """q116 computes all four column profiles in ONE pass over lineitem —
+    the plan must contain exactly one parquet scan."""
+    from mapreduce_framework_simple_spark.operators.relational import (
+        q116_column_profile,
+    )
+
+    import re
+
+    plan = formatted_plan(q116_column_profile(spark, sf_dir))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, f"profile re-scans the table ({n_scans} scans)"
