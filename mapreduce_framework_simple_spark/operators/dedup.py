@@ -432,10 +432,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .distinct()
         .cache()
     )
+    # seed each node with min(self, direct neighbors) — exactly the state
+    # after round 1 of identity-seeded propagation, computed as ONE
+    # aggregation over sym (no join), so the loop starts a round ahead
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("nmin0"))
+        .select("node", F.least(F.col("node"), F.col("nmin0")).alias("label"))
         .cache()
     )
     cached = labels  # the handle actually holding each round's cache
