@@ -590,8 +590,12 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id. ln() output is averaged then rounded to 6 dp before hashing
     (raw libm transcendentals differ by 1 ULP across engines)."""
     docs = load_table(spark, "documents", sf_dir)
-    bg = docs.select(
-        "doc_id", F.explode(bigrams_expr(tokens_expr())).alias("bg")
+    # tokens materialized BEFORE the bigram lambda — inlining tokens_expr
+    # into bigrams_expr would re-split the text once per element_at
+    # (no subexpression elimination inside lambdas; measured 12.7s → 0.6s
+    # at sf0.1, same trap shingle_sets documents)
+    bg = docs.select("doc_id", tokens_expr().alias("toks")).select(
+        "doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bg")
     )
     c_bg = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
     c_w1 = c_bg.groupBy(
