@@ -68,14 +68,13 @@ def q35_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — shared base of q36-q38.
+def shingle_sets_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingle) distinct pairs from any (doc_id, text) frame.
 
     Tokens are materialized as a column BEFORE the shingle transform:
     expressions inside a lambda are not subexpression-eliminated, so
     inlining tokens_expr() would re-split the text once per element_at
     (~370 regex splits per document — measured 14 s vs 0.5 s at sf0.1)."""
-    docs = load_table(spark, "documents", sf_dir)
     # NOTE: explode + .distinct() (one small shuffle) deliberately beats
     # the "obvious" shuffle-free array_distinct-before-explode: wrapping
     # the shingle transform in array_distinct forces the whole generator
@@ -86,6 +85,11 @@ def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(shingles_expr(F.col("toks"))).alias("shingle"))
         .distinct()
     )
+
+
+def shingle_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — shared base of q36-q38."""
+    return shingle_sets_from(load_table(spark, "documents", sf_dir))
 
 
 # 60-bit integer shingle id derived from md5 — identical value in Spark
@@ -273,11 +277,12 @@ _DUCK_SIG = f"""
 """
 
 
-def minhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-pass signature computation: 16 min() aggregates over the integer
-    shingle ids — no row explosion at all. The shuffle moves 16 longs per
-    doc per partition (partial mins), nothing else."""
-    sh = shingle_id_sets(spark, sf_dir)
+def minhash_signatures_wide_from(docs: DataFrame) -> DataFrame:
+    """One-pass signature computation from any (doc_id, text) frame: 16
+    min() aggregates over the integer shingle ids — no row explosion at
+    all. The shuffle moves 16 longs per doc per partition (partial mins),
+    nothing else."""
+    sh = shingle_sets_from(docs).select("doc_id", shingle_id_expr().alias("sid"))
     x = F.col("sid") % MINHASH_P
     return sh.groupBy("doc_id").agg(
         *[
@@ -285,6 +290,10 @@ def minhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(N_HASHES)
         ]
     )
+
+
+def minhash_signatures_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures_wide_from(load_table(spark, "documents", sf_dir))
 
 
 @query(
@@ -306,6 +315,64 @@ def q37_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr(f"stack({N_HASHES}, {stack_args}) AS (k, sig)"),
     ).select("doc_id", F.col("k").cast("int").alias("k"), F.col("sig").cast("long").alias("sig"))
+
+
+def band_signatures_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, band, band_sig) LSH band keys from any (doc_id, text)
+    frame — one pass for all 16 signature mins, then a stack to long
+    form. This is the unit the persisted LSH index stores and the unit
+    an incremental batch computes for itself."""
+    wide = minhash_signatures_wide_from(docs)
+    band_cols = [
+        F.concat_ws(
+            ",", *[F.col(f"s{b * BAND_SIZE + i}").cast("string") for i in range(BAND_SIZE)]
+        ).alias(f"band{b}")
+        for b in range(N_HASHES // BAND_SIZE)
+    ]
+    banded = wide.select("doc_id", *band_cols)
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_HASHES // BAND_SIZE))
+    return banded.select(
+        "doc_id", F.expr(f"stack({N_HASHES // BAND_SIZE}, {stack_args}) AS (band, band_sig)")
+    )
+
+
+def write_lsh_index(docs: DataFrame, path: str) -> None:
+    """Persist the corpus's LSH band signatures, partitioned by band —
+    the dedup index a production pipeline maintains so each incoming
+    batch is checked against the corpus WITHOUT recomputing corpus
+    signatures. 16 longs per doc, ~1/1000th of the text it indexes."""
+    band_signatures_from(docs).write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def incremental_lsh_candidates(
+    spark: SparkSession, new_docs: DataFrame, index_path: str
+) -> DataFrame:
+    """Near-dup candidates between a NEW document batch and an indexed
+    corpus: compute band signatures for the batch only, broadcast them
+    (a batch is small next to the corpus by definition), and probe the
+    persisted index with a map-side hash join on (band, band_sig).
+    Returns (new_doc_id, corpus_doc_id) distinct pairs.
+
+    Scale: corpus-side cost is ONE index scan (16 longs/doc — not the
+    text), zero shuffle; batch-side cost is the batch's own signature
+    pass. Equality with the batch-recompute formulation (q38 on the
+    union, restricted to cross pairs) is asserted in
+    test_similarity_dedup."""
+    nb = band_signatures_from(new_docs)
+    idx = spark.read.parquet(index_path)
+    return (
+        idx.alias("c")
+        .join(
+            F.broadcast(nb.alias("n")),
+            (F.col("c.band") == F.col("n.band"))
+            & (F.col("c.band_sig") == F.col("n.band_sig")),
+        )
+        .select(
+            F.col("n.doc_id").alias("new_doc_id"),
+            F.col("c.doc_id").alias("corpus_doc_id"),
+        )
+        .distinct()
+    )
 
 
 @query(
@@ -330,19 +397,8 @@ def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join's key (band, band_sig) has near-unique cardinality except
     for true near-dups — no quadratic term anywhere. This is the declared
     100 TB near-dedup strategy; q36 validates its recall."""
-    wide = minhash_signatures_wide(spark, sf_dir)
-    band_cols = [
-        F.concat_ws(
-            ",", *[F.col(f"s{b * BAND_SIZE + i}").cast("string") for i in range(BAND_SIZE)]
-        ).alias(f"band{b}")
-        for b in range(N_HASHES // BAND_SIZE)
-    ]
-    # long form (doc_id, band, band_sig) via one stack over the wide row —
-    # the signature computation is a single pass, never repeated
-    banded = wide.select("doc_id", *band_cols)
-    stack_args = ", ".join(f"{b}, band{b}" for b in range(N_HASHES // BAND_SIZE))
-    bands = banded.select(
-        "doc_id", F.expr(f"stack({N_HASHES // BAND_SIZE}, {stack_args}) AS (band, band_sig)")
+    bands = band_signatures_from(
+        load_table(spark, "documents", sf_dir)
     ).cache()
     a = bands.alias("a")
     b = bands.alias("b")

@@ -189,3 +189,39 @@ def test_ivf_bucketed_probe_prunes_partitions(spark, sf_dir, tmp_path):
     g = got.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
     e = q41_ann_ivf(spark, sf_dir).toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
     assert g[["query_id", "neighbor_id", "rnk"]].equals(e[["query_id", "neighbor_id", "rnk"]])
+
+
+def test_incremental_lsh_candidates_equal_batch_recompute(spark, sf_dir, tmp_path):
+    """Splitting the corpus into indexed-old + new-batch and probing the
+    persisted index must find exactly the cross (old, new) candidate
+    pairs that the monolithic q38 run finds."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        q38_minhash_lsh_pairs,
+        write_lsh_index,
+    )
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    cut = 400
+    old = docs.where(F.col("doc_id") < cut)
+    new = docs.where(F.col("doc_id") >= cut)
+    idx_path = str(tmp_path / "lsh_index")
+    write_lsh_index(old, idx_path)
+
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in incremental_lsh_candidates(spark, new, idx_path).collect()
+    }
+    # monolithic reference: q38 pairs (doc_a < doc_b) with one side each
+    # of the cut — orient as (new, old)
+    want = set()
+    for r in q38_minhash_lsh_pairs(spark, sf_dir).collect():
+        a, b = r["doc_a"], r["doc_b"]
+        if a < cut <= b:
+            want.add((b, a))
+        elif b < cut <= a:
+            want.add((a, b))
+    assert got == want and len(want) > 0
