@@ -1981,3 +1981,105 @@ def q116_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(cols)}, {stack_args}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, min_val, max_val)"
     )
+
+
+@query(
+    "q117_mad_outliers",
+    oracle="""
+    WITH med AS (SELECT event_type, median(value) AS med
+                 FROM events GROUP BY event_type),
+    mad AS (SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type)
+    SELECT e.event_id, e.event_type, e.value,
+           round(m.med, 6) AS med, round(d.mad, 6) AS mad
+    FROM events e
+    JOIN med m ON e.event_type = m.event_type
+    JOIN mad d ON e.event_type = d.event_type
+    WHERE abs(e.value - m.med) > 5 * d.mad
+    """,
+)
+def q117_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: events whose value deviates from their
+    type's median by more than 5× the median absolute deviation — the
+    heavy-tail-safe alternative to z-scores (q111's percentile screen
+    breaks when the tail itself shifts the cut; MAD does not). Both
+    medians are exact order statistics (Spark F.median ↔ DuckDB median,
+    the q58 pairing) and every deviation is arithmetic on identically
+    stored doubles, so the keep/drop comparison is bit-deterministic
+    across engines; reported stats are rounded for hash stability only.
+
+    Scale: two aggregation passes over the stream (median, then median
+    of deviations) with the tiny per-type stat tables broadcast back
+    each time — the robust-stats trade: one extra scan for immunity to
+    the outliers being screened. Unbounded key cardinality would switch
+    to approx_percentile(0.5) sketches."""
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type", "value")
+    med = ev.groupBy("event_type").agg(F.median("value").alias("med"))
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    return (
+        with_med.join(F.broadcast(mad), "event_type")
+        .where(F.abs(F.col("value") - F.col("med")) > 5 * F.col("mad"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round("med", 6).alias("med"),
+            F.round("mad", 6).alias("mad"),
+        )
+    )
+
+
+@query(
+    "q118_snapshot_diff",
+    oracle="""
+    WITH new_snap AS (SELECT doc_id, md5(text) AS h FROM documents),
+    old_snap AS (SELECT doc_id,
+                        md5(CASE WHEN doc_id % 89 = 0 THEN upper(text) ELSE text END) AS h
+                 FROM documents WHERE doc_id % 101 <> 0)
+    SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM new_snap n FULL OUTER JOIN old_snap o ON n.doc_id = o.doc_id
+    WHERE o.doc_id IS NULL OR n.doc_id IS NULL OR n.h <> o.h
+    """,
+)
+def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-capture: compare the current corpus
+    against the previous snapshot by content hash and report every
+    added, removed, or changed document — the delta-detection pass an
+    incremental pipeline runs to process only what moved. (The "previous
+    snapshot" is derived deterministically here: docs with id % 101 = 0
+    are new arrivals, docs with id % 89 = 0 had their text edited.)
+
+    Scale: both sides reduce to (doc_id, 16-byte hash) BEFORE the join —
+    the full-outer join shuffles 24-byte rows, never text; unchanged
+    rows (the overwhelming majority in a real delta) are filtered
+    map-side after the join. With both snapshots bucketed by doc_id the
+    join is co-located and shuffle-free."""
+    docs = load_table(spark, "documents", sf_dir)
+    new_snap = docs.select("doc_id", F.md5("text").alias("h"))
+    old_snap = docs.where(F.col("doc_id") % 101 != 0).select(
+        "doc_id",
+        F.md5(
+            F.when(F.col("doc_id") % 89 == 0, F.upper("text")).otherwise(F.col("text"))
+        ).alias("h"),
+    )
+    n = new_snap.alias("n")
+    o = old_snap.alias("o")
+    j = n.join(o, F.col("n.doc_id") == F.col("o.doc_id"), "full_outer")
+    return j.where(
+        F.col("o.doc_id").isNull()
+        | F.col("n.doc_id").isNull()
+        | (F.col("n.h") != F.col("o.h"))
+    ).select(
+        F.coalesce(F.col("n.doc_id"), F.col("o.doc_id")).alias("doc_id"),
+        F.when(F.col("o.doc_id").isNull(), F.lit("added"))
+        .when(F.col("n.doc_id").isNull(), F.lit("removed"))
+        .otherwise(F.lit("changed"))
+        .alias("status"),
+    )
