@@ -48,9 +48,12 @@ def builder(app_name: str = "mapreduce-framework-simple-spark",
         # 128 MB default, which is fine; do not shrink it locally either.
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet is TIMESTAMP(NANOS); set at session build so no
-        # read path ever has to mutate a live session's config (load_table
-        # still self-heals externally-built vanilla sessions).
+        # events.parquet has shipped as TIMESTAMP(NANOS) in some rounds
+        # (driver regenerates testdata; writer precision is not stable) —
+        # keep the legacy long mode armed so either encoding reads; set at
+        # session build so no read path ever has to mutate a live
+        # session's config (load_table still self-heals externally-built
+        # vanilla sessions, and normalizes MICROS/NTZ to UTC timestamps).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
