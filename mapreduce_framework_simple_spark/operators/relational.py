@@ -2083,3 +2083,45 @@ def q118_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("changed"))
         .alias("status"),
     )
+
+
+@query(
+    "q119_lateral_top_orders",
+    oracle="""
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey, t.price_cents
+    FROM customer c,
+    LATERAL (SELECT o_orderkey,
+                    CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+             FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 2) t
+    """,
+)
+def q119_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (Spark 4 SQL surface): each customer's
+    top-2 orders by value — the per-row-subquery formulation of top-k per
+    group, kept alongside the window formulation (q13) because migrating
+    SQL frequently arrives written this way. Prices surface as exact
+    integer cents; ordering ties break on orderkey.
+
+    Scale: Catalyst decorrelates the lateral into a join + per-key
+    WindowGroupLimit-style plan rather than executing a subquery per
+    customer row — same physical shape as q13, so the SQL sugar costs
+    nothing at 100 TB."""
+    from mapreduce_framework_simple_spark.sources.io import load_table as _lt
+
+    _lt(spark, "customer", sf_dir).createOrReplaceTempView("q119_customer")
+    _lt(spark, "orders", sf_dir).createOrReplaceTempView("q119_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey, t.price_cents
+        FROM q119_customer c,
+        LATERAL (SELECT o_orderkey,
+                        CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+                 FROM q119_orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey
+                 LIMIT 2) t
+        """
+    )

@@ -626,6 +626,42 @@ HH_K = 30        # report words with count > n/K
 HH_CAP = 64      # sketch capacity; undercount ≤ n_partition/(CAP+1) < n/K
 
 
+def heavy_hitters(words: DataFrame, k: int = HH_K, cap: int = HH_CAP) -> DataFrame:
+    """Words with count > n/k from a single-column ``word`` frame, via a
+    per-partition Misra-Gries candidate sketch + exact verification of
+    candidates only (see q110's docstring for the superset proof).
+    Requires cap + 1 ≥ k or the sketch's undercount bound no longer
+    guarantees the superset property. Exactness under arbitrary
+    partitionings is property-tested in test_properties."""
+    import pandas as pd
+
+    if cap + 1 < k:
+        raise ValueError(f"cap+1 ({cap + 1}) must be ≥ k ({k}) for exactness")
+
+    def mg_partition(batches):
+        cnt: dict[str, int] = {}
+        for pdf in batches:
+            for w, c in pdf["word"].value_counts().items():
+                cnt[w] = cnt.get(w, 0) + int(c)
+            if len(cnt) > cap:
+                m = sorted(cnt.values())[len(cnt) - cap - 1]
+                cnt = {w: c - m for w, c in cnt.items() if c > m}
+        yield pd.DataFrame({"word": list(cnt.keys())})
+
+    candidates = words.mapInPandas(mg_partition, schema="word string").distinct()
+    exact = (
+        words.join(F.broadcast(candidates), "word")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = words.agg(F.count("*").alias("n"))
+    return (
+        exact.crossJoin(total)
+        .where(F.col("cnt") * k > F.col("n"))
+        .select("word", "cnt")
+    )
+
+
 @query(
     "q110_heavy_hitters",
     oracle=f"""
@@ -657,36 +693,6 @@ def q110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set map-side via broadcast and shuffles ≤ CAP·partitions
     rows. The n total rides along as a 1-row agg crossed into the filter
     (no driver action)."""
-    import pandas as pd
-
-    from pyspark.sql.functions import pandas_udf  # noqa: F401  (parity with sibling ops)
-
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(F.explode(tokens_expr()).alias("word"))
-
-    cap = HH_CAP
-
-    def mg_partition(batches):
-        cnt: dict[str, int] = {}
-        for pdf in batches:
-            for w, c in pdf["word"].value_counts().items():
-                cnt[w] = cnt.get(w, 0) + int(c)
-            if len(cnt) > cap:
-                m = sorted(cnt.values())[len(cnt) - cap - 1]
-                cnt = {w: c - m for w, c in cnt.items() if c > m}
-        yield pd.DataFrame({"word": list(cnt.keys())})
-
-    candidates = (
-        words.mapInPandas(mg_partition, schema="word string").distinct()
-    )
-    exact = (
-        words.join(F.broadcast(candidates), "word")
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    total = words.agg(F.count("*").alias("n"))
-    return (
-        exact.crossJoin(total)
-        .where(F.col("cnt") * HH_K > F.col("n"))
-        .select("word", "cnt")
-    )
+    return heavy_hitters(words)

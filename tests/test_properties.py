@@ -102,3 +102,54 @@ def test_block_pair_kernel_matches_bruteforce_property(spark, monkeypatch, tmp_p
     assert list(zip(got.vec_a, got.vec_b)) == exp
     exp_cos = np.array([cos[a, b] for a, b in exp])
     assert np.allclose(got.cos_raw.to_numpy(), exp_cos, atol=1e-9)
+
+
+def test_heavy_hitters_exact_under_adversarial_layouts(spark):
+    """The Misra-Gries candidate union must be a superset of the true
+    heavy hitters under ANY partitioning, so the verified result equals
+    the exact HAVING answer regardless of layout. Adversarial cases: a
+    heavy word spread thin across many partitions (worst case for a
+    per-partition sketch), skewed hash layouts, single partition, and
+    seeded random corpora."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.text import heavy_hitters
+
+    def exact(words_df, k):
+        n = words_df.count()
+        return {
+            (r["word"], r["cnt"])
+            for r in words_df.groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .where(F.col("cnt") * k > F.lit(n))
+            .collect()
+        }
+
+    cases = []
+    # heavy word interleaved so every partition sees it diluted
+    heavy_thin = (["hh"] * 400) + [f"w{i}" for i in range(300)] * 3
+    random.Random(7).shuffle(heavy_thin)
+    cases.append(heavy_thin)
+    # exactly-at-threshold counts (boundary: strict > must hold)
+    cases.append(["a"] * 10 + ["b"] * 9 + [f"u{i}" for i in range(81)])
+    # seeded zipf-ish random corpora
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(200)]
+        weights = [1.0 / (i + 1) for i in range(200)]
+        cases.append(rng.choices(vocab, weights=weights, k=2000))
+
+    for k, cap in ((10, 16), (30, 64)):
+        for i, corpus in enumerate(cases):
+            df = spark.createDataFrame([(w,) for w in corpus], ["word"])
+            for parts in (1, 7, 32):
+                words = df.repartition(parts)
+                got = {
+                    (r["word"], r["cnt"])
+                    for r in heavy_hitters(words, k=k, cap=cap).collect()
+                }
+                assert got == exact(df, k), (
+                    f"case {i}, k={k}, cap={cap}, partitions={parts}"
+                )
