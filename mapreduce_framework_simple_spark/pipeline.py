@@ -1,0 +1,130 @@
+"""End-to-end training-data curation pipeline.
+
+Composes the declared operators into the pass a pretraining pipeline
+actually runs over a raw corpus, in the standard order (cheap row-local
+gates first, pairwise-ish work last, every stage narrowing the next
+stage's input):
+
+1. **quality gate** — Gopher-style integer-threshold rules (q98);
+2. **exact dedup** — keep min doc_id per normalized-text hash (q35);
+3. **near-dup collapse** — MinHash-LSH pairs → connected components →
+   keep each component's representative (q38/q79/q89);
+4. **decontamination** — drop docs overlapping the benchmark probe set
+   above a shingle-containment threshold (q91);
+5. **curated write** — parquet of survivors + a one-row audit report.
+
+Every stage is the SAME operator the oracle suite hash-verifies
+individually; the composition test (tests/test_pipeline.py) asserts the
+audit invariants (stage counts telescope; survivors contain no exact-dup
+pair and no near-dup pair; no survivor exceeds the contamination cut).
+
+Scale: stage order is the scale argument — the quality gate is a
+map-side filter that typically removes a large corpus fraction before
+any shuffle; exact dedup is one 16-byte-key shuffle; the LSH stages run
+on the doubly-thinned corpus; decontamination broadcasts the (tiny)
+probe set. Nothing here collects the corpus to the driver; the report is
+a handful of scalar aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.operators.dedup import (
+    band_signatures_from,
+    connected_components,
+    norm_expr,
+    shingle_sets_from,
+)
+from mapreduce_framework_simple_spark.operators.text import q98_gopher_rules
+from mapreduce_framework_simple_spark.sources.io import load_table
+
+CONTAMINATION_MAX = 0.5  # drop docs with > 50% probe-shingle overlap
+
+
+def _lsh_pairs_from(docs: DataFrame) -> DataFrame:
+    """q38's banded candidate join over an arbitrary (doc_id, text) frame."""
+    bands = band_signatures_from(docs)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+    """Run the full curation pass; write survivors to ``out_dir`` and
+    return the audit report (python ints — driver-sized by construction)."""
+    docs = load_table(spark, "documents", sf_dir).cache()
+    n_total = docs.count()
+
+    # 1. quality gate (q98's keep flag, broadcast back onto the corpus —
+    #    at scale the flag computation IS the corpus pass, so this join
+    #    is written id-to-id and stays a single shuffle)
+    keep_ids = q98_gopher_rules(spark, sf_dir).where(F.col("keep")).select("doc_id")
+    gated = docs.join(keep_ids, "doc_id").cache()
+    n_gated = gated.count()
+
+    # 2. exact dedup: keep min doc_id per normalized-text hash
+    exact_keep = (
+        gated.groupBy(F.md5(norm_expr()).alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    exact = gated.join(exact_keep, "doc_id").cache()
+    n_exact = exact.count()
+
+    # 3. near-dup collapse on the thinned corpus: LSH pairs → components
+    #    → drop non-representatives (the tiny drop list broadcasts)
+    pairs = _lsh_pairs_from(exact)
+    comp = connected_components(pairs)
+    drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+    neardup_free = exact.join(F.broadcast(drop), "doc_id", "left_anti").cache()
+    n_neardup = neardup_free.count()
+
+    # 4. decontamination: probe = benchmark stand-in (doc_id % 97 == 0
+    #    over the ORIGINAL corpus — the benchmark is external, curation
+    #    must not thin it); drop survivors above the containment cut
+    sh_all = shingle_sets_from(docs)
+    probe = (
+        sh_all.where(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    sh_surv = shingle_sets_from(neardup_free)
+    contaminated = (
+        sh_surv.join(F.broadcast(probe), "shingle", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") / F.count("*")).alias("contamination"))
+        .where(F.col("contamination") > CONTAMINATION_MAX)
+        .select("doc_id")
+    )
+    curated = neardup_free.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    curated.write.mode("overwrite").parquet(out_dir)
+
+    n_curated = (
+        spark.read.parquet(out_dir).count()
+    )  # count what was durably written, not the plan
+    report = {
+        "n_total": n_total,
+        "n_after_quality": n_gated,
+        "n_after_exact_dedup": n_exact,
+        "n_after_neardup": n_neardup,
+        "n_curated": n_curated,
+        "dropped_quality": n_total - n_gated,
+        "dropped_exact": n_gated - n_exact,
+        "dropped_neardup": n_exact - n_neardup,
+        "dropped_contaminated": n_neardup - n_curated,
+    }
+    for d in (docs, gated, exact, neardup_free):
+        d.unpersist()
+    return report

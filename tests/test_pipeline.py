@@ -1,0 +1,72 @@
+"""End-to-end curation pipeline: audit invariants over the composed
+operators (each stage is individually hash-verified by the oracle suite;
+this asserts the COMPOSITION is coherent)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mapreduce_framework_simple_spark.operators.dedup import norm_expr
+from mapreduce_framework_simple_spark.pipeline import CONTAMINATION_MAX, curate
+
+
+def test_curate_invariants(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "curated")
+    rep = curate(spark, sf_dir, out)
+
+    # counts telescope and every stage is monotone non-increasing
+    assert (
+        rep["n_total"]
+        >= rep["n_after_quality"]
+        >= rep["n_after_exact_dedup"]
+        >= rep["n_after_neardup"]
+        >= rep["n_curated"]
+        > 0
+    )
+    assert rep["dropped_quality"] + rep["n_after_quality"] == rep["n_total"]
+    assert (
+        rep["dropped_exact"]
+        + rep["dropped_neardup"]
+        + rep["dropped_contaminated"]
+        + rep["n_curated"]
+        == rep["n_after_quality"]
+    )
+
+    curated = spark.read.parquet(out)
+    assert curated.count() == rep["n_curated"]
+
+    # no exact-dup pair survives: normalized-text hashes are unique
+    dup_groups = (
+        curated.groupBy(F.md5(norm_expr()).alias("h"))
+        .count()
+        .where(F.col("count") > 1)
+        .count()
+    )
+    assert dup_groups == 0
+
+    # no LSH near-dup candidate pair survives among the curated docs
+    from mapreduce_framework_simple_spark.pipeline import _lsh_pairs_from
+
+    assert _lsh_pairs_from(curated).count() == 0
+
+    # no survivor exceeds the contamination cut
+    from mapreduce_framework_simple_spark.operators.dedup import shingle_sets_from
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    probe = (
+        shingle_sets_from(docs)
+        .where(F.col("doc_id") % 97 == 0)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    over = (
+        shingle_sets_from(curated)
+        .join(F.broadcast(probe), "shingle", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") / F.count("*")).alias("c"))
+        .where(F.col("c") > CONTAMINATION_MAX)
+        .count()
+    )
+    assert over == 0
