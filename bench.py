@@ -42,6 +42,9 @@ HEADLINE = [
     "q61_prime_sum",          # pandas_udf compute-bound
     "q79_dedup_components",   # iterative (label propagation to fixpoint)
     "q82_asof_join",          # temporal as-of join (union+window)
+    "q105_bigram_lm",         # corpus LM scoring (broadcast count tables)
+    "q108_bloom_decontaminate",  # Bloom-prefiltered decontamination
+    "q110_heavy_hitters",     # Misra-Gries sketch + exact verify
 ]
 
 
