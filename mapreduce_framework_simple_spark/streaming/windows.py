@@ -421,3 +421,60 @@ def stream_tws_user_totals(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str,
+                          n_files: int = 4) -> DataFrame:
+    """File-source stream over the documents table, staged as ``n_files``
+    parquet files so availableNow drains it in ``n_files`` microbatches —
+    the ingestion-side stand-in for a crawl drop-zone."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    key = hashlib.md5(f"{src}:{n_files}".encode()).hexdigest()[:12]
+    drop_zone = os.path.join(tempfile.gettempdir(), f"mfss_docstream_{key}")
+    if not os.path.isdir(drop_zone):
+        load_table(spark, "documents", sf_dir).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(drop_zone)
+    return (
+        spark.readStream.schema(SCHEMAS["documents"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_zone)
+    )
+
+
+def stream_dedup_against_index(docs_stream: DataFrame, index_path: str,
+                               out_dir: str, checkpoint_dir: str,
+                               query_name: str = "stream_lsh_dedup"):
+    """Streaming ingestion dedup: every microbatch of incoming documents
+    is checked against the PERSISTED corpus LSH index (see
+    ``dedup.write_lsh_index``) and its near-dup candidate pairs are
+    appended to ``out_dir`` — the production shape for deduplicating a
+    live crawl against an existing corpus without recomputing corpus
+    signatures.
+
+    foreachBatch is the right hook (not a stream-static join on the raw
+    frame) because each batch needs the full signature pipeline —
+    shingle → MinHash → banding — which contains aggregations that a
+    single streaming query could not chain ahead of a join. Per-batch
+    work: the batch's own signature pass + one map-side broadcast probe
+    of the index; exactly-once lands on the checkpointed batch id."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cands = incremental_lsh_candidates(
+            batch_df.sparkSession, batch_df, index_path
+        )
+        cands.write.mode("append").parquet(out_dir)
+
+    return (
+        docs_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .queryName(query_name)
+        .start()
+    )

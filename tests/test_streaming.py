@@ -360,3 +360,43 @@ def test_stream_enrich_anomalies_equals_batch(spark, sf_dir):
     )
     want = sorted(q111_event_anomalies(spark, sf_dir).toPandas()["event_id"].tolist())
     assert got == want and len(got) > 0
+
+
+def test_stream_dedup_against_index_equals_batch(spark, sf_dir, tmp_path):
+    """Micro-batched ingestion dedup against the persisted LSH index must
+    find exactly the candidate pairs the one-shot batch probe finds,
+    regardless of how the stream chops the new docs into batches."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+    from mapreduce_framework_simple_spark.sources.io import load_table
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        read_documents_stream,
+        stream_dedup_against_index,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    cut = 400
+    old = docs.where(F.col("doc_id") < cut)
+    idx = str(tmp_path / "idx")
+    write_lsh_index(old, idx)
+
+    stream = read_documents_stream(spark, sf_dir).where(F.col("doc_id") >= cut)
+    out = str(tmp_path / "cands")
+    q = stream_dedup_against_index(stream, idx, out, str(tmp_path / "ckpt"))
+    q.awaitTermination()
+
+    got = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r["new_doc_id"], r["corpus_doc_id"])
+        for r in incremental_lsh_candidates(
+            spark, docs.where(F.col("doc_id") >= cut), idx
+        ).collect()
+    }
+    assert got == want and len(want) > 0
