@@ -733,3 +733,84 @@ def q109_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pred_label")
     )
     return pred.groupBy("label", "pred_label").agg(F.count("*").alias("n"))
+
+
+KNN_K = 3
+
+
+@query(
+    "q120_knn_accuracy",
+    oracle=f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               round({_duck_dot('a.embedding', 'b.embedding')}
+                     / ({_duck_norm('a.embedding')} * {_duck_norm('b.embedding')}), 6)
+                   AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, neighbor_id) AS rnk
+        FROM scored
+    ),
+    votes AS (SELECT r.query_id, l.label AS nlabel, r.rnk
+              FROM ranked r JOIN embeddings l ON l.vec_id = r.neighbor_id
+              WHERE r.rnk <= {KNN_K}),
+    grp AS (SELECT query_id, nlabel, count(*) AS cnt, min(rnk) AS best_rank
+            FROM votes GROUP BY 1, 2),
+    pred AS (SELECT query_id, nlabel AS pred_label
+             FROM (SELECT *, row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cnt DESC, best_rank ASC) AS pr
+                   FROM grp)
+             WHERE pr = 1)
+    SELECT t.label, CAST(p.pred_label AS INT) AS pred_label,
+           CAST(count(*) AS BIGINT) AS n
+    FROM pred p JOIN embeddings t ON t.vec_id = p.query_id
+    GROUP BY 1, 2
+    """,
+)
+def q120_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification audit: every vector is classified by majority
+    label of its 3 nearest neighbors (cosine; tied vote counts fall back
+    to the nearest neighbor's label — min(best_rank) makes the rule
+    total and deterministic) and the label × predicted-label confusion
+    counts come back — the standard leave-one-out check of whether an
+    embedding space separates its labels, run before trusting embeddings
+    for curation. Complements q109 (centroid parametric twin).
+
+    Scale: the all-pairs scan reuses the q40 kernel — corpus broadcast as
+    the reference set under the documented size bound, per-batch top-k
+    pruning (self excluded in-kernel), so the rank shuffle carries
+    O(batches·k) rows per query, not N². Beyond the broadcast bound the
+    reference side switches to the block self-join kernel (q42) or IVF
+    (q41); the vote/confusion aggregations move ≤ N·k rows. Cosines are
+    rounded to 6 dp before ranking, so neighbor order cannot flip across
+    engines."""
+    em = load_table(spark, "embeddings", sf_dir)
+    ref = em.select("vec_id", "embedding")
+    scored = _pairwise_cosine_scan(spark, sf_dir, ref, emit_top_k=KNN_K).select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    top = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= KNN_K)
+    labels = em.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
+    votes = top.join(F.broadcast(labels), "neighbor_id")
+    grp = votes.groupBy("query_id", "nlabel").agg(
+        F.count("*").alias("cnt"), F.min("rnk").alias("best_rank")
+    )
+    pred = grp.groupBy("query_id").agg(
+        F.max_by("nlabel", F.struct(F.col("cnt"), (-F.col("best_rank")).alias("nr"))).alias(
+            "pred_label"
+        )
+    )
+    truth = em.select(F.col("vec_id").alias("query_id"), "label")
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .groupBy("label", "pred_label")
+        .agg(F.count("*").alias("n"))
+    )
