@@ -2125,3 +2125,83 @@ def q119_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                  LIMIT 2) t
         """
     )
+
+
+@query(
+    "q121_trend_ols",
+    oracle="""
+    WITH w AS (SELECT event_type,
+                      CAST(epoch(date_trunc('week', ts)) AS BIGINT) // 604800 AS x,
+                      CAST(count(*) AS BIGINT) AS y
+               FROM events GROUP BY 1, 2),
+    s AS (SELECT event_type,
+                 CAST(count(*) AS BIGINT)    AS n,
+                 CAST(sum(x) AS BIGINT)      AS sx,
+                 CAST(sum(y) AS BIGINT)      AS sy,
+                 CAST(sum(x * y) AS BIGINT)  AS sxy,
+                 CAST(sum(x * x) AS BIGINT)  AS sxx,
+                 CAST(max(x) AS BIGINT)      AS last_x
+          FROM w GROUP BY 1)
+    SELECT event_type, n AS n_weeks,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
+           round((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / (n * sxx - sx * sx)) * sx) / n
+                 + (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / (n * sxx - sx * sx)) * (last_x + 1), 6) AS forecast_next
+    FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
+    """,
+)
+def q121_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type ordinary-least-squares trend over weekly event volumes,
+    with a next-week forecast — grouped linear regression, the simplest
+    model a metrics pipeline fits in-warehouse. All five regression sums
+    (n, Σx, Σy, Σxy, Σx²) accumulate EXACT INTEGERS (week index × count),
+    so slope/intercept are identical float expressions over identical
+    integers in both engines — deterministic without trusting any
+    engine's incremental regr_slope/covar implementation (whose Welford
+    merges introduce order-dependent intermediates).
+
+    Scale: one aggregation shuffle to weekly rollups, then a per-key
+    aggregation over the (tiny) weekly series; map-side partial sums do
+    the heavy lifting. Degenerate groups (single week, zero variance) are
+    excluded in both engines."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        ev.groupBy(
+            "event_type",
+            (
+                F.unix_timestamp(F.date_trunc("week", F.col("ts"))).cast("long")
+                / F.lit(604800)
+            )
+            .cast("long")
+            .alias("x"),
+        )
+        .agg(F.count("*").alias("y"))
+    )
+    s = w.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.max("x").alias("last_x"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return (
+        s.where((F.col("n") >= 2) & (den > 0))
+        .select(
+            "event_type",
+            F.col("n").alias("n_weeks"),
+            F.round(slope, 6).alias("slope"),
+            F.round(intercept, 6).alias("intercept"),
+            F.round(intercept + slope * (F.col("last_x") + 1), 6).alias(
+                "forecast_next"
+            ),
+        )
+    )
