@@ -696,3 +696,53 @@ def q110_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     words = docs.select(F.explode(tokens_expr()).alias("word"))
     return heavy_hitters(words)
+
+
+@query(
+    "q122_token_entropy",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    words AS (SELECT doc_id, unnest(toks) AS word FROM t),
+    c AS (SELECT doc_id, word, count(*) AS cnt FROM words GROUP BY 1, 2),
+    agg AS (SELECT doc_id,
+                   CAST(sum(cnt) AS BIGINT) AS n_tokens,
+                   list(CAST(cnt AS DOUBLE) ORDER BY cnt) AS cs
+            FROM c GROUP BY 1)
+    SELECT doc_id, n_tokens,
+           round(-list_reduce(
+                     list_prepend(0.0,
+                         list_transform(cs, x -> (x / n_tokens)
+                                              * ln(x / n_tokens))),
+                     (a, b) -> a + b), 6) AS entropy
+    FROM agg
+    """,
+)
+def q122_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    information-density signal curation uses to catch low-entropy
+    template/spam pages (repeated boilerplate scores near 0; diverse
+    prose scores near ln(vocab)).
+
+    Cross-engine determinism: the per-term contributions are summed by a
+    SEQUENTIAL fold over the SORTED count list (ascending, duplicates
+    adjacent), so both engines add the identical float sequence in the
+    identical order — the dot-product fold trick applied to an
+    information measure; the result is rounded only as hash polish, not
+    to mask drift.
+
+    Scale: one (doc, word) counting shuffle + one per-doc aggregation;
+    the fold runs over each doc's distinct-token counts (vocabulary-
+    bounded, tiny arrays) map-side."""
+    docs = load_table(spark, "documents", sf_dir)
+    words = docs.select("doc_id", F.explode(tokens_expr()).alias("word"))
+    c = words.groupBy("doc_id", "word").agg(F.count("*").alias("cnt"))
+    agg = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.array_sort(F.collect_list(F.col("cnt").cast("double"))).alias("cs"),
+    )
+    n = F.col("n_tokens")
+    term = lambda x: (x / n) * F.log(x / n)  # noqa: E731
+    entropy = -F.aggregate(
+        F.transform(F.col("cs"), term), F.lit(0.0), lambda a, b: a + b
+    )
+    return agg.select("doc_id", "n_tokens", F.round(entropy, 6).alias("entropy"))
