@@ -746,3 +746,134 @@ def q122_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("cs"), term), F.lit(0.0), lambda a, b: a + b
     )
     return agg.select("doc_id", "n_tokens", F.round(entropy, 6).alias("entropy"))
+
+
+@query(
+    "q123_naive_bayes_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {DUCK_TOKS} AS toks FROM documents),
+    dw AS (SELECT doc_id, lang, unnest(toks) AS word FROM t),
+    dwc AS (SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS cnt
+            FROM dw GROUP BY 1, 2, 3),
+    cw AS (SELECT lang AS clang, word, CAST(count(*) AS BIGINT) AS cnt_lw
+           FROM dw GROUP BY 1, 2),
+    ct AS (SELECT clang, CAST(sum(cnt_lw) AS BIGINT) AS total_l
+           FROM cw GROUP BY 1),
+    vocab AS (SELECT CAST(count(DISTINCT word) AS BIGINT) AS v FROM dw),
+    prior AS (SELECT lang AS clang, CAST(count(*) AS BIGINT) AS n_docs
+              FROM documents GROUP BY 1),
+    n_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    terms AS (
+        SELECT d.doc_id, d.lang, c.clang, d.word,
+               d.cnt * ln(CAST(coalesce(x.cnt_lw, 0) + 1 AS DOUBLE)
+                          / (c.total_l + vocab.v)) AS term
+        FROM dwc d
+        CROSS JOIN ct c
+        CROSS JOIN vocab
+        LEFT JOIN cw x ON x.clang = c.clang AND x.word = d.word
+    ),
+    scored AS (
+        SELECT t2.doc_id, t2.lang, t2.clang,
+               list_reduce(list_prepend(0.0, list(t2.term ORDER BY t2.word)),
+                           (a, b) -> a + b)
+               + ln(CAST(p.n_docs AS DOUBLE) / n_all.n) AS logp
+        FROM terms t2
+        JOIN prior p ON p.clang = t2.clang
+        CROSS JOIN n_all
+        GROUP BY t2.doc_id, t2.lang, t2.clang, p.n_docs, n_all.n
+    ),
+    pred AS (SELECT doc_id, lang, clang AS pred_lang
+             FROM (SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY round(logp, 9) DESC, clang ASC) AS rn
+                   FROM scored)
+             WHERE rn = 1)
+    SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND applied
+    entirely in-engine (no UDF, no external model): Laplace-smoothed
+    per-language word likelihoods from the corpus itself, per-doc
+    log-probability scoring, argmax prediction, confusion counts — the
+    self-supervised upgrade of q33's marker heuristic, and the pattern
+    for any bag-of-words classifier a curation pipeline trains in the
+    warehouse.
+
+    Cross-engine determinism stack: all model parameters are ratios of
+    exact integer counts; each doc×class log-likelihood is a SEQUENTIAL
+    fold over word-sorted terms (identical float sequence, identical
+    order in both engines); the argmax ranks the 9-dp-rounded score with
+    a class tiebreak.
+
+    Scale: class-conditional count tables are vocabulary-bounded and
+    broadcast; the doc×class expansion is a map-side multiply of the
+    (doc, word) stream by L classes; per-doc folds run over tiny arrays.
+    Two corpus shuffles total ((doc, word) counts; per-doc score agg)."""
+    docs = load_table(spark, "documents", sf_dir)
+    dw = docs.select("doc_id", "lang", F.explode(tokens_expr()).alias("word"))
+    dwc = dw.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("cnt"))
+    cw = dw.groupBy(F.col("lang").alias("clang"), "word").agg(
+        F.count("*").alias("cnt_lw")
+    )
+    ct = cw.groupBy("clang").agg(F.sum("cnt_lw").alias("total_l"))
+    vocab = dw.agg(F.count_distinct("word").alias("v"))
+    prior = docs.groupBy(F.col("lang").alias("clang")).agg(
+        F.count("*").alias("n_docs")
+    )
+    n_all = docs.agg(F.count("*").alias("n"))
+
+    terms = (
+        dwc.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(cw), ["clang", "word"], "left")
+        .select(
+            "doc_id",
+            "lang",
+            "clang",
+            "word",
+            (
+                F.col("cnt")
+                * F.log(
+                    (F.coalesce(F.col("cnt_lw"), F.lit(0)) + 1).cast("double")
+                    / (F.col("total_l") + F.col("v"))
+                )
+            ).alias("term"),
+        )
+    )
+    scored = (
+        terms.groupBy("doc_id", "lang", "clang")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("word", "term"))),
+                    lambda s: s.term,
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("ll")
+        )
+        .join(F.broadcast(prior), "clang")
+        .crossJoin(F.broadcast(n_all))
+        .select(
+            "doc_id",
+            "lang",
+            "clang",
+            (
+                F.col("ll")
+                + F.log(F.col("n_docs").cast("double") / F.col("n"))
+            ).alias("logp"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("logp"), 9)), F.asc("clang")
+    )
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("clang").alias("pred_lang"))
+    )
+    return pred.groupBy("lang", "pred_lang").agg(F.count("*").alias("n"))
