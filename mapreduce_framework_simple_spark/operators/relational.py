@@ -2205,3 +2205,68 @@ def q121_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DECAY_HALFLIFE_H = 24.0  # engagement half-life: 24 hours
+
+
+@query(
+    "q125_decayed_engagement",
+    oracle=f"""
+    WITH mx AS (SELECT max(ts) AS t_max FROM events),
+    terms AS (
+        SELECT user_id, event_id,
+               CAST(round(value * 100) AS BIGINT) / 100.0
+               * pow(2.0, -(CAST(epoch_us(mx.t_max) - epoch_us(ts) AS DOUBLE)
+                            / 3600000000.0) / {DECAY_HALFLIFE_H}) AS term
+        FROM events CROSS JOIN mx
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(list_reduce(list_prepend(0.0, list(term ORDER BY event_id)),
+                             (a, b) -> a + b), 6) AS decayed_value
+    FROM terms GROUP BY user_id
+    """,
+)
+def q125_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay engagement score per user: each event's
+    value contributes value·2^(−age/24h) relative to the newest event —
+    the standard recency-weighted activity metric (trending scores,
+    freshness-weighted user value).
+
+    Determinism stack: ages are exact integer microsecond differences;
+    values enter as exact cents; each per-event term is then an identical
+    float expression in both engines, and the per-user sum is a
+    SEQUENTIAL fold over event_id-sorted terms (the q122 discipline).
+
+    Scale: the 1-row max timestamp broadcasts; terms are row-local; one
+    shuffle on user_id whose per-user arrays are bounded by user event
+    counts (heavy users → the same salting/AQE answer as any skewed
+    agg)."""
+    ev = load_table(spark, "events", sf_dir)
+    mx = ev.agg(F.max("ts").alias("t_max"))
+    age_h = (
+        (F.unix_micros(F.col("t_max")) - F.unix_micros(F.col("ts"))).cast("double")
+        / 3600000000.0
+    )
+    term = (
+        (F.round(F.col("value") * 100).cast("long") / F.lit(100.0))
+        * F.pow(F.lit(2.0), -age_h / F.lit(DECAY_HALFLIFE_H))
+    )
+    terms = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id", "event_id", term.alias("term")
+    )
+    agg = terms.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "term"))),
+                lambda s: s.term,
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("dv"),
+    )
+    return agg.select(
+        "user_id", "n_events", F.round("dv", 6).alias("decayed_value")
+    )

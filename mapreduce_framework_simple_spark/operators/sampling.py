@@ -159,3 +159,53 @@ def q106_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 12)
         .withColumn("rk", F.col("rk").cast("long"))
     )
+
+
+@query(
+    "q124_weighted_sample",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               -- Efraimidis-Spirakis: rank by ln(u)/w, u = deterministic
+               -- md5 uniform in (0,1); larger key = more likely kept
+               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                  / 4294967297.0) / n_chars AS es_key
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (ORDER BY es_key DESC, doc_id) AS rk
+          FROM keyed)
+    WHERE rk <= 50
+    """,
+)
+def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis): keep
+    the top-50 documents by ln(u)/weight where u is a DETERMINISTIC
+    md5-derived uniform and weight = n_chars — longer documents
+    proportionally likelier, yet the sample is reproducible across runs,
+    layouts, and engines (the same layout-independence contract as q83,
+    extended to weighted draws; this is how a pipeline takes a
+    length-weighted corpus sample for inspection or eval).
+
+    Determinism note: the ES key uses ln/division — transcendental — but
+    it is only ever RANKED, never hashed: distinct md5 uniforms differ by
+    ≥ 2⁻³², so a 1-ULP cross-engine difference cannot reorder keys; the
+    emitted columns are all integers.
+
+    Scale: key is a row-local expression; global top-k plans as
+    TakeOrderedAndProject (no full sort); at 100 TB the same key feeds a
+    per-partition top-k then a 50-row driver merge."""
+    docs = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + 1.0
+    ) / 4294967297.0
+    es_key = F.log(u) / F.col("n_chars")
+    w = Window.orderBy(F.desc(es_key), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars", es_key.alias("es_key"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 50)
+        .drop("es_key")
+    )
