@@ -934,3 +934,81 @@ def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("recall"),
     )
+
+
+@query(
+    "q126_source_copy_matrix",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_SHINGLE_SETS},
+    {_DUCK_SID_SETS_TAIL},
+    {_DUCK_LSH_PAIRS},
+    src AS (SELECT doc_id, source FROM documents)
+    SELECT least(a.source, b.source)    AS source_a,
+           greatest(a.source, b.source) AS source_b,
+           CAST(count(*) AS BIGINT)     AS n_pairs
+    FROM pairs p
+    JOIN src a ON a.doc_id = p.doc_a
+    JOIN src b ON b.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q126_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup candidate pairs (q38)
+    aggregated by unordered source pair — which crawls/feeds copy from
+    each other, the provenance report that decides which source to
+    down-weight before training. Diagonal entries (same source) measure
+    internal redundancy.
+
+    Scale: two broadcast joins of the (tiny) doc→source map onto the LSH
+    pair list, then an aggregation over ≤ sources² keys."""
+    pairs = q38_minhash_lsh_pairs(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(a), "doc_a")
+        .join(F.broadcast(b), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@query(
+    "q127_boilerplate_shingles",
+    oracle=f"""
+    WITH {_DUCK_SHINGLE_SETS},
+    j AS (SELECT sh.shingle, d.source
+          FROM sh JOIN documents d ON d.doc_id = sh.doc_id),
+    agg AS (SELECT shingle,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM j GROUP BY shingle)
+    SELECT shingle, n_docs, n_sources
+    FROM agg WHERE n_sources >= 5
+    """,
+)
+def q127_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate mining: word-3-gram shingles appearing across ≥5
+    distinct sources — headers, navigation chrome, license blurbs; the
+    template text a curation pipeline strips BEFORE dedup so boilerplate
+    doesn't glue unrelated documents into one near-dup component
+    (complements q100, which scores within-corpus containment per doc).
+
+    Scale: explode + one (shingle) aggregation with map-side partials;
+    the distinct-source count per shingle is bounded by the source
+    catalog. The output is the strip-list — small enough to broadcast
+    into the cleaning pass."""
+    sh = shingle_sets(spark, sf_dir)
+    src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    return (
+        sh.join(F.broadcast(src), "doc_id")
+        .groupBy("shingle")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+        )
+        .where(F.col("n_sources") >= 5)
+    )
