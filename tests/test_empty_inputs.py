@@ -1,0 +1,89 @@
+"""Degenerate-input robustness for library operators: empty frames must
+yield empty (not crash) — the oracle suite can't cover this because the
+testdata scale factors are never empty, but production batches are
+(an empty crawl drop, a fully-filtered partition, a quiet stream window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _empty_docs(spark):
+    return spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+        ])
+    )
+
+
+def test_heavy_hitters_empty(spark):
+    from mapreduce_framework_simple_spark.operators.text import heavy_hitters
+
+    words = spark.createDataFrame([], T.StructType([T.StructField("word", T.StringType())]))
+    assert heavy_hitters(words).count() == 0
+
+
+def test_connected_components_empty_edges(spark):
+    from mapreduce_framework_simple_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("doc_a", T.LongType()),
+            T.StructField("doc_b", T.LongType()),
+        ])
+    )
+    assert connected_components(edges).count() == 0
+
+
+def test_band_signatures_empty_docs(spark):
+    from mapreduce_framework_simple_spark.operators.dedup import band_signatures_from
+
+    assert band_signatures_from(_empty_docs(spark)).count() == 0
+
+
+def test_incremental_candidates_empty_batch(spark, sf_dir, tmp_path):
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    idx = str(tmp_path / "idx")
+    write_lsh_index(load_table(spark, "documents", sf_dir), idx)
+    assert incremental_lsh_candidates(spark, _empty_docs(spark), idx).count() == 0
+
+
+def test_scrub_pii_empty_and_short_docs(spark):
+    from mapreduce_framework_simple_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "x"), (3, "a@b.co and 555-123-4567")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["n_pii"] for r in scrub_pii(df).collect()}
+    assert out[1] == 0 and out[2] == 0 and out[3] == 2
+
+
+def test_stream_enrich_static_empty_dim(spark, sf_dir):
+    """An empty rules table must yield an empty inner-joined stream, not
+    a broadcast failure."""
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        read_events_stream,
+        run_available_now,
+        stream_enrich_static,
+    )
+
+    dim = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("event_type", T.StringType()),
+            T.StructField("p99", T.DoubleType()),
+        ])
+    )
+    flagged = stream_enrich_static(read_events_stream(spark, sf_dir), dim).select(
+        "event_id"
+    )
+    got = run_available_now(flagged, "t_empty_dim", output_mode="append")
+    assert got.count() == 0
