@@ -2270,3 +2270,81 @@ def q125_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", "n_events", F.round("dv", 6).alias("decayed_value")
     )
+
+
+@query(
+    "q128_ab_welch_t",
+    oracle="""
+    WITH c AS (SELECT event_type,
+                      CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+                      CAST(round(value * 100) AS BIGINT) AS cents
+               FROM events),
+    s AS (SELECT event_type, arm,
+                 CAST(count(*) AS BIGINT)          AS n,
+                 CAST(sum(cents) AS BIGINT)        AS s1,
+                 CAST(sum(cents * cents) AS BIGINT) AS s2
+          FROM c GROUP BY 1, 2),
+    wide AS (SELECT a.event_type,
+                    a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
+                    b.n AS n_b, b.s1 AS s1_b, b.s2 AS s2_b
+             FROM s a JOIN s b ON a.event_type = b.event_type
+                              AND a.arm = 'A' AND b.arm = 'B')
+    SELECT event_type, n_a, n_b,
+           round(CAST(s1_a AS DOUBLE) / n_a / 100, 6) AS mean_a,
+           round(CAST(s1_b AS DOUBLE) / n_b / 100, 6) AS mean_b,
+           round((CAST(s1_a AS DOUBLE) / n_a - CAST(s1_b AS DOUBLE) / n_b)
+                 / sqrt(((CAST(s2_a AS DOUBLE) - CAST(s1_a AS DOUBLE) * s1_a / n_a)
+                         / (n_a - 1)) / n_a
+                        + ((CAST(s2_b AS DOUBLE) - CAST(s1_b AS DOUBLE) * s1_b / n_b)
+                           / (n_b - 1)) / n_b), 6) AS welch_t
+    FROM wide WHERE n_a >= 2 AND n_b >= 2
+    """,
+)
+def q128_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Welch t-statistic per event type between experiment
+    arms (A = even user ids, B = odd — the deterministic stand-in for an
+    assignment table): the in-warehouse A/B readout that decides whether
+    a value shift is signal or noise before anyone ships.
+
+    Determinism: each arm's count, sum, and sum-of-squares accumulate
+    EXACT integer cents (all < 2⁵³), so mean, Welch variance, and the t
+    statistic are identical float expressions over identical integers in
+    both engines — no order-dependent float accumulation anywhere.
+
+    Scale: one aggregation shuffle on (event_type, arm) with map-side
+    partials; the arm join and t arithmetic run on the tiny per-type
+    rollup. Degenerate arms (n < 2) are excluded on both sides."""
+    ev = load_table(spark, "events", sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    c = ev.select(
+        "event_type",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
+        cents.alias("cents"),
+    )
+    s = c.groupBy("event_type", "arm").agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    a = s.where(F.col("arm") == "A").select(
+        "event_type",
+        F.col("n").alias("n_a"), F.col("s1").alias("s1_a"), F.col("s2").alias("s2_a"),
+    )
+    b = s.where(F.col("arm") == "B").select(
+        "event_type",
+        F.col("n").alias("n_b"), F.col("s1").alias("s1_b"), F.col("s2").alias("s2_b"),
+    )
+    w = a.join(b, "event_type").where((F.col("n_a") >= 2) & (F.col("n_b") >= 2))
+    mean_a = F.col("s1_a").cast("double") / F.col("n_a")
+    mean_b = F.col("s1_b").cast("double") / F.col("n_b")
+    var_a = (F.col("s2_a").cast("double") - F.col("s1_a").cast("double") * F.col("s1_a") / F.col("n_a")) / (F.col("n_a") - 1)
+    var_b = (F.col("s2_b").cast("double") - F.col("s1_b").cast("double") * F.col("s1_b") / F.col("n_b")) / (F.col("n_b") - 1)
+    t = (mean_a - mean_b) / F.sqrt(var_a / F.col("n_a") + var_b / F.col("n_b"))
+    return w.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round(mean_a / 100, 6).alias("mean_a"),
+        F.round(mean_b / 100, 6).alias("mean_b"),
+        F.round(t, 6).alias("welch_t"),
+    )
