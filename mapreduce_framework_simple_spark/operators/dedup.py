@@ -336,6 +336,25 @@ def band_signatures_from(docs: DataFrame) -> DataFrame:
     )
 
 
+def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Banded self-join on (band, band_sig): distinct candidate pairs
+    (doc_a < doc_b). The single definition of the LSH candidate rule —
+    q38 and pipeline.curate both call this, so a banding change cannot
+    silently diverge between the oracle-verified query and the pipeline."""
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
 def write_lsh_index(docs: DataFrame, path: str) -> None:
     """Persist the corpus's LSH band signatures, partitioned by band —
     the dedup index a production pipeline maintains so each incoming
@@ -359,7 +378,15 @@ def incremental_lsh_candidates(
     union, restricted to cross pairs) is asserted in
     test_similarity_dedup."""
     nb = band_signatures_from(new_docs)
-    idx = spark.read.parquet(index_path)
+    try:
+        idx = spark.read.parquet(index_path)
+    except Exception:
+        # an index built from an EMPTY corpus writes only _SUCCESS (no
+        # part files), so the read-back cannot infer a schema — the
+        # correct probe result against an empty corpus is no candidates
+        return spark.createDataFrame(
+            [], "new_doc_id long, corpus_doc_id long"
+        )
     return (
         idx.alias("c")
         .join(
@@ -400,18 +427,7 @@ def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = band_signatures_from(
         load_table(spark, "documents", sf_dir)
     ).cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    return lsh_candidate_pairs(bands)
 
 
 SIMHASH_BITS = 16

@@ -2109,10 +2109,8 @@ def q119_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit-style plan rather than executing a subquery per
     customer row — same physical shape as q13, so the SQL sugar costs
     nothing at 100 TB."""
-    from mapreduce_framework_simple_spark.sources.io import load_table as _lt
-
-    _lt(spark, "customer", sf_dir).createOrReplaceTempView("q119_customer")
-    _lt(spark, "orders", sf_dir).createOrReplaceTempView("q119_orders")
+    load_table(spark, "customer", sf_dir).createOrReplaceTempView("q119_customer")
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView("q119_orders")
     return spark.sql(
         """
         SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey, t.price_cents

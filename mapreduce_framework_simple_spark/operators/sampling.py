@@ -168,8 +168,8 @@ def q106_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, source, n_chars,
                -- Efraimidis-Spirakis: rank by ln(u)/w, u = deterministic
                -- md5 uniform in (0,1); larger key = more likely kept
-               ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
-                  / 4294967297.0) / n_chars AS es_key
+               round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1.0)
+                        / 4294967297.0) / n_chars, 12) AS es_key
         FROM documents
     )
     SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
@@ -187,10 +187,12 @@ def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     extended to weighted draws; this is how a pipeline takes a
     length-weighted corpus sample for inspection or eval).
 
-    Determinism note: the ES key uses ln/division — transcendental — but
-    it is only ever RANKED, never hashed: distinct md5 uniforms differ by
-    ≥ 2⁻³², so a 1-ULP cross-engine difference cannot reorder keys; the
-    emitted columns are all integers.
+    Determinism note: the ES key uses ln/division — transcendental — and
+    with UNEQUAL weights two documents' keys can in principle land
+    arbitrarily close, so the key is rounded to 12 dp before ranking
+    (identical rounding in both engines; exact ties then break on
+    doc_id) — a 1-ULP libm difference can no longer reorder the rank-50
+    boundary. The emitted columns are all integers.
 
     Scale: key is a row-local expression; global top-k plans as
     TakeOrderedAndProject (no full sort); at 100 TB the same key feeds a
@@ -201,7 +203,7 @@ def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         + 1.0
     ) / 4294967297.0
-    es_key = F.log(u) / F.col("n_chars")
+    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
     w = Window.orderBy(F.desc(es_key), F.asc("doc_id"))
     return (
         docs.select("doc_id", "source", "n_chars", es_key.alias("es_key"))

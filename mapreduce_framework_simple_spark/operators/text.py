@@ -813,12 +813,16 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two corpus shuffles total ((doc, word) counts; per-doc score agg)."""
     docs = load_table(spark, "documents", sf_dir)
     dw = docs.select("doc_id", "lang", F.explode(tokens_expr()).alias("word"))
-    dwc = dw.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("cnt"))
-    cw = dw.groupBy(F.col("lang").alias("clang"), "word").agg(
-        F.count("*").alias("cnt_lw")
+    # dwc is the ONLY frame derived from the raw token explode; the class
+    # tables roll up from it (cw = Σ cnt, vocab = distinct words of cw),
+    # so the corpus is tokenized once, not three times — the same
+    # no-subexpression-reuse trap q105/shingle_sets document
+    dwc = dw.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("cnt")).cache()
+    cw = dwc.groupBy(F.col("lang").alias("clang"), "word").agg(
+        F.sum("cnt").alias("cnt_lw")
     )
     ct = cw.groupBy("clang").agg(F.sum("cnt_lw").alias("total_l"))
-    vocab = dw.agg(F.count_distinct("word").alias("v"))
+    vocab = cw.agg(F.count_distinct("word").alias("v"))
     prior = docs.groupBy(F.col("lang").alias("clang")).agg(
         F.count("*").alias("n_docs")
     )

@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from mapreduce_framework_simple_spark.operators.dedup import (
     band_signatures_from,
     connected_components,
+    lsh_candidate_pairs,
     norm_expr,
     shingle_sets_from,
 )
@@ -44,20 +45,9 @@ CONTAMINATION_MAX = 0.5  # drop docs with > 50% probe-shingle overlap
 
 
 def _lsh_pairs_from(docs: DataFrame) -> DataFrame:
-    """q38's banded candidate join over an arbitrary (doc_id, text) frame."""
-    bands = band_signatures_from(docs)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    """q38's banded candidate join over an arbitrary (doc_id, text) frame
+    — same candidate rule as the oracle-verified query (shared helper)."""
+    return lsh_candidate_pairs(band_signatures_from(docs))
 
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:

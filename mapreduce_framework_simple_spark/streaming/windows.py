@@ -194,9 +194,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.isdir(src):
         drop_zone = src
     else:
-        key = hashlib.md5(src.encode()).hexdigest()[:12]
+        # content-fingerprinted key (mtime+size): testdata is regenerated
+        # between rounds, and a path-only key would stream stale events
+        st = os.stat(src)
+        key = hashlib.md5(
+            f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
+        ).hexdigest()[:12]
         drop_zone = os.path.join(tempfile.gettempdir(), f"mfss_stream_{key}")
-        if not os.path.isdir(drop_zone):
+        if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
             # rewrite through the batch loader: converts the physical
             # TIMESTAMP(NANOS) column to micros so the declared stream
             # schema (TimestampType) matches the staged files
@@ -432,9 +437,16 @@ def read_documents_stream(spark: SparkSession, sf_dir: str,
     import tempfile
 
     src = os.path.join(sf_dir, "documents.parquet")
-    key = hashlib.md5(f"{src}:{n_files}".encode()).hexdigest()[:12]
+    # key by source CONTENT fingerprint (mtime+size), not just the path:
+    # the round driver regenerates testdata in place, and a path-keyed
+    # stage would silently stream the stale corpus. The _SUCCESS probe
+    # also rejects a partially-written stage from a crashed prior run.
+    st = os.stat(src)
+    key = hashlib.md5(
+        f"{src}:{n_files}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:12]
     drop_zone = os.path.join(tempfile.gettempdir(), f"mfss_docstream_{key}")
-    if not os.path.isdir(drop_zone):
+    if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
         load_table(spark, "documents", sf_dir).repartition(n_files).write.mode(
             "overwrite"
         ).parquet(drop_zone)
@@ -460,7 +472,11 @@ def stream_dedup_against_index(docs_stream: DataFrame, index_path: str,
     shingle → MinHash → banding — which contains aggregations that a
     single streaming query could not chain ahead of a join. Per-batch
     work: the batch's own signature pass + one map-side broadcast probe
-    of the index; exactly-once lands on the checkpointed batch id."""
+    of the index. Idempotence: each batch OVERWRITES its own
+    ``batch=<id>`` partition directory, so a foreachBatch replay after a
+    crash (at-least-once delivery) rewrites the same rows instead of
+    appending duplicates — read the result with
+    ``spark.read.parquet(out_dir)`` (the batch column is metadata)."""
     from mapreduce_framework_simple_spark.operators.dedup import (
         incremental_lsh_candidates,
     )
@@ -469,7 +485,7 @@ def stream_dedup_against_index(docs_stream: DataFrame, index_path: str,
         cands = incremental_lsh_candidates(
             batch_df.sparkSession, batch_df, index_path
         )
-        cands.write.mode("append").parquet(out_dir)
+        cands.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

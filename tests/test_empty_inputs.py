@@ -87,3 +87,17 @@ def test_stream_enrich_static_empty_dim(spark, sf_dir):
     )
     got = run_available_now(flagged, "t_empty_dim", output_mode="append")
     assert got.count() == 0
+
+
+def test_incremental_candidates_empty_index(spark, tmp_path):
+    """An index built from an EMPTY corpus (only _SUCCESS, no part files)
+    must probe to zero candidates, not crash on schema inference."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+
+    idx = str(tmp_path / "empty_idx")
+    write_lsh_index(_empty_docs(spark), idx)
+    batch = spark.createDataFrame([(1, "the quick brown fox jumps")], ["doc_id", "text"])
+    assert incremental_lsh_candidates(spark, batch, idx).count() == 0
