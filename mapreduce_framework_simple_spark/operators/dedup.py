@@ -21,8 +21,13 @@ declared 100 TB strategy and q36 is demoted to verification duty.
 
 from __future__ import annotations
 
+import logging
+
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+logger = logging.getLogger(__name__)
 
 from mapreduce_framework_simple_spark.operators.text import (
     DUCK_SHINGLES,
@@ -336,11 +341,62 @@ def band_signatures_from(docs: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(bands: DataFrame) -> DataFrame:
+# Cap on docs sharing one (band, band_sig) bucket. The band key is
+# near-unique EXCEPT for boilerplate: q127 proves the corpus contains
+# shingles shared by >= 5 sources, and a boilerplate-heavy bucket makes
+# that bucket's pair output quadratic (a 10k-doc bucket alone emits
+# 50M pairs). Buckets above the cap are dropped — true near-dups agree
+# on MULTIPLE bands, so they still surface via their other (smaller)
+# buckets; what the cap removes is exactly the template-text noise a
+# production dedup wants suppressed anyway. Never silent: every drop is
+# counted and logged (the no-silent-caps rule).
+LSH_MAX_BUCKET = 1000
+
+
+def _drop_oversized_buckets(
+    bands: DataFrame, max_bucket_size: int, what: str
+) -> DataFrame:
+    """Remove rows of (band, band_sig) buckets holding more than
+    ``max_bucket_size`` docs; log the dropped-bucket count eagerly.
+
+    Scale: the bucket-size aggregate does map-side partial aggregation
+    (16 rows/doc in, ~1 row/bucket out), and the oversized list — at
+    most N/cap rows by construction — broadcasts into a map-side
+    anti-join, so the guard adds no corpus-sized shuffle."""
+    oversized = (
+        bands.groupBy("band", "band_sig")
+        .agg(F.count("*").alias("bucket_n"))
+        .where(F.col("bucket_n") > max_bucket_size)
+    )
+    # eager tiny action: a capped result must never look complete —
+    # surface the drop count at the moment the cap decision is made
+    n_dropped = oversized.count()
+    if n_dropped:
+        logger.warning(
+            "%s: dropped %d LSH bucket(s) exceeding %d docs "
+            "(boilerplate guard; pairs within them are not emitted)",
+            what, n_dropped, max_bucket_size,
+        )
+    return bands.join(
+        F.broadcast(oversized.select("band", "band_sig")),
+        ["band", "band_sig"],
+        "left_anti",
+    )
+
+
+def lsh_candidate_pairs(
+    bands: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
+) -> DataFrame:
     """Banded self-join on (band, band_sig): distinct candidate pairs
     (doc_a < doc_b). The single definition of the LSH candidate rule —
     q38 and pipeline.curate both call this, so a banding change cannot
-    silently diverge between the oracle-verified query and the pipeline."""
+    silently diverge between the oracle-verified query and the pipeline.
+
+    Buckets larger than ``max_bucket_size`` docs are dropped before the
+    join (see ``LSH_MAX_BUCKET``); pass ``None`` to disable the guard
+    (test/ground-truth use only)."""
+    if max_bucket_size is not None:
+        bands = _drop_oversized_buckets(bands, max_bucket_size, "lsh_candidate_pairs")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -359,12 +415,26 @@ def write_lsh_index(docs: DataFrame, path: str) -> None:
     """Persist the corpus's LSH band signatures, partitioned by band —
     the dedup index a production pipeline maintains so each incoming
     batch is checked against the corpus WITHOUT recomputing corpus
-    signatures. 16 longs per doc, ~1/1000th of the text it indexes."""
-    band_signatures_from(docs).write.mode("overwrite").partitionBy("band").parquet(path)
+    signatures. 16 longs per doc, ~1/1000th of the text it indexes.
+
+    Each row also stores its bucket's population (``bucket_n``) so the
+    probe can enforce the boilerplate fan-out cap map-side, at zero
+    probe-time shuffle — the one window shuffle is paid once here, at
+    build time, over 16-longs-per-doc rows."""
+    from pyspark.sql import Window
+
+    sized = band_signatures_from(docs).withColumn(
+        "bucket_n",
+        F.count("*").over(Window.partitionBy("band", "band_sig")),
+    )
+    sized.write.mode("overwrite").partitionBy("band").parquet(path)
 
 
 def incremental_lsh_candidates(
-    spark: SparkSession, new_docs: DataFrame, index_path: str
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    max_bucket_size: int | None = LSH_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup candidates between a NEW document batch and an indexed
     corpus: compute band signatures for the batch only, broadcast them
@@ -372,21 +442,45 @@ def incremental_lsh_candidates(
     persisted index with a map-side hash join on (band, band_sig).
     Returns (new_doc_id, corpus_doc_id) distinct pairs.
 
+    Fan-out guard: corpus buckets above ``max_bucket_size`` are skipped
+    via the index's stored ``bucket_n`` (a map-side filter — no probe
+    shuffle; indexes written before the column existed are probed
+    uncapped, with a warning); batch-side hot buckets are dropped by the
+    same counted-and-logged rule as :func:`lsh_candidate_pairs`, since
+    an all-boilerplate batch would otherwise multiply against every
+    index bucket it touches.
+
     Scale: corpus-side cost is ONE index scan (16 longs/doc — not the
     text), zero shuffle; batch-side cost is the batch's own signature
     pass. Equality with the batch-recompute formulation (q38 on the
     union, restricted to cross pairs) is asserted in
     test_similarity_dedup."""
     nb = band_signatures_from(new_docs)
+    if max_bucket_size is not None:
+        nb = _drop_oversized_buckets(
+            nb, max_bucket_size, "incremental_lsh_candidates[batch]"
+        )
     try:
         idx = spark.read.parquet(index_path)
-    except Exception:
+    except AnalysisException as e:
         # an index built from an EMPTY corpus writes only _SUCCESS (no
         # part files), so the read-back cannot infer a schema — the
-        # correct probe result against an empty corpus is no candidates
-        return spark.createDataFrame(
-            [], "new_doc_id long, corpus_doc_id long"
-        )
+        # correct probe result against an empty corpus is no candidates.
+        # Anything else (typo'd path, corrupted parts, IO/permission
+        # errors) must FAIL, not silently admit the batch as dup-free.
+        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
+            return spark.createDataFrame(
+                [], "new_doc_id long, corpus_doc_id long"
+            )
+        raise
+    if max_bucket_size is not None:
+        if "bucket_n" in idx.columns:
+            idx = idx.where(F.col("bucket_n") <= max_bucket_size)
+        else:
+            logger.warning(
+                "incremental_lsh_candidates: index at %s predates bucket_n; "
+                "probing without the corpus-side fan-out cap", index_path,
+            )
     return (
         idx.alias("c")
         .join(

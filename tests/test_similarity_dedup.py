@@ -225,3 +225,88 @@ def test_incremental_lsh_candidates_equal_batch_recompute(spark, sf_dir, tmp_pat
         elif b < cut <= a:
             want.add((a, b))
     assert got == want and len(want) > 0
+
+
+def test_lsh_bucket_cap_bounds_boilerplate(spark, caplog):
+    """A planted boilerplate bucket (many docs sharing one text, i.e. one
+    band signature per band) must be dropped by the fan-out cap — pair
+    output stays bounded instead of going quadratic — and the drop must
+    be logged, never silent. Distinct docs below the cap are unaffected."""
+    import logging
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        band_signatures_from,
+        lsh_candidate_pairs,
+    )
+
+    boiler = [(i, "subscribe to our newsletter terms apply all rights reserved "
+                  "contact us privacy policy cookie settings") for i in range(60)]
+    distinct = [(1000 + i,
+                 f"unique document number {i} about topic {i * 7} with words "
+                 f"{'alpha beta gamma delta epsilon'.split()[i % 5]} {i * i}")
+                for i in range(5)]
+    docs = spark.createDataFrame(boiler + distinct, "doc_id long, text string")
+    bands = band_signatures_from(docs)
+
+    uncapped = lsh_candidate_pairs(bands, max_bucket_size=None).count()
+    assert uncapped >= 60 * 59 // 2  # the quadratic blow-up the cap exists for
+
+    with caplog.at_level(logging.WARNING,
+                         logger="mapreduce_framework_simple_spark.operators.dedup"):
+        capped = lsh_candidate_pairs(bands, max_bucket_size=10).count()
+    assert capped == 0  # bounded: the boilerplate bucket's pairs are gone
+    assert any("dropped" in r.message and "bucket" in r.message
+               for r in caplog.records)  # no silent caps
+
+
+def test_incremental_probe_caps_index_fanout(spark, caplog, tmp_path):
+    """The persisted index stores per-bucket populations; a probe against
+    a boilerplate-heavy corpus bucket must skip it map-side (bounded
+    candidates) while normal buckets still match."""
+    import logging
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+
+    boiler_text = ("subscribe to our newsletter terms apply all rights "
+                   "reserved contact us privacy policy cookie settings")
+    normal_text = "a perfectly ordinary document about spark partitioning"
+    corpus = spark.createDataFrame(
+        [(i, boiler_text) for i in range(50)] + [(900, normal_text)],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "lsh_index_cap")
+    write_lsh_index(corpus, idx)
+    assert "bucket_n" in spark.read.parquet(idx).columns
+
+    batch = spark.createDataFrame(
+        [(2000, boiler_text), (2001, normal_text)], "doc_id long, text string"
+    )
+    capped = incremental_lsh_candidates(spark, batch, idx, max_bucket_size=10)
+    rows = {(r["new_doc_id"], r["corpus_doc_id"]) for r in capped.collect()}
+    assert rows == {(2001, 900)}  # boilerplate fan-out suppressed, exact match kept
+
+    uncapped = incremental_lsh_candidates(spark, batch, idx, max_bucket_size=None)
+    assert uncapped.count() == 51  # 50 boilerplate hits + the normal one
+
+
+def test_incremental_probe_raises_on_missing_index(spark, tmp_path):
+    """A typo'd/nonexistent index path must FAIL the probe, not silently
+    admit the whole batch as dup-free (the empty-corpus case — a real
+    index directory with no part files — still returns no candidates)."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    batch = spark.createDataFrame([(1, "some text here")], "doc_id long, text string")
+    with pytest.raises(AnalysisException):
+        incremental_lsh_candidates(
+            spark, batch, str(tmp_path / "no_such_index")
+        ).count()
