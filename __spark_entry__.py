@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from mapreduce_framework_simple_spark import registry
+from mapreduce_framework_simple_spark import ephemeral, registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -22,9 +22,27 @@ def entry(spark: SparkSession) -> DataFrame:
     return q01_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    """Release the PREVIOUS query's scoped caches at call time, so a
+    consumer that sweeps all 125 queries in one session (the round
+    driver) holds at most one query's intra-query caches at any moment.
+    Safe: by the time the next query is invoked, the previous result has
+    been materialized by the consumer. Queries composing other queries
+    call the raw registry functions, not these wrappers, so an outer
+    query's caches are never dropped mid-flight."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ephemeral.release_caches()
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     registry.load_all()
-    return dict(registry.QUERIES)
+    return {name: _released(fn) for name, fn in registry.QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

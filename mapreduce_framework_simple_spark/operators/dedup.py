@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
 
+from mapreduce_framework_simple_spark.ephemeral import scoped_cache
 from mapreduce_framework_simple_spark.operators.text import (
     DUCK_SHINGLES,
     DUCK_TOKS,
@@ -157,7 +158,7 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hence q36 ships the naive plan for the benchmarked corpus and this
     variant is the measured escape hatch for skewed/dup-heavy corpora
     (equality-tested in test_similarity_dedup)."""
-    sh = shingle_id_sets(spark, sf_dir).cache()
+    sh = scoped_cache(shingle_id_sets(spark, sf_dir))
     from pyspark.sql import Window
 
     freq = sh.groupBy("sid").agg(F.count("*").alias("df"))
@@ -234,7 +235,7 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     variant on this corpus (see ngram_jaccard_prefix for the
     skew-proof alternative); q38's MinHash-LSH is the 100 TB path and
     this operator is its ground-truth verifier."""
-    sh = shingle_id_sets(spark, sf_dir).cache()
+    sh = scoped_cache(shingle_id_sets(spark, sf_dir))
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -518,9 +519,9 @@ def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join's key (band, band_sig) has near-unique cardinality except
     for true near-dups — no quadratic term anywhere. This is the declared
     100 TB near-dedup strategy; q36 validates its recall."""
-    bands = band_signatures_from(
+    bands = scoped_cache(band_signatures_from(
         load_table(spark, "documents", sf_dir)
-    ).cache()
+    ))
     return lsh_candidate_pairs(bands)
 
 
@@ -592,20 +593,18 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     alternating small-star/large-star formulation; at dedup-graph shapes
     (diameter ≤ 3) plain propagation converges in 2-3 rounds.
     """
-    sym = (
+    sym = scoped_cache(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .cache()
     )
     # seed each node with min(self, direct neighbors) — exactly the state
     # after round 1 of identity-seeded propagation, computed as ONE
     # aggregation over sym (no join), so the loop starts a round ahead
-    labels = (
+    labels = scoped_cache(
         sym.groupBy(F.col("a").alias("node"))
         .agg(F.min("b").alias("nmin0"))
         .select("node", F.least(F.col("node"), F.col("nmin0")).alias("label"))
-        .cache()
     )
     cached = labels  # the handle actually holding each round's cache
     for _ in range(max_iter):
@@ -617,7 +616,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # carry the pre-round label through the merge so the convergence
         # check is a filter over this same frame — not a second
         # new-vs-old join (one fewer shuffle per round)
-        merged = (
+        merged = scoped_cache(
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
@@ -626,7 +625,6 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                     "label"
                 ),
             )
-            .cache()
         )
         changed = merged.where(F.col("label") != F.col("old_label")).count()
         # the count() above materialized merged's cache, so the old
@@ -854,7 +852,7 @@ def q107_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-order is already balanced. The clustering ratio is an exact IEEE
     division of two identically-computed integers, so it hashes
     identically across engines."""
-    pairs = q38_minhash_lsh_pairs(spark, sf_dir).cache()
+    pairs = scoped_cache(q38_minhash_lsh_pairs(spark, sf_dir))
     deg = (
         pairs.select(F.col("doc_a").alias("n"))
         .unionAll(pairs.select(F.col("doc_b").alias("n")))
@@ -918,7 +916,7 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import pandas_udf
 
     sh = shingle_id_sets(spark, sf_dir)
-    probe = sh.where(F.col("doc_id") % 97 == 0).select("sid").distinct().cache()
+    probe = scoped_cache(sh.where(F.col("doc_id") % 97 == 0).select("sid").distinct())
     rest = sh.where(F.col("doc_id") % 97 != 0)
 
     n_probe = probe.count()  # probe corpus is tiny by premise (see docstring)

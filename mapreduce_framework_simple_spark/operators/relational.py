@@ -1857,7 +1857,8 @@ def q114_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq AS (SELECT l_partkey, count(*) AS n FROM pp GROUP BY 1),
     tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM pp)
     SELECT part_a, part_b, CAST(n_pair AS BIGINT) AS n_pair,
-           round(CAST(n_pair AS DOUBLE) * tot.n_orders / (fa.n * fb.n), 6)
+           round(CAST(n_pair AS DOUBLE) * tot.n_orders
+                 / (CAST(fa.n AS DOUBLE) * fb.n), 6)
                AS lift
     FROM pairs
     JOIN freq fa ON fa.l_partkey = part_a
@@ -1911,9 +1912,13 @@ def q115_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "part_a",
             "part_b",
             "n_pair",
+            # na·nb multiplies in the DOUBLE domain on both sides: as
+            # longs, Spark would wrap silently on 64-bit overflow where
+            # DuckDB raises (the q128 discipline); doubles are exact to
+            # 2^53 and identical beyond.
             F.round(
                 F.col("n_pair").cast("double") * F.col("n_orders")
-                / (F.col("na") * F.col("nb")),
+                / (F.col("na").cast("double") * F.col("nb")),
                 6,
             ).alias("lift"),
         )
@@ -2133,22 +2138,22 @@ def q119_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(count(*) AS BIGINT) AS y
                FROM events GROUP BY 1, 2),
     s AS (SELECT event_type,
-                 CAST(count(*) AS BIGINT)    AS n,
-                 CAST(sum(x) AS BIGINT)      AS sx,
-                 CAST(sum(y) AS BIGINT)      AS sy,
-                 CAST(sum(x * y) AS BIGINT)  AS sxy,
-                 CAST(sum(x * x) AS BIGINT)  AS sxx,
-                 CAST(max(x) AS BIGINT)      AS last_x
+                 CAST(count(*) AS BIGINT)          AS n,
+                 sum(CAST(x AS HUGEINT))           AS sx,
+                 sum(CAST(y AS HUGEINT))           AS sy,
+                 sum(CAST(x AS HUGEINT) * y)       AS sxy,
+                 sum(CAST(x AS HUGEINT) * x)       AS sxx,
+                 CAST(max(x) AS BIGINT)            AS last_x
           FROM w GROUP BY 1)
     SELECT event_type, n AS n_weeks,
            round(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (n * sxx - sx * sx), 6) AS slope,
-           round((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
-                        / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept,
-           round((sy - (CAST(n * sxy - sx * sy AS DOUBLE)
-                        / (n * sxx - sx * sx)) * sx) / n
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+           round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n
                  + (CAST(n * sxy - sx * sy AS DOUBLE)
-                    / (n * sxx - sx * sx)) * (last_x + 1), 6) AS forecast_next
+                    / CAST(n * sxx - sx * sx AS DOUBLE)) * (last_x + 1), 6) AS forecast_next
     FROM s WHERE n >= 2 AND n * sxx - sx * sx > 0
     """,
 )
@@ -2170,7 +2175,11 @@ def q121_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
         ev.groupBy(
             "event_type",
-            (
+            # floor(), not cast("long"): cast truncates toward zero while
+            # the DuckDB oracle's `//` floors — they diverge for pre-1970
+            # timestamps, and nothing guarantees the generator never emits
+            # negative epochs. floor matches `//` for all signs.
+            F.floor(
                 F.unix_timestamp(F.date_trunc("week", F.col("ts"))).cast("long")
                 / F.lit(604800)
             )
@@ -2179,12 +2188,17 @@ def q121_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("y"))
     )
+    # decimal(38,0) regression sums (HUGEINT on the oracle side): Spark
+    # wraps silently on 64-bit overflow where DuckDB raises — the q128
+    # discipline. Values stay exact integers; the quotient expressions
+    # below are unchanged floats.
+    xd = F.col("x").cast("decimal(38,0)")
     s = w.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(xd).alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).alias("sy"),
+        F.sum(xd * F.col("y")).alias("sxy"),
+        F.sum(xd * F.col("x")).alias("sxx"),
         F.max("x").alias("last_x"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
@@ -2278,9 +2292,9 @@ def q125_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
                       CAST(round(value * 100) AS BIGINT) AS cents
                FROM events),
     s AS (SELECT event_type, arm,
-                 CAST(count(*) AS BIGINT)          AS n,
-                 CAST(sum(cents) AS BIGINT)        AS s1,
-                 CAST(sum(cents * cents) AS BIGINT) AS s2
+                 CAST(count(*) AS BIGINT)              AS n,
+                 sum(CAST(cents AS HUGEINT))           AS s1,
+                 sum(CAST(cents AS HUGEINT) * cents)   AS s2
           FROM c GROUP BY 1, 2),
     wide AS (SELECT a.event_type,
                     a.n AS n_a, a.s1 AS s1_a, a.s2 AS s2_a,
@@ -2319,10 +2333,17 @@ def q128_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
         cents.alias("cents"),
     )
+    # decimal(38,0) accumulators, not LongType: Spark in non-ANSI mode
+    # WRAPS silently on 64-bit overflow while the DuckDB oracle raises —
+    # at large scale/values the engines would diverge with no error
+    # signal. 38 digits of headroom (HUGEINT on the oracle side) makes
+    # both engines exact; the final columns are rounded doubles either
+    # way, so the compare is unaffected.
+    dec = F.col("cents").cast("decimal(38,0)")
     s = c.groupBy("event_type", "arm").agg(
         F.count("*").alias("n"),
-        F.sum("cents").alias("s1"),
-        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+        F.sum(dec).alias("s1"),
+        F.sum(dec * F.col("cents")).alias("s2"),
     )
     a = s.where(F.col("arm") == "A").select(
         "event_type",

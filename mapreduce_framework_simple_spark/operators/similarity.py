@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_simple_spark.ephemeral import scoped_cache
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
@@ -542,7 +543,8 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
     band_schema = ", ".join([f"band{b} long" for b in range(n_bands)])
     sigs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
         signatures, f"vec_id long, {band_schema}"
-    ).join(df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id").cache()
+    ).join(df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id")
+    sigs = scoped_cache(sigs)
 
     pairs = None
     for b in range(n_bands):
@@ -651,7 +653,7 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     partition predicate on the index scan, so only probed directories
     are read. Tests assert result equality with q41 and the presence of
     partition filters in the scan."""
-    probes = _ivf_probes(spark, sf_dir).cache()
+    probes = scoped_cache(_ivf_probes(spark, sf_dir))
     # Q·N_PROBE ints — the probe list is driver-sized by construction;
     # probes is cached so the collect and the candidate join share one
     # computation of the centroid ranking

@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_simple_spark.ephemeral import scoped_cache
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
@@ -332,10 +333,14 @@ def q86_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def bigrams_expr(toks: Column) -> Column:
-    """Word-bigram array with the same stop<start guard as shingles_expr."""
+    """Adjacent token pairs as ``"w1 w2"`` strings; <2 tokens → empty.
+    The ONE bigram definition (q97/q105 both call it — a banding change
+    here cannot diverge between callers). DuckDB twin: ``DUCK_BIGRAMS``
+    / ``list_transform(range(1, len(toks)), i -> toks[i] || ' ' ||
+    toks[i+1])`` (1-indexed, end-exclusive)."""
     grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 2),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )
     return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
 
@@ -543,17 +548,6 @@ def scrub_pii(df: DataFrame, col: str = "text",
 # ---------------------------------------------------------------------------
 # Corpus bigram language model (CCNet-style perplexity signal)
 # ---------------------------------------------------------------------------
-
-def bigrams_expr(toks: Column) -> Column:
-    """Adjacent token pairs as ``"w1 w2"`` strings; <2 tokens → empty.
-    DuckDB twin: ``list_transform(range(1, len(toks)), i -> toks[i] || ' '
-    || toks[i+1])`` (1-indexed, end-exclusive)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
-
 
 @query(
     "q105_bigram_lm",
@@ -817,7 +811,9 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tables roll up from it (cw = Σ cnt, vocab = distinct words of cw),
     # so the corpus is tokenized once, not three times — the same
     # no-subexpression-reuse trap q105/shingle_sets document
-    dwc = dw.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("cnt")).cache()
+    dwc = scoped_cache(
+        dw.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("cnt"))
+    )
     cw = dwc.groupBy(F.col("lang").alias("clang"), "word").agg(
         F.sum("cnt").alias("cnt_lw")
     )
