@@ -425,6 +425,112 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
     )
 
 
+def _block_topk_cosine(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """Directed per-query top-k over the exact all-pairs cosine, on the
+    block self-join kernel — the corpus-scale fallback when the query set
+    IS the corpus and therefore cannot ship under
+    ``MAX_BROADCAST_QUERIES`` (q120's self-kNN beyond the broadcast
+    bound). Emits (query_id, neighbor_id, cos_raw) rows, pruned per chunk
+    to each query's rounded top-k with the same one-rounding-quantum
+    margin as :func:`_pairwise_cosine_scan`, so the union over chunks and
+    block pairs provably contains every query's global rounded-order
+    top-k; the caller's window does the final rank.
+
+    Scale: same shuffle shape as :func:`_block_pairs_cosine` (N·(B+1)
+    rows, B(B+1)/2 tasks, chunked O(CH²) temporaries); output is
+    O(N · B · k · chunks-per-block) rows, never N²."""
+    em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    em = em.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
+    block_pairs = spark.createDataFrame(
+        [(a, b) for a in range(N_BLOCKS) for b in range(N_BLOCKS) if a <= b],
+        "ba int, bb int",
+    )
+    left = (
+        em.alias("ea")
+        .join(F.broadcast(block_pairs.alias("pa")), F.col("ea.blk") == F.col("pa.ba"))
+        .select(
+            F.col("pa.ba").alias("ba"), F.col("pa.bb").alias("bb"),
+            F.col("ea.vec_id").alias("vec_id"), F.col("ea.embedding").alias("embedding"),
+        )
+    )
+    right = (
+        em.alias("eb")
+        .join(F.broadcast(block_pairs.alias("pb")), F.col("eb.blk") == F.col("pb.bb"))
+        .select(
+            F.col("pb.ba").alias("ba"), F.col("pb.bb").alias("bb"),
+            F.col("eb.vec_id").alias("vec_id"), F.col("eb.embedding").alias("embedding"),
+        )
+    )
+    top_k = k
+    chunk_rows = BLOCK_CHUNK_ROWS
+
+    def cross_topk(l, r):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "query_id": np.array([], dtype="int64"),
+            "neighbor_id": np.array([], dtype="int64"),
+            "cos_raw": np.array([], dtype="float64"),
+        })
+        if len(l) == 0 or len(r) == 0:
+            return empty
+        la = np.stack([np.asarray(v, dtype="float64") for v in l["embedding"]])
+        rb = np.stack([np.asarray(v, dtype="float64") for v in r["embedding"]])
+        lids = l["vec_id"].to_numpy(dtype="int64")
+        rids = r["vec_id"].to_numpy(dtype="int64")
+        dim = la.shape[1]
+        lacc = np.zeros(len(la))
+        racc = np.zeros(len(rb))
+        for d in range(dim):  # sequential over dims == the SQL fold
+            lacc += la[:, d] * la[:, d]
+            racc += rb[:, d] * rb[:, d]
+        lnorm, rnorm = np.sqrt(lacc), np.sqrt(racc)
+        # diagonal groups hold the SAME block on both sides, so the l→r
+        # orientation already enumerates every ordered pair; off-diagonal
+        # groups need the transpose emitted too
+        diagonal = l["ba"].iloc[0] == l["bb"].iloc[0]
+        parts = []
+
+        def emit(qids, nids, cos):
+            # per-chunk rounded top-k with a one-quantum margin: superset
+            # of any global rounded-order top-k (see _pairwise_cosine_scan)
+            not_self = qids[:, None] != nids[None, :]
+            r6 = np.round(cos, 6)
+            r6[~not_self] = -np.inf  # self never votes nor counts toward k
+            if r6.shape[1] > top_k:
+                kth = -np.partition(-r6, top_k - 1, axis=1)[:, top_k - 1]
+            else:
+                kth = np.full(r6.shape[0], -np.inf)
+            keep = (r6 >= kth[:, None] - 1e-6) & not_self
+            ii, jj = np.nonzero(keep)
+            parts.append(pd.DataFrame({
+                "query_id": qids[ii],
+                "neighbor_id": nids[jj],
+                "cos_raw": cos[ii, jj],
+            }))
+
+        CH = chunk_rows
+        for i0 in range(0, len(la), CH):
+            i1 = min(i0 + CH, len(la))
+            for j0 in range(0, len(rb), CH):
+                j1 = min(j0 + CH, len(rb))
+                dots = np.zeros((i1 - i0, j1 - j0))
+                for d in range(dim):  # sequential over dims == the SQL fold
+                    dots += la[i0:i1, d:d + 1] * rb[j0:j1, d][None, :]
+                cos = dots / (lnorm[i0:i1, None] * rnorm[None, j0:j1])
+                emit(lids[i0:i1], rids[j0:j1], cos)
+                if not diagonal:
+                    emit(rids[j0:j1], lids[i0:i1], cos.T)
+        return pd.concat(parts, ignore_index=True) if parts else empty
+
+    return (
+        left.groupby("ba", "bb")
+        .cogroup(right.groupby("ba", "bb"))
+        .applyInPandas(cross_topk, "query_id long, neighbor_id long, cos_raw double")
+    )
+
+
 @query(
     "q42_embed_neardup",
     oracle=f"""
@@ -781,17 +887,27 @@ def q120_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding space separates its labels, run before trusting embeddings
     for curation. Complements q109 (centroid parametric twin).
 
-    Scale: the all-pairs scan reuses the q40 kernel — corpus broadcast as
-    the reference set under the documented size bound, per-batch top-k
-    pruning (self excluded in-kernel), so the rank shuffle carries
-    O(batches·k) rows per query, not N². Beyond the broadcast bound the
-    reference side switches to the block self-join kernel (q42) or IVF
-    (q41); the vote/confusion aggregations move ≤ N·k rows. Cosines are
-    rounded to 6 dp before ranking, so neighbor order cannot flip across
-    engines."""
+    Scale: kernel choice is a size-based planner `if` — under the
+    documented broadcast bound the corpus ships as the q40 kernel's
+    reference set (per-batch top-k pruning, self excluded in-kernel);
+    beyond it the scan switches AUTOMATICALLY to the directed block
+    self-join kernel (:func:`_block_topk_cosine` — same chunked
+    distributed shape as q42, per-chunk top-k pruning), so a
+    corpus-sized self-kNN never attempts a corpus broadcast. Both
+    kernels emit margin-pruned supersets of the global rounded top-k;
+    the one window shuffle carries O(N·k·blocks-or-batches) rows, not
+    N². The dispatch count() is one cheap scan-count action. Cosines
+    are rounded to 6 dp before ranking, so neighbor order cannot flip
+    across engines."""
     em = load_table(spark, "embeddings", sf_dir)
     ref = em.select("vec_id", "embedding")
-    scored = _pairwise_cosine_scan(spark, sf_dir, ref, emit_top_k=KNN_K).select(
+    if ref.count() <= MAX_BROADCAST_QUERIES:
+        scored_raw = _pairwise_cosine_scan(spark, sf_dir, ref, emit_top_k=KNN_K)
+    else:
+        scored_raw = _block_topk_cosine(spark, sf_dir, KNN_K).withColumnRenamed(
+            "cos_raw", "cos_sim_raw"
+        )
+    scored = scored_raw.select(
         "query_id",
         "neighbor_id",
         F.round(F.col("cos_sim_raw"), 6).alias("cos_sim"),

@@ -52,16 +52,34 @@ def _lsh_pairs_from(docs: DataFrame) -> DataFrame:
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Run the full curation pass; write survivors to ``out_dir`` and
-    return the audit report (python ints — driver-sized by construction)."""
-    docs = load_table(spark, "documents", sf_dir).cache()
-    n_total = docs.count()
+    return the audit report (python ints — driver-sized by construction).
+
+    Audit counts ride the pipeline's OWN jobs via ``df.observe``
+    (Spark's Observation metrics): each stage boundary carries a
+    count-metric node that fires when that stage first materializes —
+    populating its cache for the next stage — so the report costs ZERO
+    extra passes over any stage frame. (The previous shape ran a driver
+    ``count()`` per stage: free while the caches fit, five extra corpus
+    scans at 100 TB once they don't.) The only driver actions are the
+    convergence checks inside connected_components (tiny label frames,
+    algorithmically required) and the final parquet write."""
+    from pyspark.sql import Observation
+
+    obs = {
+        name: Observation(f"curate_{name}")
+        for name in ("total", "quality", "exact", "neardup", "curated")
+    }
+
+    def observed(df: DataFrame, name: str) -> DataFrame:
+        return df.observe(obs[name], F.count(F.lit(1)).alias("n"))
+
+    docs = observed(load_table(spark, "documents", sf_dir), "total").cache()
 
     # 1. quality gate (q98's keep flag, broadcast back onto the corpus —
     #    at scale the flag computation IS the corpus pass, so this join
     #    is written id-to-id and stays a single shuffle)
     keep_ids = q98_gopher_rules(spark, sf_dir).where(F.col("keep")).select("doc_id")
-    gated = docs.join(keep_ids, "doc_id").cache()
-    n_gated = gated.count()
+    gated = observed(docs.join(keep_ids, "doc_id"), "quality").cache()
 
     # 2. exact dedup: keep min doc_id per normalized-text hash
     exact_keep = (
@@ -69,16 +87,19 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    exact = gated.join(exact_keep, "doc_id").cache()
-    n_exact = exact.count()
+    exact = observed(gated.join(exact_keep, "doc_id"), "exact").cache()
 
     # 3. near-dup collapse on the thinned corpus: LSH pairs → components
-    #    → drop non-representatives (the tiny drop list broadcasts)
+    #    → drop non-representatives (the tiny drop list broadcasts).
+    #    connected_components' convergence counts materialize `exact`
+    #    (and its ancestors) here, firing the total/quality/exact
+    #    observations while populating the caches every later stage hits.
     pairs = _lsh_pairs_from(exact)
     comp = connected_components(pairs)
     drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
-    neardup_free = exact.join(F.broadcast(drop), "doc_id", "left_anti").cache()
-    n_neardup = neardup_free.count()
+    neardup_free = observed(
+        exact.join(F.broadcast(drop), "doc_id", "left_anti"), "neardup"
+    ).cache()
 
     # 4. decontamination: probe = benchmark stand-in (doc_id % 97 == 0
     #    over the ORIGINAL corpus — the benchmark is external, curation
@@ -98,22 +119,24 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
         .where(F.col("contamination") > CONTAMINATION_MAX)
         .select("doc_id")
     )
-    curated = neardup_free.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    curated = observed(
+        neardup_free.join(F.broadcast(contaminated), "doc_id", "left_anti"), "curated"
+    )
+    # the ONE corpus-wide action: the durable write fires the curated
+    # (and any not-yet-fired upstream) observations
     curated.write.mode("overwrite").parquet(out_dir)
 
-    n_curated = (
-        spark.read.parquet(out_dir).count()
-    )  # count what was durably written, not the plan
+    counts = {name: int(o.get["n"]) for name, o in obs.items()}
     report = {
-        "n_total": n_total,
-        "n_after_quality": n_gated,
-        "n_after_exact_dedup": n_exact,
-        "n_after_neardup": n_neardup,
-        "n_curated": n_curated,
-        "dropped_quality": n_total - n_gated,
-        "dropped_exact": n_gated - n_exact,
-        "dropped_neardup": n_exact - n_neardup,
-        "dropped_contaminated": n_neardup - n_curated,
+        "n_total": counts["total"],
+        "n_after_quality": counts["quality"],
+        "n_after_exact_dedup": counts["exact"],
+        "n_after_neardup": counts["neardup"],
+        "n_curated": counts["curated"],
+        "dropped_quality": counts["total"] - counts["quality"],
+        "dropped_exact": counts["quality"] - counts["exact"],
+        "dropped_neardup": counts["exact"] - counts["neardup"],
+        "dropped_contaminated": counts["neardup"] - counts["curated"],
     }
     for d in (docs, gated, exact, neardup_free):
         d.unpersist()

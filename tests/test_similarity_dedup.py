@@ -124,6 +124,43 @@ def test_query_broadcast_bound_enforced(spark, sf_dir, monkeypatch):
         S._pairwise_cosine_scan(spark, sf_dir, em, emit_top_k=5)
 
 
+def test_lsh_quality_full_referee_matches_oracle(spark, sf_dir):
+    """The full-corpus (quadratic) P/R eval stays available as q112's
+    test-only referee, and must still hash-match its own DuckDB oracle —
+    the declared q112 runs the sample-priced slice instead."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        _DUCK_LSH_QUALITY_FULL,
+        lsh_quality_full,
+    )
+    from tests.oracle_harness import compare_frames, duck_connection
+
+    sdf = lsh_quality_full(spark, sf_dir).toPandas()
+    ddf = duck_connection(sf_dir).execute(_DUCK_LSH_QUALITY_FULL).fetchdf()
+    assert compare_frames(sdf, ddf) == []
+    assert int(sdf["n_truth"].iloc[0]) > 0
+
+
+def test_q120_routes_to_block_kernel_beyond_bound(spark, sf_dir, monkeypatch):
+    """The SURVEY-promised planner `if`: a corpus-sized reference set must
+    dispatch q120 to the distributed block top-k kernel — no broadcast
+    kernel call, identical confusion matrix."""
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    def canon(pdf):
+        return pdf.sort_values(["label", "pred_label"]).reset_index(drop=True)
+
+    baseline = canon(S.q120_knn_accuracy(spark, sf_dir).toPandas())
+
+    monkeypatch.setattr(S, "MAX_BROADCAST_QUERIES", 10)
+
+    def forbid(*a, **k):
+        raise AssertionError("broadcast kernel must not run beyond the bound")
+
+    monkeypatch.setattr(S, "_pairwise_cosine_scan", forbid)
+    routed = canon(S.q120_knn_accuracy(spark, sf_dir).toPandas())
+    assert routed.equals(baseline) and len(routed) > 0
+
+
 def test_q42_plan_is_distributed_cogroup(spark, sf_dir):
     """q42's physical plan must be the cogrouped block self-join — no
     driver-side materialization anywhere (the plan shows the corpus only
