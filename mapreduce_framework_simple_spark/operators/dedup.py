@@ -363,26 +363,30 @@ def _drop_oversized_buckets(
     Scale: the bucket-size aggregate does map-side partial aggregation
     (16 rows/doc in, ~1 row/bucket out), and the oversized list — at
     most N/cap rows by construction — broadcasts into a map-side
-    anti-join, so the guard adds no corpus-sized shuffle."""
-    oversized = (
+    anti-join, so the guard adds no corpus-sized shuffle. The caller
+    must pass CACHED ``bands`` (the guard's eager count doubles as the
+    cache-populating action, so the count + downstream join together
+    cost ONE signature materialization, not three), and the common
+    no-oversized-bucket case returns ``bands`` untouched — zero plan
+    change, just the one small aggregate job over the cache."""
+    oversized = scoped_cache(
         bands.groupBy("band", "band_sig")
         .agg(F.count("*").alias("bucket_n"))
         .where(F.col("bucket_n") > max_bucket_size)
+        .select("band", "band_sig")
     )
     # eager tiny action: a capped result must never look complete —
     # surface the drop count at the moment the cap decision is made
+    # (also populates both caches: bands via the agg scan, oversized)
     n_dropped = oversized.count()
-    if n_dropped:
-        logger.warning(
-            "%s: dropped %d LSH bucket(s) exceeding %d docs "
-            "(boilerplate guard; pairs within them are not emitted)",
-            what, n_dropped, max_bucket_size,
-        )
-    return bands.join(
-        F.broadcast(oversized.select("band", "band_sig")),
-        ["band", "band_sig"],
-        "left_anti",
+    if not n_dropped:
+        return bands
+    logger.warning(
+        "%s: dropped %d LSH bucket(s) exceeding %d docs "
+        "(boilerplate guard; pairs within them are not emitted)",
+        what, n_dropped, max_bucket_size,
     )
+    return bands.join(F.broadcast(oversized), ["band", "band_sig"], "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -395,8 +399,12 @@ def lsh_candidate_pairs(
 
     Buckets larger than ``max_bucket_size`` docs are dropped before the
     join (see ``LSH_MAX_BUCKET``); pass ``None`` to disable the guard
-    (test/ground-truth use only)."""
+    (test/ground-truth use only). With the guard on, ``bands`` is cached
+    here so the guard's count and the self-join's two scans share ONE
+    signature materialization (idempotent if the caller already cached
+    the same plan — Spark's CacheManager dedupes by plan)."""
     if max_bucket_size is not None:
+        bands = scoped_cache(bands)
         bands = _drop_oversized_buckets(bands, max_bucket_size, "lsh_candidate_pairs")
     a = bands.alias("a")
     b = bands.alias("b")
@@ -458,6 +466,7 @@ def incremental_lsh_candidates(
     test_similarity_dedup."""
     nb = band_signatures_from(new_docs)
     if max_bucket_size is not None:
+        nb = scoped_cache(nb)  # guard count + probe join share one pass
         nb = _drop_oversized_buckets(
             nb, max_bucket_size, "incremental_lsh_candidates[batch]"
         )
