@@ -27,9 +27,29 @@ per-round discipline) can keep doing so.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
+
+
+@contextmanager
+def cache_scope():
+    """Release every scoped cache registered inside the block on exit —
+    for self-contained multi-query passes (pipeline.curate) that must
+    not leave their internal caches behind, without touching caches an
+    enclosing consumer registered earlier."""
+    mark = len(_SCOPED)
+    try:
+        yield
+    finally:
+        while len(_SCOPED) > mark:
+            df = _SCOPED.pop()
+            try:
+                df.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def scoped_cache(df: DataFrame) -> DataFrame:

@@ -236,6 +236,18 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-proof alternative); q38's MinHash-LSH is the 100 TB path and
     this operator is its ground-truth verifier."""
     sh = scoped_cache(shingle_id_sets(spark, sf_dir))
+    return _jaccard_truth_pairs(sh).select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
+
+def _jaccard_truth_pairs(sh: DataFrame) -> DataFrame:
+    """Exact Jaccard ≥ JACCARD_T pairs over a (doc_id, sid) shingle-id
+    frame — THE single definition of the ground-truth rule (q36 and
+    q112's truth side both call it, so a threshold or sid-derivation
+    change cannot silently diverge the verifier from the eval). Returns
+    (doc_a, doc_b, jaccard_raw UNROUNDED); quadratic in colliding docs
+    by design — verification duty only."""
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -251,7 +263,7 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
         .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
         .where(jac >= JACCARD_T)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard_raw"))
     )
 
 
@@ -402,7 +414,14 @@ def lsh_candidate_pairs(
     (test/ground-truth use only). With the guard on, ``bands`` is cached
     here so the guard's count and the self-join's two scans share ONE
     signature materialization (idempotent if the caller already cached
-    the same plan — Spark's CacheManager dedupes by plan)."""
+    the same plan — Spark's CacheManager dedupes by plan).
+
+    NOTE: the guard's drop-count action runs EAGERLY at plan-construction
+    time (deliberate: a capped result must never look complete, and the
+    inputs are immutable parquet, so the decision cannot go stale) — this
+    function, and the q38-composing queries, are therefore not pure plan
+    builders. The DuckDB oracles mirror the cap (``bok``/``kept`` CTEs),
+    so query/oracle hash equality holds even when the cap fires."""
     if max_bucket_size is not None:
         bands = scoped_cache(bands)
         bands = _drop_oversized_buckets(bands, max_bucket_size, "lsh_candidate_pairs")
@@ -478,7 +497,25 @@ def incremental_lsh_candidates(
         # correct probe result against an empty corpus is no candidates.
         # Anything else (typo'd path, corrupted parts, IO/permission
         # errors) must FAIL, not silently admit the batch as dup-free.
-        if "UNABLE_TO_INFER_SCHEMA" in str(e) or "Unable to infer schema" in str(e):
+        # Match the STRUCTURED error class (getCondition on Spark 4,
+        # getErrorClass before), falling back to the message text only
+        # when no class is available.
+        cond = None
+        for attr in ("getCondition", "getErrorClass"):
+            getter = getattr(e, attr, None)
+            if getter is not None:
+                try:
+                    cond = getter()
+                except Exception:
+                    cond = None
+                if cond:
+                    break
+        is_empty_index = (
+            cond == "UNABLE_TO_INFER_SCHEMA"
+            if cond
+            else "Unable to infer schema" in str(e)
+        )
+        if is_empty_index:
             return spark.createDataFrame(
                 [], "new_doc_id long, corpus_doc_id long"
             )
@@ -514,10 +551,14 @@ def incremental_lsh_candidates(
     {_DUCK_SIG},
     bands AS (SELECT doc_id, k // {BAND_SIZE} AS band,
                      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS band_sig
-              FROM sig GROUP BY doc_id, k // {BAND_SIZE})
+              FROM sig GROUP BY doc_id, k // {BAND_SIZE}),
+    bok AS (SELECT band, band_sig FROM bands
+            GROUP BY band, band_sig HAVING count(*) <= {LSH_MAX_BUCKET}),
+    kept AS (SELECT bands.doc_id, bands.band, bands.band_sig
+             FROM bands JOIN bok USING (band, band_sig))
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a
-    JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+    FROM kept a
+    JOIN kept b ON a.band = b.band AND a.band_sig = b.band_sig
                 AND a.doc_id < b.doc_id
     """,
 )
@@ -651,6 +692,9 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 
+# NB: the `kept` CTE mirrors the Spark-side LSH_MAX_BUCKET hot-bucket
+# guard (lsh_candidate_pairs), so oracle and query stay hash-equal even
+# on corpora where the cap actually fires (boilerplate-heavy buckets).
 _DUCK_LSH_PAIRS = f"""
     sig2 AS (SELECT doc_id, k, min(({_DUCK_A}[k + 1] * (sid % {MINHASH_P}) + {_DUCK_B}[k + 1])
                     % {MINHASH_P}) AS sig
@@ -659,9 +703,13 @@ _DUCK_LSH_PAIRS = f"""
     bands AS (SELECT doc_id, k // {BAND_SIZE} AS band,
                      string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS band_sig
               FROM sig2 GROUP BY doc_id, k // {BAND_SIZE}),
+    bok AS (SELECT band, band_sig FROM bands
+            GROUP BY band, band_sig HAVING count(*) <= {LSH_MAX_BUCKET}),
+    kept AS (SELECT bands.doc_id, bands.band, bands.band_sig
+             FROM bands JOIN bok USING (band, band_sig)),
     pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM bands a
-              JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+              FROM kept a
+              JOIN kept b ON a.band = b.band AND a.band_sig = b.band_sig
                           AND a.doc_id < b.doc_id)
 """
 
@@ -1023,26 +1071,7 @@ def _lsh_quality_report(docs: DataFrame) -> DataFrame:
     sh = scoped_cache(
         shingle_sets_from(docs).select("doc_id", shingle_id_expr().alias("sid"))
     )
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_inter"))
-    )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
-    truth = (
-        inter.join(ca, F.col("doc_a") == F.col("ca.doc_id"))
-        .join(cb, F.col("doc_b") == F.col("cb.doc_id"))
-        .where(
-            F.col("n_inter").cast("double")
-            / (F.col("ca.n") + F.col("cb.n") - F.col("n_inter"))
-            >= JACCARD_T
-        )
-        .select("doc_a", "doc_b")
-    )
+    truth = _jaccard_truth_pairs(sh).select("doc_a", "doc_b")
     cand = lsh_candidate_pairs(band_signatures_from(docs)).select(
         F.col("doc_a").alias("cand_a"), F.col("doc_b").alias("cand_b")
     )

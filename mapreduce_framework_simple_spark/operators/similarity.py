@@ -318,26 +318,13 @@ N_BLOCKS = 8  # B(B+1)/2 = 36 block pairs; each vector shuffles (B+1)× total
 BLOCK_CHUNK_ROWS = 4096
 
 
-def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
-                        threshold: float) -> DataFrame:
-    """Distributed exact all-pairs cosine via a block self-join: vectors
-    hash into B blocks; the B(B+1)/2 unordered block pairs cogroup, and
-    each group scores its |N/B|×|N/B| cross with vectorized numpy. NOTHING
-    is materialized on the driver — both sides stream through the shuffle,
+def _block_cogroup(spark: SparkSession, sf_dir: str):
+    """Driver-side scaffolding shared by both block kernels: vectors hash
+    into B blocks; returns the (left, right) frames keyed by the
+    B(B+1)/2 unordered block pairs, ready to cogroup. NOTHING is
+    materialized on the driver — both sides stream through the shuffle,
     so the plan survives a corpus that would OOM a collect (the round-1
-    kernel's failure mode).
-
-    Cross-engine parity: dots/norms accumulate sequentially over dims —
-    bit-identical to the DuckDB list_reduce fold (see
-    :func:`_pairwise_cosine_scan`).
-
-    Scale: O(N²/B²) work per group, N·(B+1) rows shuffled; the cross
-    products inside each group are CHUNKED so task temporaries stay at a
-    constant ~134 MB no matter how large a block gets (a block-size
-    miscalibration costs time, never an OOM). N_BLOCKS is the parallelism
-    knob: B(B+1)/2 tasks; production sizes B ≈ √(N²/target_task_work).
-    Work is quadratic by nature (it's the exact ground truth) — the
-    subquadratic production paths are q41 (IVF) and q96 (hyperplane LSH)."""
+    kernel's failure mode)."""
     em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
     em = em.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
     block_pairs = spark.createDataFrame(
@@ -360,22 +347,29 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
             F.col("eb.vec_id").alias("vec_id"), F.col("eb.embedding").alias("embedding"),
         )
     )
-    thresh = threshold
-    # captured as a closure LOCAL (module globals pickle by reference and
-    # would fail to import on executors when the driver cwd isn't the repo)
-    chunk_rows = BLOCK_CHUNK_ROWS
+    return left, right
 
-    def cross_cos(l, r):
+
+def _chunked_block_kernel(empty, emit, chunk_rows):
+    """One cogroup kernel body shared by both block kernels — norms and
+    chunked cross products live HERE only, so the cross-engine
+    "sequential over dims" parity rule cannot drift between them.
+    ``emit(parts, diagonal, lids, rids, cos)`` appends result
+    DataFrames per chunk; ``empty()`` supplies the mode's empty frame.
+    All three callables are NESTED functions (cloudpickle serializes
+    them by value), keeping the shipped closure self-contained — no
+    module-reference imports on executors.
+
+    Chunking: temporaries stay ≤ CH² × 8 B regardless of block row
+    counts, so a block-size miscalibration degrades to more chunks,
+    never an executor OOM."""
+
+    def kernel(l, r):
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame({
-            "vec_a": np.array([], dtype="int64"),
-            "vec_b": np.array([], dtype="int64"),
-            "cos_raw": np.array([], dtype="float64"),
-        })
         if len(l) == 0 or len(r) == 0:
-            return empty
+            return empty()
         la = np.stack([np.asarray(v, dtype="float64") for v in l["embedding"]])
         rb = np.stack([np.asarray(v, dtype="float64") for v in r["embedding"]])
         lids = l["vec_id"].to_numpy(dtype="int64")
@@ -387,12 +381,11 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
             lacc += la[:, d] * la[:, d]
             racc += rb[:, d] * rb[:, d]
         lnorm, rnorm = np.sqrt(lacc), np.sqrt(racc)
+        # diagonal groups hold the SAME block on both sides, so the cos
+        # matrix covers every ordered pair within the block
         diagonal = l["ba"].iloc[0] == l["bb"].iloc[0]
-        # chunked cross product: temporaries stay ≤ CH² × 8 B regardless of
-        # block row counts, so a block-size miscalibration degrades to more
-        # chunks, never an executor OOM
-        CH = chunk_rows
         parts = []
+        CH = chunk_rows
         for i0 in range(0, len(la), CH):
             i1 = min(i0 + CH, len(la))
             for j0 in range(0, len(rb), CH):
@@ -401,27 +394,66 @@ def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
                 for d in range(dim):  # sequential over dims == the SQL fold
                     dots += la[i0:i1, d:d + 1] * rb[j0:j1, d][None, :]
                 cos = dots / (lnorm[i0:i1, None] * rnorm[None, j0:j1])
-                keep = cos >= thresh - 5e-7
-                if diagonal:
-                    # both orientations of every pair are present in the
-                    # diagonal group — the id order dedupes them
-                    keep &= lids[i0:i1, None] < rids[None, j0:j1]
-                ii, jj = np.nonzero(keep)
-                a = lids[i0:i1][ii]
-                b = rids[j0:j1][jj]
-                if not diagonal:
-                    # off-diagonal group: each unordered pair appears exactly
-                    # once, in block (not id) orientation — normalize
-                    a, b = np.minimum(a, b), np.maximum(a, b)
-                parts.append(pd.DataFrame({
-                    "vec_a": a, "vec_b": b, "cos_raw": cos[ii, jj],
-                }))
-        return pd.concat(parts, ignore_index=True) if parts else empty
+                emit(parts, diagonal, lids[i0:i1], rids[j0:j1], cos)
+        return pd.concat(parts, ignore_index=True) if parts else empty()
 
+    return kernel
+
+
+def _block_pairs_cosine(spark: SparkSession, sf_dir: str,
+                        threshold: float) -> DataFrame:
+    """Distributed exact all-pairs cosine ≥ threshold via the block
+    self-join (see :func:`_block_cogroup` / :func:`_chunked_block_kernel`
+    for the shared scaffolding). Emits UNORDERED pairs once each
+    (vec_a < vec_b).
+
+    Cross-engine parity: dots/norms accumulate sequentially over dims —
+    bit-identical to the DuckDB list_reduce fold (see
+    :func:`_pairwise_cosine_scan`). Threshold prefilter keeps raw ≥
+    threshold − 5e-7 (half the 6-dp rounding quantum) so the caller's
+    rounded cut decides, never the prefilter.
+
+    Scale: O(N²/B²) work per group, N·(B+1) rows shuffled; N_BLOCKS is
+    the parallelism knob (B(B+1)/2 tasks; production sizes
+    B ≈ √(N²/target_task_work)). Work is quadratic by nature (it is the
+    exact ground truth) — the subquadratic production paths are q41
+    (IVF) and q96 (hyperplane LSH)."""
+    left, right = _block_cogroup(spark, sf_dir)
+    thresh = threshold  # closure LOCALS (module globals pickle by reference)
+
+    def empty():
+        import numpy as np
+        import pandas as pd
+
+        return pd.DataFrame({
+            "vec_a": np.array([], dtype="int64"),
+            "vec_b": np.array([], dtype="int64"),
+            "cos_raw": np.array([], dtype="float64"),
+        })
+
+    def emit(parts, diagonal, lids, rids, cos):
+        import numpy as np
+        import pandas as pd
+
+        keep = cos >= thresh - 5e-7
+        if diagonal:
+            # both orientations of every pair are present in the
+            # diagonal group — the id order dedupes them
+            keep &= lids[:, None] < rids[None, :]
+        ii, jj = np.nonzero(keep)
+        a = lids[ii]
+        b = rids[jj]
+        if not diagonal:
+            # off-diagonal group: each unordered pair appears exactly
+            # once, in block (not id) orientation — normalize
+            a, b = np.minimum(a, b), np.maximum(a, b)
+        parts.append(pd.DataFrame({"vec_a": a, "vec_b": b, "cos_raw": cos[ii, jj]}))
+
+    kernel = _chunked_block_kernel(empty, emit, BLOCK_CHUNK_ROWS)
     return (
         left.groupby("ba", "bb")
         .cogroup(right.groupby("ba", "bb"))
-        .applyInPandas(cross_cos, "vec_a long, vec_b long, cos_raw double")
+        .applyInPandas(kernel, "vec_a long, vec_b long, cos_raw double")
     )
 
 
@@ -439,65 +471,29 @@ def _block_topk_cosine(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     Scale: same shuffle shape as :func:`_block_pairs_cosine` (N·(B+1)
     rows, B(B+1)/2 tasks, chunked O(CH²) temporaries); output is
     O(N · B · k · chunks-per-block) rows, never N²."""
-    em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    em = em.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(N_BLOCKS)).cast("int"))
-    block_pairs = spark.createDataFrame(
-        [(a, b) for a in range(N_BLOCKS) for b in range(N_BLOCKS) if a <= b],
-        "ba int, bb int",
-    )
-    left = (
-        em.alias("ea")
-        .join(F.broadcast(block_pairs.alias("pa")), F.col("ea.blk") == F.col("pa.ba"))
-        .select(
-            F.col("pa.ba").alias("ba"), F.col("pa.bb").alias("bb"),
-            F.col("ea.vec_id").alias("vec_id"), F.col("ea.embedding").alias("embedding"),
-        )
-    )
-    right = (
-        em.alias("eb")
-        .join(F.broadcast(block_pairs.alias("pb")), F.col("eb.blk") == F.col("pb.bb"))
-        .select(
-            F.col("pb.ba").alias("ba"), F.col("pb.bb").alias("bb"),
-            F.col("eb.vec_id").alias("vec_id"), F.col("eb.embedding").alias("embedding"),
-        )
-    )
-    top_k = k
-    chunk_rows = BLOCK_CHUNK_ROWS
+    left, right = _block_cogroup(spark, sf_dir)
+    top_k = k  # closure LOCAL (module globals pickle by reference)
 
-    def cross_topk(l, r):
+    def empty():
         import numpy as np
         import pandas as pd
 
-        empty = pd.DataFrame({
+        return pd.DataFrame({
             "query_id": np.array([], dtype="int64"),
             "neighbor_id": np.array([], dtype="int64"),
             "cos_raw": np.array([], dtype="float64"),
         })
-        if len(l) == 0 or len(r) == 0:
-            return empty
-        la = np.stack([np.asarray(v, dtype="float64") for v in l["embedding"]])
-        rb = np.stack([np.asarray(v, dtype="float64") for v in r["embedding"]])
-        lids = l["vec_id"].to_numpy(dtype="int64")
-        rids = r["vec_id"].to_numpy(dtype="int64")
-        dim = la.shape[1]
-        lacc = np.zeros(len(la))
-        racc = np.zeros(len(rb))
-        for d in range(dim):  # sequential over dims == the SQL fold
-            lacc += la[:, d] * la[:, d]
-            racc += rb[:, d] * rb[:, d]
-        lnorm, rnorm = np.sqrt(lacc), np.sqrt(racc)
-        # diagonal groups hold the SAME block on both sides, so the l→r
-        # orientation already enumerates every ordered pair; off-diagonal
-        # groups need the transpose emitted too
-        diagonal = l["ba"].iloc[0] == l["bb"].iloc[0]
-        parts = []
 
-        def emit(qids, nids, cos):
+    def emit(parts, diagonal, lids, rids, cos):
+        import numpy as np
+        import pandas as pd
+
+        def one_direction(qids, nids, mat):
             # per-chunk rounded top-k with a one-quantum margin: superset
             # of any global rounded-order top-k (see _pairwise_cosine_scan)
             not_self = qids[:, None] != nids[None, :]
-            r6 = np.round(cos, 6)
-            r6[~not_self] = -np.inf  # self never votes nor counts toward k
+            r6 = np.round(mat, 6)
+            r6 = np.where(not_self, r6, -np.inf)  # self never votes nor counts
             if r6.shape[1] > top_k:
                 kth = -np.partition(-r6, top_k - 1, axis=1)[:, top_k - 1]
             else:
@@ -507,27 +503,20 @@ def _block_topk_cosine(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
             parts.append(pd.DataFrame({
                 "query_id": qids[ii],
                 "neighbor_id": nids[jj],
-                "cos_raw": cos[ii, jj],
+                "cos_raw": mat[ii, jj],
             }))
 
-        CH = chunk_rows
-        for i0 in range(0, len(la), CH):
-            i1 = min(i0 + CH, len(la))
-            for j0 in range(0, len(rb), CH):
-                j1 = min(j0 + CH, len(rb))
-                dots = np.zeros((i1 - i0, j1 - j0))
-                for d in range(dim):  # sequential over dims == the SQL fold
-                    dots += la[i0:i1, d:d + 1] * rb[j0:j1, d][None, :]
-                cos = dots / (lnorm[i0:i1, None] * rnorm[None, j0:j1])
-                emit(lids[i0:i1], rids[j0:j1], cos)
-                if not diagonal:
-                    emit(rids[j0:j1], lids[i0:i1], cos.T)
-        return pd.concat(parts, ignore_index=True) if parts else empty
+        # the diagonal group's l→r orientation already enumerates every
+        # ordered pair; off-diagonal groups need the transpose too
+        one_direction(lids, rids, cos)
+        if not diagonal:
+            one_direction(rids, lids, cos.T)
 
+    kernel = _chunked_block_kernel(empty, emit, BLOCK_CHUNK_ROWS)
     return (
         left.groupby("ba", "bb")
         .cogroup(right.groupby("ba", "bb"))
-        .applyInPandas(cross_topk, "query_id long, neighbor_id long, cos_raw double")
+        .applyInPandas(kernel, "query_id long, neighbor_id long, cos_raw double")
     )
 
 

@@ -54,90 +54,96 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
     """Run the full curation pass; write survivors to ``out_dir`` and
     return the audit report (python ints — driver-sized by construction).
 
-    Audit counts ride the pipeline's OWN jobs via ``df.observe``
-    (Spark's Observation metrics): each stage boundary carries a
-    count-metric node that fires when that stage first materializes —
-    populating its cache for the next stage — so the report costs ZERO
-    extra passes over any stage frame. (The previous shape ran a driver
-    ``count()`` per stage: free while the caches fit, five extra corpus
-    scans at 100 TB once they don't.) The only driver actions are the
-    convergence checks inside connected_components (tiny label frames,
-    algorithmically required) and the final parquet write."""
-    from pyspark.sql import Observation
+    Audit-count design: every stage's count is an aggregate over that
+    stage's ID-ONLY keep/drop frame (keep_ids, exact_keep, drop,
+    contaminated) — each a tiny cached id list whose materializing
+    action IS the stage's required computation — never an extra pass
+    over a corpus-sized frame. (An earlier design observed counts with
+    Observation metrics; those over-count whenever a cold cached frame
+    is recomputed by concurrent stages or executor loss — exactly the
+    multi-executor regime this pipeline targets. Id-frame counts are
+    recompute-proof.) ``n_curated`` is the READ-BACK count of the
+    written parquet — a metadata-only footer scan — so the report
+    describes what was durably persisted, not the plan. All internal
+    caches (including the LSH stage's band signatures) are released on
+    exit via ``cache_scope``."""
+    from mapreduce_framework_simple_spark.ephemeral import cache_scope, scoped_cache
 
-    obs = {
-        name: Observation(f"curate_{name}")
-        for name in ("total", "quality", "exact", "neardup", "curated")
-    }
+    with cache_scope():
+        docs = scoped_cache(load_table(spark, "documents", sf_dir))
+        n_total = docs.count()  # the one corpus-frame action; populates the
+        # cache every later stage (and the probe set) reuses
 
-    def observed(df: DataFrame, name: str) -> DataFrame:
-        return df.observe(obs[name], F.count(F.lit(1)).alias("n"))
+        # 1. quality gate (q98's keep flag — the flag computation is the
+        #    corpus pass; the id list it yields is cached and counted,
+        #    then joined back id-to-id: one shuffle, no extra pass)
+        keep_ids = scoped_cache(
+            q98_gopher_rules(spark, sf_dir).where(F.col("keep")).select("doc_id")
+        )
+        n_gated = keep_ids.count()  # == |gated|: keep_ids ⊆ docs ids
+        gated = scoped_cache(docs.join(keep_ids, "doc_id"))
 
-    docs = observed(load_table(spark, "documents", sf_dir), "total").cache()
+        # 2. exact dedup: keep min doc_id per normalized-text hash
+        exact_keep = scoped_cache(
+            gated.groupBy(F.md5(norm_expr()).alias("h"))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id")
+        )
+        n_exact = exact_keep.count()  # == |exact|: one id per kept group
+        exact = scoped_cache(gated.join(exact_keep, "doc_id"))
 
-    # 1. quality gate (q98's keep flag, broadcast back onto the corpus —
-    #    at scale the flag computation IS the corpus pass, so this join
-    #    is written id-to-id and stays a single shuffle)
-    keep_ids = q98_gopher_rules(spark, sf_dir).where(F.col("keep")).select("doc_id")
-    gated = observed(docs.join(keep_ids, "doc_id"), "quality").cache()
+        # 3. near-dup collapse on the thinned corpus: LSH pairs →
+        #    components → drop non-representatives (tiny drop list)
+        pairs = _lsh_pairs_from(exact)
+        comp = connected_components(pairs)
+        drop = scoped_cache(
+            comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
+        )
+        n_neardup = n_exact - drop.count()  # drop ⊆ exact ids, disjoint keeps
+        neardup_free = scoped_cache(
+            exact.join(F.broadcast(drop), "doc_id", "left_anti")
+        )
 
-    # 2. exact dedup: keep min doc_id per normalized-text hash
-    exact_keep = (
-        gated.groupBy(F.md5(norm_expr()).alias("h"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    exact = observed(gated.join(exact_keep, "doc_id"), "exact").cache()
+        # 4. decontamination: probe = benchmark stand-in (doc_id % 97 == 0
+        #    over the ORIGINAL corpus — the benchmark is external, curation
+        #    must not thin it); drop survivors above the containment cut
+        sh_all = shingle_sets_from(docs)
+        probe = (
+            sh_all.where(F.col("doc_id") % 97 == 0)
+            .select("shingle")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        sh_surv = shingle_sets_from(neardup_free)
+        contaminated = scoped_cache(
+            sh_surv.join(F.broadcast(probe), "shingle", "left")
+            .groupBy("doc_id")
+            .agg((F.count("hit") / F.count("*")).alias("contamination"))
+            .where(F.col("contamination") > CONTAMINATION_MAX)
+            .select("doc_id")
+        )
+        n_contaminated = contaminated.count()  # contaminated ⊆ survivor ids
+        curated = neardup_free.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        curated.write.mode("overwrite").parquet(out_dir)
 
-    # 3. near-dup collapse on the thinned corpus: LSH pairs → components
-    #    → drop non-representatives (the tiny drop list broadcasts).
-    #    connected_components' convergence counts materialize `exact`
-    #    (and its ancestors) here, firing the total/quality/exact
-    #    observations while populating the caches every later stage hits.
-    pairs = _lsh_pairs_from(exact)
-    comp = connected_components(pairs)
-    drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
-    neardup_free = observed(
-        exact.join(F.broadcast(drop), "doc_id", "left_anti"), "neardup"
-    ).cache()
-
-    # 4. decontamination: probe = benchmark stand-in (doc_id % 97 == 0
-    #    over the ORIGINAL corpus — the benchmark is external, curation
-    #    must not thin it); drop survivors above the containment cut
-    sh_all = shingle_sets_from(docs)
-    probe = (
-        sh_all.where(F.col("doc_id") % 97 == 0)
-        .select("shingle")
-        .distinct()
-        .withColumn("hit", F.lit(1))
-    )
-    sh_surv = shingle_sets_from(neardup_free)
-    contaminated = (
-        sh_surv.join(F.broadcast(probe), "shingle", "left")
-        .groupBy("doc_id")
-        .agg((F.count("hit") / F.count("*")).alias("contamination"))
-        .where(F.col("contamination") > CONTAMINATION_MAX)
-        .select("doc_id")
-    )
-    curated = observed(
-        neardup_free.join(F.broadcast(contaminated), "doc_id", "left_anti"), "curated"
-    )
-    # the ONE corpus-wide action: the durable write fires the curated
-    # (and any not-yet-fired upstream) observations
-    curated.write.mode("overwrite").parquet(out_dir)
-
-    counts = {name: int(o.get["n"]) for name, o in obs.items()}
-    report = {
-        "n_total": counts["total"],
-        "n_after_quality": counts["quality"],
-        "n_after_exact_dedup": counts["exact"],
-        "n_after_neardup": counts["neardup"],
-        "n_curated": counts["curated"],
-        "dropped_quality": counts["total"] - counts["quality"],
-        "dropped_exact": counts["quality"] - counts["exact"],
-        "dropped_neardup": counts["exact"] - counts["neardup"],
-        "dropped_contaminated": counts["neardup"] - counts["curated"],
-    }
-    for d in (docs, gated, exact, neardup_free):
-        d.unpersist()
-    return report
+        n_curated = (
+            spark.read.parquet(out_dir).count()
+        )  # count what was durably written, not the plan (footer metadata scan)
+        if n_curated != n_neardup - n_contaminated:
+            raise RuntimeError(
+                f"curate: durable output has {n_curated} rows but the plan "
+                f"produced {n_neardup - n_contaminated} — the written corpus "
+                "does not match the computed one (commit failure or "
+                "concurrent writer?)"
+            )
+        return {
+            "n_total": n_total,
+            "n_after_quality": n_gated,
+            "n_after_exact_dedup": n_exact,
+            "n_after_neardup": n_neardup,
+            "n_curated": n_curated,
+            "dropped_quality": n_total - n_gated,
+            "dropped_exact": n_gated - n_exact,
+            "dropped_neardup": n_exact - n_neardup,
+            "dropped_contaminated": n_contaminated,
+        }

@@ -124,6 +124,59 @@ def test_query_broadcast_bound_enforced(spark, sf_dir, monkeypatch):
         S._pairwise_cosine_scan(spark, sf_dir, em, emit_top_k=5)
 
 
+def test_q38_oracle_matches_when_cap_fires(spark, tmp_path):
+    """The DuckDB oracle mirrors the Spark-side hot-bucket cap, so query
+    and oracle stay hash-equal on the very corpora the guard targets
+    (boilerplate buckets above LSH_MAX_BUCKET) — the core contract must
+    hold when the cap FIRES, not only when it's dormant."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from mapreduce_framework_simple_spark.operators import dedup as D
+    from tests.oracle_harness import compare_frames
+
+    # make the planted bucket exceed a (monkeypatch-free) tiny corpus cap:
+    # temporarily lower the module cap AND rebuild the oracle SQL with it
+    n_boiler = 30
+    boiler_text = ("subscribe to our newsletter terms apply all rights "
+                   "reserved contact us privacy policy cookie settings")
+    rows = [
+        {"doc_id": i, "text": boiler_text, "lang": "en", "source": "web",
+         "n_chars": len(boiler_text)}
+        for i in range(n_boiler)
+    ] + [
+        {"doc_id": 100 + i,
+         "text": f"twin document shared words alpha beta gamma {i % 2}",
+         "lang": "en", "source": "web", "n_chars": 40}
+        for i in range(4)  # two near-dup pairs in small (uncapped) buckets
+    ]
+    pdf = pd.DataFrame(rows)
+    sf = tmp_path / "planted"
+    sf.mkdir()
+    pdf.to_parquet(sf / "documents.parquet")
+
+    oracle = entrymod.oracle_sql()["q38_minhash_lsh_pairs"].replace(
+        f"count(*) <= {D.LSH_MAX_BUCKET}", "count(*) <= 10"
+    )
+    assert oracle != entrymod.oracle_sql()["q38_minhash_lsh_pairs"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ddf = con.execute(oracle).fetchdf()
+
+    bands = D.band_signatures_from(D.load_table(spark, "documents", str(sf)))
+    sdf = (
+        D.lsh_candidate_pairs(bands, max_bucket_size=10)
+        .toPandas()
+        .astype({"doc_a": "int64", "doc_b": "int64"})
+    )
+    assert compare_frames(sdf, ddf) == []
+    # the cap actually fired: boilerplate pairs absent, twin pairs present
+    assert len(sdf) > 0 and not (sdf["doc_a"] < n_boiler).any()
+
+
 def test_lsh_quality_full_referee_matches_oracle(spark, sf_dir):
     """The full-corpus (quadratic) P/R eval stays available as q112's
     test-only referee, and must still hash-match its own DuckDB oracle —
