@@ -101,3 +101,49 @@ def test_incremental_candidates_empty_index(spark, tmp_path):
     write_lsh_index(_empty_docs(spark), idx)
     batch = spark.createDataFrame([(1, "the quick brown fox jumps")], ["doc_id", "text"])
     assert incremental_lsh_candidates(spark, batch, idx).count() == 0
+
+
+def test_lsh_candidate_pairs_empty_docs(spark):
+    """The capped candidate rule (eager guard count included) must handle
+    an empty corpus: no buckets, no drops, empty pair output."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        band_signatures_from,
+        lsh_candidate_pairs,
+    )
+
+    bands = band_signatures_from(_empty_docs(spark))
+    out = lsh_candidate_pairs(bands)  # guard's eager count runs here
+    assert out.count() == 0
+    assert out.columns == ["doc_a", "doc_b"]
+
+
+def test_lsh_quality_report_empty_docs(spark):
+    """q112's kernel on an empty frame: one row of zero counts and 0.0
+    ratios (the CASE WHEN n=0 guards), not a crash."""
+    from mapreduce_framework_simple_spark.operators.dedup import _lsh_quality_report
+
+    row = _lsh_quality_report(_empty_docs(spark)).collect()[0]
+    assert (row["n_truth"], row["n_candidates"], row["n_hit"]) == (0, 0, 0)
+    assert (row["precision"], row["recall"]) == (0.0, 0.0)
+
+
+def test_scoped_cache_release_and_scope(spark):
+    """ephemeral: release_caches unpersists everything registered;
+    cache_scope releases only its own suffix, leaving caches an
+    enclosing consumer registered earlier untouched."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.release_caches()  # clean slate
+    outer = ephemeral.scoped_cache(spark.range(10))
+    outer.count()
+    assert outer.storageLevel.useMemory
+    with ephemeral.cache_scope():
+        inner = ephemeral.scoped_cache(spark.range(20))
+        inner.count()
+        assert inner.storageLevel.useMemory
+    assert not inner.storageLevel.useMemory  # scope released its suffix
+    assert outer.storageLevel.useMemory      # enclosing cache untouched
+    n = ephemeral.release_caches()
+    assert n == 1
+    assert not outer.storageLevel.useMemory
+    assert ephemeral.release_caches() == 0   # registry drained
