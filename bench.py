@@ -56,6 +56,7 @@ HEADLINE = SHARED_12 + [
 
 
 def main() -> None:
+    from mapreduce_framework_simple_spark.ephemeral import release_caches
     from mapreduce_framework_simple_spark.session import get_session
     from mapreduce_framework_simple_spark.registry import QUERIES, load_all
 
@@ -88,6 +89,8 @@ def main() -> None:
         fn = QUERIES[name]
         best = None
         for _ in range(3):
+            release_caches()  # drain the scoped-cache registry too —
+            # clearCache() frees storage but not the handle list
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)

@@ -147,3 +147,18 @@ def test_scoped_cache_release_and_scope(spark):
     assert n == 1
     assert not outer.storageLevel.useMemory
     assert ephemeral.release_caches() == 0   # registry drained
+
+
+def test_queries_wrapper_releases_previous_caches(spark, sf_dir):
+    """__spark_entry__.queries() wraps every callable to release the
+    PREVIOUS query's scoped caches at call time — the property that
+    bounds executor storage across the driver's 125-query sweep."""
+    import __spark_entry__ as E
+    from mapreduce_framework_simple_spark import ephemeral
+
+    qs = E.queries()
+    ephemeral.release_caches()
+    qs["q36_ngram_jaccard"](spark, sf_dir).count()  # registers its shingle cache
+    assert len(ephemeral._SCOPED) > 0
+    qs["q01_pricing_summary"](spark, sf_dir).count()  # registers none itself
+    assert len(ephemeral._SCOPED) == 0
