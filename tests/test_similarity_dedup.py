@@ -210,7 +210,13 @@ def test_q120_routes_to_block_kernel_beyond_bound(spark, sf_dir, monkeypatch):
         raise AssertionError("broadcast kernel must not run beyond the bound")
 
     monkeypatch.setattr(S, "_pairwise_cosine_scan", forbid)
-    routed = canon(S.q120_knn_accuracy(spark, sf_dir).toPandas())
+    routed_df = S.q120_knn_accuracy(spark, sf_dir)
+    from mapreduce_framework_simple_spark.plans.explain import formatted_plan
+
+    # the routed plan is the distributed cogrouped block kernel — the
+    # corpus appears only in scans/joins/FlatMapCoGroupsInPandas
+    assert "FlatMapCoGroupsInPandas" in formatted_plan(routed_df)
+    routed = canon(routed_df.toPandas())
     assert routed.equals(baseline) and len(routed) > 0
 
 

@@ -41,3 +41,58 @@ def test_lsh_no_false_positives_above_threshold(spark, planted):
     got = hyperplane_lsh_pairs(df, threshold=0.95).toPandas()
     # every reported pair really has cos >= 0.95 (verified, not just bucketed)
     assert (got.cos_sim >= 0.95).all()
+
+
+def test_block_topk_kernel_matches_bruteforce(spark, tmp_path):
+    """Property check for the corpus-scale kNN fallback kernel: on a
+    planted random corpus, _block_topk_cosine's margin-pruned output,
+    ranked exactly as q120 ranks it (rounded score desc, neighbor id
+    asc), must equal the brute-force numpy top-k for EVERY query —
+    across block boundaries, chunk boundaries, and rounding ties."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 300, 16, 3
+    mat = rng.normal(size=(n, dim)).astype("float32")
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(n, dtype="int64"),
+        "embedding": [list(map(float, row)) for row in mat],
+        "label": (np.arange(n) % 4).astype("int32"),
+    })
+    sf = tmp_path / "planted_knn"
+    sf.mkdir()
+    pdf.to_parquet(sf / "embeddings.parquet")
+
+    scored = S._block_topk_cosine(spark, str(sf), k).select(
+        "query_id", "neighbor_id", F.round(F.col("cos_raw"), 6).alias("cos_sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    got = {
+        (r["query_id"], r["rnk"]): r["neighbor_id"]
+        for r in scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .collect()
+    }
+
+    # brute force with the exact same sequential-fold float semantics
+    m = mat.astype("float64")
+    acc = np.zeros(n)
+    for d in range(dim):
+        acc += m[:, d] * m[:, d]
+    norm = np.sqrt(acc)
+    dots = np.zeros((n, n))
+    for d in range(dim):
+        dots += m[:, d:d + 1] * m[:, d][None, :]
+    cos = np.round(dots / (norm[:, None] * norm[None, :]), 6)
+    for q in range(n):
+        order = sorted(
+            (i for i in range(n) if i != q), key=lambda i: (-cos[q, i], i)
+        )[:k]
+        for rnk, nid in enumerate(order, start=1):
+            assert got[(q, rnk)] == nid, (q, rnk, nid, got[(q, rnk)])
+    assert len(got) == n * k
