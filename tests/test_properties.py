@@ -153,3 +153,29 @@ def test_heavy_hitters_exact_under_adversarial_layouts(spark):
                 assert got == exact(df, k), (
                     f"case {i}, k={k}, cap={cap}, partitions={parts}"
                 )
+
+
+def test_sequential_fold_queries_layout_independent(spark, sf_dir):
+    """The determinism stack's core claim: queries whose floats come from
+    SEQUENTIAL folds over sorted arrays (q105/q122/q123/q125) and from
+    exact-integer ratios (q121/q128) must hash identically under a
+    different shuffle-partition count — the partitioning must never leak
+    into the values."""
+    import __spark_entry__ as E
+    from tests.oracle_harness import compare_frames, duck_connection
+
+    names = [
+        "q105_bigram_lm", "q121_trend_ols", "q122_token_entropy",
+        "q125_decayed_engagement", "q128_ab_welch_t",
+    ]
+    qs, oracles = E.queries(), E.oracle_sql()
+    con = duck_connection(sf_dir)
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        for name in names:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            ddf = con.execute(oracles[name]).fetchdf()
+            assert compare_frames(sdf, ddf) == [], f"{name} drifted at 7 partitions"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
