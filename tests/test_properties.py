@@ -166,7 +166,8 @@ def test_sequential_fold_queries_layout_independent(spark, sf_dir):
 
     names = [
         "q105_bigram_lm", "q121_trend_ols", "q122_token_entropy",
-        "q125_decayed_engagement", "q128_ab_welch_t",
+        "q123_naive_bayes_langid", "q125_decayed_engagement",
+        "q128_ab_welch_t",
     ]
     qs, oracles = E.queries(), E.oracle_sql()
     con = duck_connection(sf_dir)

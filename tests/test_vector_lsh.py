@@ -79,7 +79,10 @@ def test_block_topk_kernel_matches_bruteforce(spark, tmp_path):
         .collect()
     }
 
-    # brute force with the exact same sequential-fold float semantics
+    # brute force with the exact same sequential-fold float semantics —
+    # including the ROUNDING mode: the Spark side ranks F.round values
+    # (HALF_UP), so the referee must round half-up too, not np.round's
+    # half-even (they differ on dyadic-rational ties like 77/128)
     m = mat.astype("float64")
     acc = np.zeros(n)
     for d in range(dim):
@@ -88,7 +91,8 @@ def test_block_topk_kernel_matches_bruteforce(spark, tmp_path):
     dots = np.zeros((n, n))
     for d in range(dim):
         dots += m[:, d:d + 1] * m[:, d][None, :]
-    cos = np.round(dots / (norm[:, None] * norm[None, :]), 6)
+    raw = dots / (norm[:, None] * norm[None, :])
+    cos = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
     for q in range(n):
         order = sorted(
             (i for i in range(n) if i != q), key=lambda i: (-cos[q, i], i)
