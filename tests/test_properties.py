@@ -180,3 +180,46 @@ def test_sequential_fold_queries_layout_independent(spark, sf_dir):
             assert compare_frames(sdf, ddf) == [], f"{name} drifted at 7 partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_null_and_blank_text_cross_engine_consistent(spark, tmp_path):
+    """Production crawls contain NULL/empty/whitespace-only documents;
+    the testdata never does. Pin that the text/dedup operator family
+    treats them IDENTICALLY in Spark and DuckDB: NULL text yields NULL
+    token lists in both engines (not Spark's legacy -1 size), md5(NULL)
+    groups nulls together in both, and every n>0 guard falls through to
+    its zero branch the same way."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as E
+    from tests.oracle_harness import compare_frames
+
+    rows = [
+        {"doc_id": 1, "text": None, "lang": "en", "source": "web", "n_chars": 0},
+        {"doc_id": 2, "text": "", "lang": "en", "source": "web", "n_chars": 0},
+        {"doc_id": 3, "text": "   ", "lang": "en", "source": "web", "n_chars": 3},
+        {"doc_id": 4, "text": None, "lang": "de", "source": "web", "n_chars": 0},
+        {"doc_id": 5, "text": "the quick brown fox jumps over the lazy dog",
+         "lang": "en", "source": "web", "n_chars": 43},
+        {"doc_id": 6, "text": "the quick brown fox jumps over the lazy dog",
+         "lang": "en", "source": "news", "n_chars": 43},
+    ]
+    sf = tmp_path / "nullish"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    for name in ["q30_word_count", "q35_dedup_exact", "q36_ngram_jaccard",
+                 "q38_minhash_lsh_pairs", "q97_repetition_score"]:
+        sdf = qs[name](spark, str(sf)).toPandas()
+        ddf = con.execute(oracles[name]).fetchdf()
+        problems = compare_frames(sdf, ddf)
+        assert problems == [], f"{name} diverges on null/blank text: {problems[:3]}"
+    # sanity: the two identical docs deduped, null-text docs grouped
+    dedup = qs["q35_dedup_exact"](spark, str(sf)).toPandas()
+    assert (dedup["n_copies"] >= 2).sum() >= 2  # the twin pair + the null group
