@@ -223,3 +223,35 @@ def test_null_and_blank_text_cross_engine_consistent(spark, tmp_path):
     # sanity: the two identical docs deduped, null-text docs grouped
     dedup = qs["q35_dedup_exact"](spark, str(sf)).toPandas()
     assert (dedup["n_copies"] >= 2).sum() >= 2  # the twin pair + the null group
+
+
+def test_unicode_lowercase_cross_engine_canary(spark):
+    """Canary for the one KNOWN cross-engine unicode divergence (KNOWN
+    LIMITS #16): Spark's Java toLowerCase and DuckDB's utf8proc agree on
+    accented Latin, ß, Greek, Cyrillic, CJK, and emoji — and disagree
+    ONLY on Turkish dotted İ (combining-dot vs plain i). If this set
+    ever shifts (engine upgrade), the determinism story must be
+    re-audited."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    agree = ["Émile Zölå ÊTRE", "STRASSE ß", "ΣΟΦΙΑ σοφια", "日本語 テスト",
+             "naïve Café", "ЛЕВ Толстой", "🎉 PARTY 🎉"]
+    diverge = ["İstanbul DİYARBAKIR"]
+    sdf = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(agree + diverge)], "i long, t string"
+    )
+    srows = {
+        r["i"]: r["lo"]
+        for r in sdf.select("i", F.lower(F.col("t")).alias("lo")).collect()
+    }
+    con = duckdb.connect()
+    for i, s in enumerate(agree):
+        (lo,) = con.execute("SELECT lower(?)", [s]).fetchone()
+        assert srows[i] == lo, f"agreement class broke: {s!r}"
+    for j, s in enumerate(diverge):
+        (lo,) = con.execute("SELECT lower(?)", [s]).fetchone()
+        assert srows[len(agree) + j] != lo, (
+            f"divergence class healed: {s!r} — update KNOWN_LIMITS #16"
+        )
