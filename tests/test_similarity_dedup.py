@@ -406,3 +406,20 @@ def test_incremental_probe_raises_on_missing_index(spark, tmp_path):
         incremental_lsh_candidates(
             spark, batch, str(tmp_path / "no_such_index")
         ).count()
+
+
+def test_lsh_guard_zero_drop_fast_path_plan(spark, sf_dir):
+    """When no bucket exceeds the cap (the common case — all shipped
+    testdata), the guard must return the input UNCHANGED: no anti-join
+    in the candidate plan, just the banded self-join. Guards against
+    reintroducing an unconditional anti-join shape."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        band_signatures_from,
+        load_table,
+        lsh_candidate_pairs,
+    )
+    from mapreduce_framework_simple_spark.plans.explain import formatted_plan
+
+    bands = band_signatures_from(load_table(spark, "documents", sf_dir))
+    plan = formatted_plan(lsh_candidate_pairs(bands))
+    assert "LeftAnti" not in plan
