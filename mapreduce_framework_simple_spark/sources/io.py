@@ -159,12 +159,33 @@ def register_temp_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> No
         df.createOrReplaceTempView(n)
 
 
+# Physical-format variances the validator accepts as equivalent: the
+# driver's parquet writer emits TIMESTAMP(MICROS, isAdjustedToUTC=false)
+# for some date columns, surfacing as TIMESTAMP_NTZ against the declared
+# TimestampType — value-identical under the UTC session this engine pins.
+_TYPE_EQUIV = {frozenset({"timestamp", "timestamp_ntz"})}
+
+
 def validate_schema(df: DataFrame, name: str) -> None:
-    """Fail fast when a scan does not match the declared contract."""
-    declared = {f.name for f in SCHEMAS[name].fields}
-    actual = set(df.columns)
-    if declared - actual:
-        raise ValueError(f"table {name}: missing columns {sorted(declared - actual)}")
+    """Fail fast when a scan does not match the declared contract —
+    column NAMES and TYPES (a 'value' column that arrives as string
+    would otherwise fail deep inside a query, or worse, silently cast)."""
+    declared = {f.name: f.dataType.simpleString() for f in SCHEMAS[name].fields}
+    actual = dict(df.dtypes)
+    missing = set(declared) - set(actual)
+    if missing:
+        raise ValueError(f"table {name}: missing columns {sorted(missing)}")
+    drift = [
+        (c, declared[c], actual[c])
+        for c in declared
+        if actual[c] != declared[c]
+        and frozenset({actual[c], declared[c]}) not in _TYPE_EQUIV
+    ]
+    if drift:
+        raise ValueError(
+            f"table {name}: dtype drift "
+            + "; ".join(f"{c}: declared {d}, got {a}" for c, d, a in drift)
+        )
 
 
 def read_csv(spark: SparkSession, path: str, schema: T.StructType,

@@ -178,36 +178,67 @@ def q53_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Real Structured Streaming pipelines (verified batch-vs-stream in tests)
 # ---------------------------------------------------------------------------
 
+def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
+                         n_files: int) -> str:
+    """Stage one testdata table into a scratch drop-zone directory for the
+    file streaming source (which requires a directory of immutable files),
+    ALWAYS rewriting through the batch loader so physical-format variance
+    (TIMESTAMP(NANOS)/NTZ columns the raw streaming reader would reject or
+    misread) is normalized to the declared stream schema — for single-file
+    AND directory sources alike.
+
+    Keyed by a CONTENT fingerprint (every constituent file's name, mtime,
+    size — the round driver regenerates testdata in place, and a path-only
+    key would stream the stale corpus), scoped per-user under the shared
+    temp dir. Concurrency-safe: the stage is written to a process-unique
+    temp directory and atomically renamed into place, so two processes
+    staging the same source cannot clobber a stage a third is already
+    reading; the loser of the rename discards its copy and uses the
+    winner's. ``n_files`` output files ⇒ ``n_files`` availableNow
+    microbatches at ``maxFilesPerTrigger=1``."""
+    import hashlib
+    import shutil
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(src):
+        parts = sorted(
+            f for f in os.listdir(src) if not f.startswith(("_", "."))
+        )
+        sig = ";".join(
+            f"{f}:{os.stat(os.path.join(src, f)).st_mtime_ns}"
+            f":{os.stat(os.path.join(src, f)).st_size}"
+            for f in parts
+        )
+    else:
+        st = os.stat(src)
+        sig = f"{st.st_mtime_ns}:{st.st_size}"
+    key = hashlib.md5(f"{src}:{n_files}:{sig}".encode()).hexdigest()[:12]
+    uid = getattr(os, "getuid", lambda: 0)()
+    drop_zone = os.path.join(
+        tempfile.gettempdir(), f"mfss_stream_{uid}_{table}_{key}"
+    )
+    # the _SUCCESS probe rejects a partially-written stage from a crashed
+    # prior run (the atomic rename makes that near-impossible, but cheap)
+    if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
+        tmp = f"{drop_zone}.tmp.{os.getpid()}"
+        load_table(spark, table, sf_dir).repartition(n_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        try:
+            os.rename(tmp, drop_zone)
+        except OSError:
+            # a concurrent process won the rename — use its stage
+            shutil.rmtree(tmp, ignore_errors=True)
+    return drop_zone
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (1 file per microbatch
     in tests; at scale this is the same code over a Kafka/file drop-zone
-    source — only the ``format`` changes).
-
-    The file streaming source requires a *directory*; the testdata ships
-    one file per table, so it is staged (copied once) into a scratch
-    drop-zone directory keyed by the source path.
-    """
-    import hashlib
-    import tempfile
-
-    src = os.path.join(sf_dir, "events.parquet")
-    if os.path.isdir(src):
-        drop_zone = src
-    else:
-        # content-fingerprinted key (mtime+size): testdata is regenerated
-        # between rounds, and a path-only key would stream stale events
-        st = os.stat(src)
-        key = hashlib.md5(
-            f"{src}:{st.st_mtime_ns}:{st.st_size}".encode()
-        ).hexdigest()[:12]
-        drop_zone = os.path.join(tempfile.gettempdir(), f"mfss_stream_{key}")
-        if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
-            # rewrite through the batch loader: converts the physical
-            # TIMESTAMP(NANOS) column to micros so the declared stream
-            # schema (TimestampType) matches the staged files
-            load_table(spark, "events", sf_dir).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(drop_zone)
+    source — only the ``format`` changes). See
+    :func:`_stage_stream_source` for the staging contract."""
+    drop_zone = _stage_stream_source(spark, "events", sf_dir, n_files=1)
     return (
         spark.readStream.schema(SCHEMAS["events"])
         .option("maxFilesPerTrigger", 1)
@@ -269,23 +300,46 @@ def run_available_now(
         .start()
     )
     q.awaitTermination()
-    return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}")
+    # .table(), not interpolated SQL: query names are caller-chosen and
+    # need no identifier quoting this way
+    return stream_df.sparkSession.table(query_name)
+
+
+def _clean_stale_batches(out_dir: str, checkpoint_dir: str) -> None:
+    """A FRESH run (no offsets in the checkpoint) must not inherit
+    ``batch=N`` directories from a previous run into the same
+    ``out_dir`` — a shorter rerun would leave the old tail in place and
+    ``spark.read.parquet(out_dir)`` would union stale rows in. A RESUMED
+    run (offsets present) keeps everything: its replayed batch ids
+    overwrite their own directories, which is the idempotence contract."""
+    import shutil
+
+    if not os.path.exists(os.path.join(checkpoint_dir, "offsets")) and os.path.isdir(
+        out_dir
+    ):
+        shutil.rmtree(out_dir)
 
 
 def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
-                      query_name: str = "to_parquet"):
+                      query_name: str = "to_parquet",
+                      output_mode: str = "complete"):
     """foreachBatch parquet sink: the production pattern for landing
     streaming aggregates in a warehouse (idempotent per epoch via the
     checkpointed batch id; swap the write body for MERGE INTO on a
-    lakehouse). Complete-mode snapshot per microbatch, partitioned dirs
-    by batch for replay-ability."""
+    lakehouse). Snapshot per microbatch, partitioned dirs by batch for
+    replay-ability; ``output_mode='append'`` for non-aggregated streams
+    (enrichment/filter pipelines), where complete mode is rejected.
+    ``out_dir`` is owned by this query: a fresh run (new checkpoint)
+    clears it first so stale ``batch=N`` dirs from prior runs cannot
+    leak into reads."""
+    _clean_stale_batches(out_dir, checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return (
         stream_df.writeStream.foreachBatch(write_batch)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .queryName(query_name)
@@ -432,24 +486,9 @@ def read_documents_stream(spark: SparkSession, sf_dir: str,
                           n_files: int = 4) -> DataFrame:
     """File-source stream over the documents table, staged as ``n_files``
     parquet files so availableNow drains it in ``n_files`` microbatches —
-    the ingestion-side stand-in for a crawl drop-zone."""
-    import hashlib
-    import tempfile
-
-    src = os.path.join(sf_dir, "documents.parquet")
-    # key by source CONTENT fingerprint (mtime+size), not just the path:
-    # the round driver regenerates testdata in place, and a path-keyed
-    # stage would silently stream the stale corpus. The _SUCCESS probe
-    # also rejects a partially-written stage from a crashed prior run.
-    st = os.stat(src)
-    key = hashlib.md5(
-        f"{src}:{n_files}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:12]
-    drop_zone = os.path.join(tempfile.gettempdir(), f"mfss_docstream_{key}")
-    if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
-        load_table(spark, "documents", sf_dir).repartition(n_files).write.mode(
-            "overwrite"
-        ).parquet(drop_zone)
+    the ingestion-side stand-in for a crawl drop-zone. See
+    :func:`_stage_stream_source` for the staging contract."""
+    drop_zone = _stage_stream_source(spark, "documents", sf_dir, n_files)
     return (
         spark.readStream.schema(SCHEMAS["documents"])
         .option("maxFilesPerTrigger", 1)
@@ -476,10 +515,16 @@ def stream_dedup_against_index(docs_stream: DataFrame, index_path: str,
     ``batch=<id>`` partition directory, so a foreachBatch replay after a
     crash (at-least-once delivery) rewrites the same rows instead of
     appending duplicates — read the result with
-    ``spark.read.parquet(out_dir)`` (the batch column is metadata)."""
+    ``spark.read.parquet(out_dir)`` (the batch column is metadata).
+    ``out_dir`` is owned by this query: a FRESH run (new checkpoint)
+    clears it first, so a shorter rerun cannot leave a stale ``batch=N``
+    tail from a prior run mixed into reads; a RESUMED run keeps it and
+    relies on per-batch overwrite."""
     from mapreduce_framework_simple_spark.operators.dedup import (
         incremental_lsh_candidates,
     )
+
+    _clean_stale_batches(out_dir, checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         cands = incremental_lsh_candidates(

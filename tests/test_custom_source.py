@@ -75,3 +75,29 @@ def test_source_streaming_reader(spark, tmp_path):
     ).collect()[0]
     assert got["n"] == 300
     assert got["d"] == 300
+
+
+def test_validate_schema_checks_types(spark, sf_dir):
+    """validate_schema enforces NAMES and TYPES (a string 'value' column
+    must fail loudly, not deep inside a query), while accepting the
+    documented timestamp/timestamp_ntz physical variance on every
+    shipped table."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.sources.io import (
+        TABLES,
+        load_table,
+        validate_schema,
+    )
+
+    for t in TABLES:
+        validate_schema(load_table(spark, t, sf_dir), t)  # all pass as-is
+
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "value", F.col("value").cast("string")
+    )
+    with pytest.raises(ValueError, match="dtype drift"):
+        validate_schema(ev, "events")
+    with pytest.raises(ValueError, match="missing columns"):
+        validate_schema(ev.drop("props"), "events")
