@@ -167,6 +167,9 @@ def q62_matrix_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @F.pandas_udf(out_t)
     def inv3(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:  # empty Arrow batch: np.stack([]) would raise
+            return pd.DataFrame({"det": pd.Series(dtype="float64"),
+                                 "inv00": pd.Series(dtype="float64")})
         mats = np.stack(
             [np.asarray(v[:9], dtype=np.float64).reshape(3, 3) + np.eye(3) * 10 for v in emb]
         )
@@ -213,10 +216,17 @@ def q63_word_count_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
 
     def tokenize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import re
+
+        # ASCII-only \s, matching the canonical tokenizer: Java regex \s
+        # (tokens_expr) and DuckDB's RE2 \s are ASCII-only, while Python's
+        # default \s is unicode-aware — an NBSP/ideographic space would
+        # split here but nowhere else. No .strip(): Python strip removes
+        # unicode whitespace Java trim keeps; the empty-token filter makes
+        # leading/trailing ASCII whitespace irrelevant in every engine.
+        ascii_ws = re.compile(r"\s+", re.ASCII)
         for pdf in batches:
-            toks = (
-                pdf["text"].str.strip().str.lower().str.split(r"\s+", regex=True).explode()
-            )
+            toks = pdf["text"].str.lower().str.split(ascii_ws).explode()
             toks = toks[toks.notna() & (toks != "")]
             counts = toks.value_counts()
             yield pd.DataFrame({"word": counts.index, "partial": counts.to_numpy()})
@@ -367,12 +377,23 @@ def q80_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @udtf(returnType="chunk_idx int, chunk string, n_tokens int")
     class ChunkText:
+        # baked at class creation — the single source the oracles
+        # interpolate; retuning CHUNK_TOKENS retunes both sides
+        N = CHUNK_TOKENS
+
         def eval(self, text: str):
-            toks = [t for t in text.strip().lower().split() if t]
-            # split() splits on whitespace runs ≙ the \s+ tokenizer
-            for i in range(0, len(toks), 16):
-                piece = toks[i : i + 16]
-                yield i // 16, " ".join(piece), len(piece)
+            if not text:  # NULL/empty doc: no chunks (oracle emits none)
+                return
+            import re
+
+            # ASCII-only \s ≙ the canonical Java/RE2 tokenizer (Python's
+            # str.split()/default \s are unicode-aware and would diverge
+            # on NBSP/ideographic spaces)
+            toks = [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+            n = self.N
+            for i in range(0, len(toks), n):
+                piece = toks[i : i + n]
+                yield i // n, " ".join(piece), len(piece)
 
     spark.udtf.register("mfss_chunk_text", ChunkText)
     docs = load_table(spark, "documents", sf_dir)

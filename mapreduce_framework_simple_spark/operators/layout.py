@@ -119,6 +119,23 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
             raise IOError(f"upsert recovery: cannot restore {backup} → {target}")
 
     current = spark.read.parquet(target)
+    # MERGE contract: at most one update row per key. Duplicate keys in
+    # the batch would silently land BOTH rows after the anti-join,
+    # corrupting key-uniqueness for every later upsert — fail loudly
+    # instead (Delta/DuckDB MERGE error on multiple matches too). The
+    # check is one small aggregate over the (by-premise small) batch.
+    dup = (
+        updates.groupBy(key)
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"upsert: updates batch has multiple rows for {key}="
+            f"{dup[0][key]!r}; deduplicate the batch before merging"
+        )
     remaining = current.join(
         F.broadcast(updates.select(key).distinct()), key, "left_anti"
     )

@@ -168,7 +168,17 @@ class MapReduceEngine:
         not as the 100 TB hot path.
         """
         sc = self.spark.sparkContext
-        rdd = sc.parallelize(list(elements), num_partitions).glom().map(mapper)
+        # drop empty partitions before mapping: parallelize with more
+        # partitions than elements yields empty gloms, and the reference's
+        # never-empty-chunk contract (create_assigned_data strips them)
+        # must hold here too — a t/01_basic.t-style avg mapper divides by
+        # len(chunk) and would crash on []
+        rdd = (
+            sc.parallelize(list(elements), num_partitions)
+            .glom()
+            .filter(lambda part: len(part) > 0)
+            .map(mapper)
+        )
         results = rdd.collect()
         if self.skip_none:
             results = [r for r in results if r is not None]

@@ -142,3 +142,23 @@ def test_range_partitioned_write_has_disjoint_file_ranges(spark, sf_dir, tmp_pat
     ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, f"file ranges overlap: {hi1} > {lo2}"
+
+
+def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
+    """MERGE contract: multiple update rows for one key must fail loudly
+    (Delta/DuckDB MERGE semantics), not silently insert both."""
+    import pytest
+
+    from mapreduce_framework_simple_spark.operators.layout import upsert_parquet
+
+    target = str(tmp_path / "upsert_dup")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(target)
+    dup_updates = spark.createDataFrame(
+        [(1, "x"), (1, "y")], "k long, v string"
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        upsert_parquet(spark, target, dup_updates, key="k")
+    # target unchanged by the rejected merge
+    assert sorted(
+        (r["k"], r["v"]) for r in spark.read.parquet(target).collect()
+    ) == [(1, "a"), (2, "b")]

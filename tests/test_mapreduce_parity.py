@@ -217,3 +217,19 @@ def test_capacity_weighted_method_aliases():
 
     with pytest.raises(ValueError, match="unknown method"):
         create_assigned_data(data, 4, method="element_bogus")
+
+
+def test_map_reduce_iter_never_feeds_empty_chunks(spark):
+    """More partitions than elements: empty gloms must be dropped before
+    the mapper (the reference's never-empty-chunk contract) — an avg
+    mapper dividing by len(chunk) must not crash."""
+    from mapreduce_framework_simple_spark.operators.mapreduce import MapReduceEngine
+
+    eng = MapReduceEngine(spark)
+    out = eng.map_reduce_iter(
+        [1.0, 2.0, 3.0, 4.0, 5.0],
+        mapper=lambda chunk: sum(chunk) / len(chunk),
+        reducer=lambda xs: sorted(xs),
+        num_partitions=32,
+    )
+    assert all(isinstance(x, float) for x in out) and len(out) <= 5

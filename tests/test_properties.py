@@ -215,7 +215,8 @@ def test_null_and_blank_text_cross_engine_consistent(spark, tmp_path):
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
     )
     for name in ["q30_word_count", "q35_dedup_exact", "q36_ngram_jaccard",
-                 "q38_minhash_lsh_pairs", "q97_repetition_score"]:
+                 "q38_minhash_lsh_pairs", "q63_word_count_pandas",
+                 "q80_chunk_documents", "q97_repetition_score"]:
         sdf = qs[name](spark, str(sf)).toPandas()
         ddf = con.execute(oracles[name]).fetchdf()
         problems = compare_frames(sdf, ddf)
