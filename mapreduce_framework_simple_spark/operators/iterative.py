@@ -41,14 +41,20 @@ def _assign(df: DataFrame, centroids) -> DataFrame:
     import numpy as np
 
     cent = np.asarray(centroids, dtype="float64")
-    cent_unit = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    norms = np.linalg.norm(cent, axis=1, keepdims=True)
+    cent_unit = cent / np.where(norms == 0, 1.0, norms)
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
+            if len(pdf) == 0:  # empty Arrow batch: np.stack([]) raises
+                continue
             mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
-            unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            vnorms = np.linalg.norm(mat, axis=1, keepdims=True)
+            # zero-norm vectors get sim 0 to every centroid (cosine is
+            # undefined; 0/0 would poison argmax/trace with NaN)
+            unit = mat / np.where(vnorms == 0, 1.0, vnorms)
             sims = unit @ cent_unit.T
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy(dtype="int64"),
@@ -67,9 +73,16 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int = K,
     """Lloyd's k-means (cosine flavor) with deterministic seeding (every
     (N/k)-th vector). Returns (final assignments DataFrame, per-iteration
     mean-similarity trace — monotone non-decreasing up to fp noise)."""
-    em = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    em = em.persist()
+    from mapreduce_framework_simple_spark.ephemeral import scoped_cache
+
+    em = scoped_cache(
+        load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    )
     n = em.count()
+    if n == 0:
+        # empty-input contract: empty assignments, empty trace — not a
+        # numpy AxisError from zero seeds
+        return _assign(em, [[0.0]]).limit(0), []
     stride = max(n // k, 1)
     seeds = (
         em.where(F.col("vec_id") % stride == 0)
@@ -103,7 +116,9 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int = K,
                 float(row[f"c{i}"]) for i in range(len(centroids[0]))
             ]
         centroids = new_centroids
-    em.unpersist()
+    # no unpersist here: the returned frame is lazy over em — the scoped
+    # cache is released at the next query boundary (ephemeral protocol),
+    # after the caller has materialized the result
     return assigned, trace
 
 
@@ -185,7 +200,13 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
             .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))).alias("d"))
             .collect()[0]["d"]
         )
-        deltas.append(float(delta))
+        # empty graph: sum over zero rows is NULL — treat as converged
+        deltas.append(float(delta) if delta is not None else 0.0)
+        # frees the round-1 CACHE; later rounds' frames are localCheckpoints
+        # whose blocks the CacheManager does not track — those are freed by
+        # the ContextCleaner once the superseded frame reference drops on
+        # the next line (reference-tracked RDD cleanup), so storage stays
+        # O(1) frames rather than O(rounds)
         ranks.unpersist()
         ranks = new_ranks
     e.unpersist()

@@ -55,6 +55,26 @@ DUCK_SHINGLES = (
 )
 
 
+def bigrams_expr(toks: Column) -> Column:
+    """Adjacent token pairs as ``"w1 w2"`` strings; <2 tokens → empty.
+    The ONE bigram definition (q97/q105 both call it — a banding change
+    here cannot diverge between callers). DuckDB twin: ``DUCK_BIGRAMS``
+    / ``list_transform(range(1, len(toks)), i -> toks[i] || ' ' ||
+    toks[i+1])`` (1-indexed, end-exclusive)."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
+
+
+DUCK_BIGRAMS = (
+    "CASE WHEN len(toks) >= 2 THEN "
+    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
+    "ELSE [] END"
+)
+
+
 @query(
     "q30_word_count",
     oracle=f"""
@@ -111,25 +131,51 @@ def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 
+# interpolated into the q32/q98 oracles so editing STOPWORDS retunes
+# Spark AND DuckDB together (the _duck_marker discipline)
+_DUCK_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _duck_fold_avg(expr: str) -> str:
+    """Sequential doc_id-ordered fold average — DuckDB twin of the q122
+    sorted-fold discipline (order-independent bit-identical doubles)."""
+    return (
+        f"list_reduce(list_prepend(0.0, list({expr} ORDER BY doc_id)"
+        f" FILTER ({expr} IS NOT NULL)), (a, b) -> a + b) / count({expr})"
+    )
+
+
 @query(
     "q32_quality_score",
     oracle=f"""
-    WITH t AS (SELECT *, {DUCK_TOKS} AS toks FROM documents)
+    WITH t AS (SELECT *, {DUCK_TOKS} AS toks FROM documents),
+    r AS (SELECT doc_id, lang,
+                 CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
+                   / length(text) AS alpha_r,
+                 CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
+                   / length(text) AS space_r,
+                 CAST(len(list_filter(toks, x -> x IN ({_DUCK_STOPS}))) AS DOUBLE)
+                   / len(toks) AS stop_r,
+                 length(text) AS tlen
+          FROM t)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           avg(CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE)
-               / length(text)) AS avg_alpha_ratio,
-           avg(CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS DOUBLE)
-               / length(text)) AS avg_space_ratio,
-           avg(CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
-               / len(toks)) AS avg_stopword_ratio,
-           avg(CAST(length(text) AS DOUBLE)) AS avg_len
-    FROM t GROUP BY lang
+           {_duck_fold_avg('alpha_r')} AS avg_alpha_ratio,
+           {_duck_fold_avg('space_r')} AS avg_space_ratio,
+           {_duck_fold_avg('stop_r')} AS avg_stopword_ratio,
+           CAST(sum(tlen) AS DOUBLE) / count(tlen) AS avg_len
+    FROM r GROUP BY lang
     """,
 )
 def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document quality heuristics (alpha/space/stopword ratios) averaged
-    per language — the filter-before-training signal set."""
+    per language — the filter-before-training signal set.
+
+    Determinism: each per-doc ratio is an exact int/int division; the
+    per-language average is a SEQUENTIAL fold over doc_id-sorted ratios
+    (the q122 discipline — a plain avg() sums partial aggregates in
+    partition order, bit-identical to the oracle only while the scan is
+    one split). avg_len sums exact integers, so plain division is safe."""
     docs = load_table(spark, "documents", sf_dir)
     toks = tokens_expr()
     text_len = F.length("text")
@@ -144,12 +190,38 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_ratio = (
         F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(toks)
     )
-    return docs.groupBy("lang").agg(
+    r = docs.select(
+        "doc_id",
+        "lang",
+        alpha_ratio.alias("alpha_r"),
+        space_ratio.alias("space_r"),
+        stop_ratio.alias("stop_r"),
+        text_len.alias("tlen"),
+    )
+
+    def fold_avg(col: str) -> Column:
+        # null ratios (NULL/empty text) excluded on BOTH sides: the
+        # when() yields a null struct that collect_list skips, mirroring
+        # the oracle's FILTER — denominators count non-null like avg()
+        lst = F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col(col).isNotNull(),
+                        F.struct(F.col("doc_id").alias("d"), F.col(col).alias("r")),
+                    )
+                )
+            ),
+            lambda s: s.r,
+        )
+        return F.aggregate(lst, F.lit(0.0), lambda a, b: a + b) / F.count(F.col(col))
+
+    return r.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.avg(alpha_ratio).alias("avg_alpha_ratio"),
-        F.avg(space_ratio).alias("avg_space_ratio"),
-        F.avg(stop_ratio).alias("avg_stopword_ratio"),
-        F.avg(text_len.cast("double")).alias("avg_len"),
+        fold_avg("alpha_r").alias("avg_alpha_ratio"),
+        fold_avg("space_r").alias("avg_space_ratio"),
+        fold_avg("stop_r").alias("avg_stopword_ratio"),
+        (F.sum("tlen").cast("double") / F.count("tlen")).alias("avg_len"),
     )
 
 
@@ -238,9 +310,7 @@ def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q69_bigrams",
     oracle=f"""
     WITH t AS (SELECT {DUCK_TOKS} AS toks FROM documents),
-    b AS (SELECT unnest(CASE WHEN len(toks) >= 2
-                             THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
-                             ELSE [] END) AS bigram
+    b AS (SELECT unnest({DUCK_BIGRAMS}) AS bigram
           FROM t)
     SELECT * FROM (
         SELECT bigram, CAST(count(*) AS BIGINT) AS cnt,
@@ -251,23 +321,16 @@ def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q69_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 word bigrams (n-gram frequency analysis; deterministic
-    tie-break by bigram text). Same materialize-before-lambda discipline
-    as shingling."""
+    tie-break by bigram text). Uses the ONE bigram definition
+    (bigrams_expr / DUCK_BIGRAMS — the q97/q105 discipline) with the
+    same materialize-before-lambda care as shingling."""
     docs = load_table(spark, "documents", sf_dir)
-    toks = F.col("toks")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     from pyspark.sql import Window
 
     w = Window.orderBy(F.desc("cnt"), F.asc("bigram"))
     return (
         docs.select(tokens_expr().alias("toks"))
-        .select(F.explode(bigrams).alias("bigram"))
+        .select(F.explode(bigrams_expr(F.col("toks"))).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .withColumn("rnk", F.row_number().over(w))
@@ -331,26 +394,6 @@ def q86_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (training-data curation extensions; all integer-ratio math, so every
 # engine computes bit-identical scores)
 # ---------------------------------------------------------------------------
-
-def bigrams_expr(toks: Column) -> Column:
-    """Adjacent token pairs as ``"w1 w2"`` strings; <2 tokens → empty.
-    The ONE bigram definition (q97/q105 both call it — a banding change
-    here cannot diverge between callers). DuckDB twin: ``DUCK_BIGRAMS``
-    / ``list_transform(range(1, len(toks)), i -> toks[i] || ' ' ||
-    toks[i+1])`` (1-indexed, end-exclusive)."""
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
-    return F.when(F.size(toks) >= 2, grams).otherwise(F.array().cast("array<string>"))
-
-
-DUCK_BIGRAMS = (
-    "CASE WHEN len(toks) >= 2 THEN "
-    "list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) "
-    "ELSE [] END"
-)
-
 
 @query(
     "q97_repetition_score",
@@ -427,7 +470,7 @@ GOPHER_TOP_WORD_DENOM = 5
                     CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
                          AS BIGINT) AS sum_token_len,
                     CAST(len(list_filter(toks,
-                      x -> x IN ('the','a','and','of','to','in','is'))) AS BIGINT)
+                      x -> x IN ({_DUCK_STOPS}))) AS BIGINT)
                       AS stop_hits
              FROM t)
     SELECT base.doc_id, n_tokens, sum_token_len, stop_hits,
@@ -631,6 +674,11 @@ def heavy_hitters(words: DataFrame, k: int = HH_K, cap: int = HH_CAP) -> DataFra
 
     if cap + 1 < k:
         raise ValueError(f"cap+1 ({cap + 1}) must be ≥ k ({k}) for exactness")
+
+    # words feeds THREE plan subtrees (sketch, exact-count join, total);
+    # Spark reuses exchanges, not scans — without this cache the corpus
+    # scan + tokenize + explode would execute three times per call
+    words = scoped_cache(words)
 
     def mg_partition(batches):
         cnt: dict[str, int] = {}

@@ -162,3 +162,33 @@ def test_queries_wrapper_releases_previous_caches(spark, sf_dir):
     assert len(ephemeral._SCOPED) > 0
     qs["q01_pricing_summary"](spark, sf_dir).count()  # registers none itself
     assert len(ephemeral._SCOPED) == 0
+
+
+def test_pagerank_empty_edges(spark):
+    from mapreduce_framework_simple_spark.operators.iterative import pagerank
+
+    edges = spark.createDataFrame(
+        [], T.StructType([
+            T.StructField("src", T.LongType()),
+            T.StructField("dst", T.LongType()),
+        ])
+    )
+    ranks, deltas = pagerank(edges, n_iter=2)
+    assert ranks.count() == 0
+    assert deltas == [0.0, 0.0]
+
+
+def test_kmeans_empty_embeddings(spark, tmp_path):
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators.iterative import kmeans
+
+    sf = tmp_path / "empty_em"
+    sf.mkdir()
+    pd.DataFrame({
+        "vec_id": pd.Series(dtype="int64"),
+        "embedding": pd.Series(dtype="object"),
+        "label": pd.Series(dtype="int32"),
+    }).to_parquet(sf / "embeddings.parquet")
+    assigned, trace = kmeans(spark, str(sf))
+    assert assigned.count() == 0 and trace == []
