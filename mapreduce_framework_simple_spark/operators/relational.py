@@ -13,11 +13,48 @@ shuffles are, and why the plan survives 1000 executors × 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
+
+
+# --------------------------------------------------------------------------
+# Exact money aggregation — order- and PLAN-independent hashed floats.
+#
+# 2-dp money/ratio columns (prices, discounts, event values) are not
+# binary-representable, so a float sum accumulates rounding in
+# partition/row order: the result is bit-identical to the oracle only
+# while Spark's accumulation order happens to match DuckDB's sequential
+# scan — and even a JOIN STRATEGY change reorders rows (removing q05's
+# broadcast hint flipped its revenue by 1 ULP). Every hashed money
+# aggregate therefore sums EXACT integer cents in decimal(38,0)
+# (HUGEINT on the oracle side — the q128 discipline, so nothing wraps),
+# and converts ONCE to double at the end: the integer sum is exact under
+# any order, and int→double conversion is deterministic IEEE rounding in
+# both engines. Quantities (integral doubles) and int sums are exact
+# as-is and stay plain.
+# --------------------------------------------------------------------------
+
+def cents(col: str) -> Column:
+    """Exact integer cents of a 2-dp column, decimal(38,0)."""
+    return F.round(F.col(col) * 100).cast("decimal(38,0)")
+
+
+def cents_l(col: str) -> Column:
+    """Exact integer cents as a long — for small in-row factors
+    (discount/tax percentages) that multiply a decimal."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def duck_cents(col: str) -> str:
+    return f"CAST(round({col} * 100) AS HUGEINT)"
+
+
+def duck_cents_l(col: str) -> str:
+    return f"CAST(round({col} * 100) AS BIGINT)"
+
 
 
 # --------------------------------------------------------------------------
@@ -27,16 +64,24 @@ from mapreduce_framework_simple_spark.sources.io import load_table
 
 @query(
     "q01_pricing_summary",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           sum(l_quantity)                                       AS sum_qty,
-           sum(l_extendedprice)                                  AS sum_base_price,
-           sum(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-           sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
-           avg(l_quantity)                                       AS avg_qty,
-           avg(l_extendedprice)                                  AS avg_price,
-           avg(l_discount)                                       AS avg_disc,
-           count(*)                                              AS count_order
+           sum(l_quantity) AS sum_qty,
+           CAST(sum({duck_cents('l_extendedprice')}) AS DOUBLE) / 100
+               AS sum_base_price,
+           CAST(sum({duck_cents('l_extendedprice')}
+                    * (100 - {duck_cents_l('l_discount')})) AS DOUBLE) / 10000
+               AS sum_disc_price,
+           CAST(sum({duck_cents('l_extendedprice')}
+                    * (100 - {duck_cents_l('l_discount')})
+                    * (100 + {duck_cents_l('l_tax')})) AS DOUBLE) / 1000000
+               AS sum_charge,
+           avg(l_quantity) AS avg_qty,
+           CAST(sum({duck_cents('l_extendedprice')}) AS DOUBLE)
+               / (100 * count(*)) AS avg_price,
+           CAST(sum({duck_cents('l_discount')}) AS DOUBLE)
+               / (100 * count(*)) AS avg_disc,
+           count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-02'
     GROUP BY l_returnflag, l_linestatus
@@ -50,19 +95,30 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Predicate and the 7-column projection push into the parquet scan.
     """
     li = load_table(spark, "lineitem", sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    price_c = cents("l_extendedprice")
+    disc_pct = 100 - cents_l("l_discount")  # exact (100−d¢) integer factor
+    tax_pct = 100 + cents_l("l_tax")
+    n = F.count("*")
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integral doubles — float sums of integers are
+            # exact in any order, no cents needed
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            (F.sum(price_c).cast("double") / 100).alias("sum_base_price"),
+            (F.sum(price_c * disc_pct).cast("double") / 10000).alias(
+                "sum_disc_price"
+            ),
+            (F.sum(price_c * disc_pct * tax_pct).cast("double") / 1000000).alias(
+                "sum_charge"
+            ),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count("*").alias("count_order"),
+            (F.sum(price_c).cast("double") / (100 * n)).alias("avg_price"),
+            (F.sum(cents("l_discount")).cast("double") / (100 * n)).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
         )
     )
 
@@ -101,8 +157,9 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q06_forecast_revenue",
-    oracle="""
-    SELECT sum(l_extendedprice * l_discount) AS revenue
+    oracle=f"""
+    SELECT CAST(sum({duck_cents('l_extendedprice')}
+                    * {duck_cents_l('l_discount')}) AS DOUBLE) / 10000 AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -121,7 +178,10 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.03, 0.05)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+        .agg(
+            (F.sum(cents("l_extendedprice") * cents_l("l_discount")).cast("double")
+             / 10000).alias("revenue")
+        )
     )
 
 
@@ -146,9 +206,10 @@ def q10_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q11_cube",
-    oracle="""
+    oracle=f"""
     SELECT l_returnflag, l_linestatus,
-           sum(l_extendedprice) AS sum_price,
+           CAST(sum({duck_cents('l_extendedprice')}) AS DOUBLE) / 100
+               AS sum_price,
            CAST(count(*) AS BIGINT) AS n_rows
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
@@ -158,7 +219,7 @@ def q11_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over both dimensions (all 4 grouping sets)."""
     li = load_table(spark, "lineitem", sf_dir)
     return li.cube("l_returnflag", "l_linestatus").agg(
-        F.sum("l_extendedprice").alias("sum_price"),
+        (F.sum(cents("l_extendedprice")).cast("double") / 100).alias("sum_price"),
         F.count("*").alias("n_rows"),
     )
 
@@ -188,28 +249,49 @@ def q12_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q23_agg_stats",
-    oracle="""
+    oracle=f"""
+    WITH s AS (SELECT l_returnflag,
+                      CAST(count(*) AS BIGINT) AS n,
+                      sum({duck_cents('l_quantity')})       AS s1,
+                      sum({duck_cents('l_quantity')}
+                          * {duck_cents_l('l_quantity')})   AS s2,
+                      min(l_extendedprice) AS min_price,
+                      max(l_extendedprice) AS max_price,
+                      sum({duck_cents('l_discount')})       AS sd
+               FROM lineitem GROUP BY l_returnflag)
     SELECT l_returnflag,
-           stddev_samp(l_quantity) AS sd_qty,
-           var_samp(l_quantity)    AS var_qty,
-           min(l_extendedprice)    AS min_price,
-           max(l_extendedprice)    AS max_price,
-           avg(l_discount)         AS avg_disc,
-           CAST(count(*) AS BIGINT) AS n_rows
-    FROM lineitem
-    GROUP BY l_returnflag
+           sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1) / 10000) AS sd_qty,
+           (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+                / (n - 1) / 10000  AS var_qty,
+           min_price, max_price,
+           CAST(sd AS DOUBLE) / (100 * n) AS avg_disc,
+           n AS n_rows
+    FROM s
     """,
 )
 def q23_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (sample stddev/variance + min/max/avg)."""
+    """Statistical aggregates (sample stddev/variance + min/max/avg).
+
+    Determinism: built-in stddev_samp/var_samp merge Welford partials in
+    engine- and partition-specific order (the q59 rule: never hash
+    co-moment aggregates unrounded); here variance is computed from
+    EXACT integer-cent sums (n, Σq¢, Σq¢²) with the identical float
+    formula in both engines — order/plan-independent. min/max and counts
+    are order-free as-is."""
     li = load_table(spark, "lineitem", sf_dir)
+    q_c = cents("l_quantity")
+    n = F.count("*")
+    s1 = F.sum(q_c).cast("double")
+    s2 = F.sum(q_c * cents_l("l_quantity")).cast("double")
+    var = (s2 - s1 * s1 / n) / (n - 1) / 10000
     return li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_quantity").alias("sd_qty"),
-        F.var_samp("l_quantity").alias("var_qty"),
+        F.sqrt(var).alias("sd_qty"),
+        var.alias("var_qty"),
         F.min("l_extendedprice").alias("min_price"),
         F.max("l_extendedprice").alias("max_price"),
-        F.avg("l_discount").alias("avg_disc"),
-        F.count("*").alias("n_rows"),
+        (F.sum(cents("l_discount")).cast("double") / (100 * n)).alias("avg_disc"),
+        n.alias("n_rows"),
     )
 
 
@@ -230,9 +312,11 @@ def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q03_top_revenue",
-    oracle="""
+    oracle=f"""
     SELECT l.l_orderkey AS orderkey,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+           CAST(sum({duck_cents('l.l_extendedprice')}
+                    * (100 - {duck_cents_l('l.l_discount')})) AS DOUBLE) / 10000
+               AS revenue,
            o.o_orderdate AS orderdate
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -262,7 +346,10 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(li.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
-        .agg(F.sum(li.l_extendedprice * (1 - li.l_discount)).alias("revenue"))
+        .agg(
+            (F.sum(cents("l_extendedprice") * (100 - cents_l("l_discount")))
+             .cast("double") / 10000).alias("revenue")
+        )
         .select("orderkey", "revenue", "orderdate")
         .orderBy(F.desc("revenue"), F.asc("orderkey"))
         .limit(10)
@@ -271,9 +358,11 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q05_join_chain",
-    oracle="""
+    oracle=f"""
     SELECT n.n_name AS nation,
-           sum(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+           CAST(sum({duck_cents('l.l_extendedprice')}
+                    * (100 - {duck_cents_l('l.l_discount')})) AS DOUBLE) / 10000
+               AS revenue
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -287,8 +376,12 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-table star-join chain lineitem→orders→customer→nation→region.
 
-    Scale: region/nation broadcast trivially; customer broadcasts at any
-    SF where it fits 64 MB, else AQE demotes to shuffle join; the fact-fact
+    Scale: region/nation carry explicit broadcast hints (tiny by
+    construction — 5/25 rows at every SF); the customer-sized dim side is
+    deliberately UNHINTED, because a hint is unconditional — Spark honors
+    it at any size and AQE never demotes a hinted broadcast. Unhinted,
+    the planner broadcasts while the dim fits the threshold and AQE picks
+    shuffle join at runtime when it does not. The fact-fact
     lineitem⋈orders shuffle on orderkey dominates and is unavoidable
     without co-bucketing both facts on orderkey (the storage-layout answer
     at 100 TB — see docs/SCALE.md)."""
@@ -304,18 +397,22 @@ def q05_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(li.l_extendedprice * (1 - li.l_discount)).alias("revenue"))
+        .agg(
+            (F.sum(cents("l_extendedprice") * (100 - cents_l("l_discount")))
+             .cast("double") / 10000).alias("revenue")
+        )
     )
 
 
 @query(
     "q07_broadcast_brand",
-    oracle="""
+    oracle=f"""
     SELECT p.p_brand AS brand,
            sum(l.l_quantity)        AS sum_qty,
-           avg(l.l_extendedprice)   AS avg_price,
+           CAST(sum({duck_cents('l.l_extendedprice')}) AS DOUBLE)
+               / (100 * count(*))   AS avg_price,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -334,7 +431,8 @@ def q07_broadcast_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
+            (F.sum(cents("l_extendedprice")).cast("double")
+             / (100 * F.count("*"))).alias("avg_price"),
             F.count("*").alias("n_items"),
         )
     )
@@ -464,10 +562,11 @@ def q27_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q28_scalar_subquery",
-    oracle="""
+    oracle=f"""
     SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_above
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+    WHERE o_totalprice > (SELECT CAST(sum({duck_cents('o_totalprice')}) AS DOUBLE)
+                                 / (100 * count(*)) FROM orders)
     GROUP BY o_orderstatus
     """,
 )
@@ -476,7 +575,13 @@ def q28_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of the 1-row aggregate (exactly what Catalyst does for an
     uncorrelated scalar subquery)."""
     o = load_table(spark, "orders", sf_dir)
-    mean = o.agg(F.avg("o_totalprice").alias("mean_price"))
+    # exact-cents mean: a float avg() is order-dependent at the last ULP,
+    # and a row within that ULP of the mean would flip the comparison
+    mean = o.agg(
+        (F.sum(cents("o_totalprice")).cast("double") / (100 * F.count("*"))).alias(
+            "mean_price"
+        )
+    )
     return (
         o.join(F.broadcast(mean))
         .where(F.col("o_totalprice") > F.col("mean_price"))
@@ -1039,13 +1144,14 @@ def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q56_having",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey AS custkey,
            CAST(count(*) AS BIGINT) AS n_orders,
-           sum(o_totalprice) AS spend
+           CAST(sum({duck_cents('o_totalprice')}) AS DOUBLE) / 100 AS spend
     FROM orders
     GROUP BY o_custkey
-    HAVING count(*) >= 12 AND sum(o_totalprice) > 2000000
+    HAVING count(*) >= 12
+       AND sum({duck_cents('o_totalprice')}) > 200000000
     """,
 )
 def q56_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1054,8 +1160,16 @@ def q56_having(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir)
     return (
         o.groupBy(F.col("o_custkey").alias("custkey"))
-        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("spend"))
-        .where((F.col("n_orders") >= 12) & (F.col("spend") > 2000000))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(cents("o_totalprice")).alias("spend_c"),
+        )
+        # exact-cents HAVING: a float-sum threshold comparison flips for
+        # groups whose spend sits within a ULP of the cut
+        .where((F.col("n_orders") >= 12) & (F.col("spend_c") > 2000000 * 100))
+        .select(
+            "custkey", "n_orders", (F.col("spend_c").cast("double") / 100).alias("spend")
+        )
     )
 
 
@@ -1113,29 +1227,63 @@ def q58_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q59_corr_covar",
-    oracle="""
+    oracle=f"""
+    WITH s AS (SELECT l_linestatus,
+                      CAST(count(*) AS BIGINT) AS n,
+                      sum({duck_cents('l_quantity')})      AS sq,
+                      sum({duck_cents('l_extendedprice')}) AS sp,
+                      sum({duck_cents('l_quantity')}
+                          * {duck_cents_l('l_extendedprice')}) AS sqp,
+                      sum({duck_cents('l_quantity')}
+                          * {duck_cents_l('l_quantity')})      AS sqq,
+                      sum({duck_cents('l_extendedprice')}
+                          * {duck_cents_l('l_extendedprice')}) AS spp,
+                      sum({duck_cents('l_discount')})      AS sd,
+                      sum({duck_cents('l_tax')})           AS st,
+                      sum({duck_cents('l_discount')}
+                          * {duck_cents_l('l_tax')})           AS sdt
+               FROM lineitem GROUP BY l_linestatus)
     SELECT l_linestatus,
-           round(corr(l_quantity, l_extendedprice), 9)        AS qty_price_corr,
-           round(covar_samp(l_quantity, l_extendedprice), 6)  AS qty_price_covar,
-           round(covar_pop(l_discount, l_tax), 9)             AS disc_tax_covar_pop
-    FROM lineitem
-    GROUP BY l_linestatus
+           round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * sp / n)
+                 / sqrt((CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * sq / n)
+                        * (CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * sp / n)), 9)
+               AS qty_price_corr,
+           round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * sp / n)
+                 / (n - 1) / 10000, 6) AS qty_price_covar,
+           round((CAST(sdt AS DOUBLE) - CAST(sd AS DOUBLE) * st / n)
+                 / n / 10000, 9) AS disc_tax_covar_pop
+    FROM s
     """,
 )
 def q59_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bivariate statistics (Pearson corr, sample/population covariance).
 
-    Rounded in BOTH engines (dp chosen per column magnitude so the
-    rounding quantum sits ≥6 orders of magnitude above the observed ULP
-    drift — boundary-straddle risk ≤1e-9 per row): co-moment
-    aggregates combine partials in engine-specific order, so raw outputs
-    differ at the last couple of ULPs (observed) — same rule as raw
-    transcendentals: never hash them unrounded."""
+    Built-in corr/covar combine Welford partials in engine- and
+    partition-specific order (raw outputs differ at the last ULPs —
+    observed). Round-3 upgrade of the old round-both-sides mitigation:
+    every co-moment is computed from EXACT integer-cent sums (n, Σx¢,
+    Σy¢, Σx¢y¢, Σx¢², Σy¢² — the q23/q128 discipline) with the identical
+    float formula in both engines, so the values are order- AND
+    plan-independent; the rounding now only fixes display precision."""
     li = load_table(spark, "lineitem", sf_dir)
+    q_c, p_c = cents("l_quantity"), cents("l_extendedprice")
+    d_c, t_c = cents("l_discount"), cents("l_tax")
+    n = F.count("*")
+    sq = F.sum(q_c).cast("double")
+    sp = F.sum(p_c).cast("double")
+    sqp = F.sum(q_c * cents_l("l_extendedprice")).cast("double")
+    sqq = F.sum(q_c * cents_l("l_quantity")).cast("double")
+    spp = F.sum(p_c * cents_l("l_extendedprice")).cast("double")
+    sd = F.sum(d_c).cast("double")
+    st = F.sum(t_c).cast("double")
+    sdt = F.sum(d_c * cents_l("l_tax")).cast("double")
+    co_qp = sqp - sq * sp / n
     return li.groupBy("l_linestatus").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 9).alias("qty_price_corr"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias("qty_price_covar"),
-        F.round(F.covar_pop("l_discount", "l_tax"), 9).alias("disc_tax_covar_pop"),
+        F.round(
+            co_qp / F.sqrt((sqq - sq * sq / n) * (spp - sp * sp / n)), 9
+        ).alias("qty_price_corr"),
+        F.round(co_qp / (n - 1) / 10000, 6).alias("qty_price_covar"),
+        F.round((sdt - sd * st / n) / n / 10000, 9).alias("disc_tax_covar_pop"),
     )
 
 
@@ -1477,9 +1625,12 @@ def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # even though the recursion is linear and convergent — found by the
     # 10× scale probe. A fixed high ceiling keeps the runaway guard
     # WITHOUT a driver-side count() scan before the query even starts
-    # (the round-1 version paid a full table scan here). Only the
-    # untouched 1M default is raised: a deployment that set its own
-    # ceiling keeps it.
+    # (the round-1 version paid a full table scan here). Caveat, stated
+    # honestly: the override is SESSION-SCOPED and sticky (the lazy
+    # result needs it at execution time, so it cannot be restored here),
+    # and a deployment that deliberately set the ceiling to exactly the
+    # 1M default is indistinguishable from unset and gets raised too;
+    # any other custom ceiling is left alone.
     cur = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     if cur is None or int(cur) == 1_000_000:
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(Q92_RECURSION_ROW_LIMIT))
@@ -1899,12 +2050,16 @@ def q115_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     freq = li.groupBy(F.col("l_partkey")).agg(F.count("*").alias("n"))
     tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     return (
+        # freq is one row per distinct partkey (SF-proportional) — no
+        # broadcast hint: a hint is unconditional and AQE cannot demote
+        # it; unhinted, the planner broadcasts under the threshold and
+        # AQE switches to shuffle join when the table outgrows it
         pairs.join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na"))),
+            freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na")),
             "part_a",
         )
         .join(
-            F.broadcast(freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb"))),
+            freq.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("nb")),
             "part_b",
         )
         .crossJoin(F.broadcast(tot))

@@ -50,6 +50,13 @@ def asof_backward(
     never a pairwise range join. Left rows ride along as a packed struct
     and are re-expanded after the window, so callers keep every column.
     """
+    if alias in left.columns:
+        # fail fast: select('__row.*', alias) would otherwise expand to
+        # TWO columns named `alias` and AMBIGUOUS_REFERENCE far downstream
+        raise ValueError(
+            f"asof_backward: alias {alias!r} collides with a left column; "
+            "pick a name not present on the left side"
+        )
     carry_type = right.schema[carry].dataType
     row_struct = F.struct(*[F.col(c) for c in left.columns])
     lsel = left.select(

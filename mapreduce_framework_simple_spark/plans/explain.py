@@ -34,7 +34,8 @@ def has_pushed_filters(df: DataFrame) -> bool:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
-    return "BroadcastHashJoin" in formatted_plan(df) or "BroadcastNestedLoopJoin" in formatted_plan(df)
+    plan = formatted_plan(df)  # once — each call re-runs physical planning
+    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
 def codegen_stage_count(df: DataFrame) -> int:

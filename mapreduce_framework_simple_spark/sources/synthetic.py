@@ -41,10 +41,38 @@ SCHEMA_DDL = (
 )
 
 
+def _gen_rows(seed: int, start: int, end: int, n_users: int):
+    """THE row generator — shared by the batch and stream readers so the
+    streaming twin cannot drift from the batch source the
+    stream-vs-batch equivalence tests compare against. Seeded by
+    (seed, start): identical (global-row-range → rows) mapping however
+    the range is partitioned into batches/splits."""
+    import random
+    from datetime import datetime, timedelta
+
+    rng = random.Random(seed * 1_000_003 + start)
+    base = datetime(2024, 1, 1)
+    for i in range(start, end):
+        etype = EVENT_TYPES[rng.randrange(len(EVENT_TYPES))]
+        ts = base + timedelta(seconds=rng.randrange(30 * 24 * 3600))
+        user = rng.randrange(n_users)
+        value = round(rng.random() * 500, 2)
+        props = '{"k": %d}' % rng.randrange(100)
+        yield (i, ts, user, etype, value, props)
+
+
+def _positive(options: dict, key: str, default: int) -> int:
+    v = int(options.get(key, default))
+    if v <= 0:
+        raise ValueError(f"synthetic_events: option {key!r} must be positive, got {v}")
+    return v
+
+
+
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
         self.n_rows = int(options.get("rows", 1000))
-        self.n_parts = int(options.get("partitions", 4))
+        self.n_parts = _positive(options, "partitions", 4)
         self.seed = int(options.get("seed", 42))
         self.n_users = int(options.get("users", 100))
         self.type_filter: str | None = None
@@ -73,21 +101,11 @@ class SyntheticEventsReader(DataSourceReader):
         return parts
 
     def read(self, partition):
-        import random
-        from datetime import datetime, timedelta
-
         start, end = partition.value
-        rng = random.Random(self.seed * 1_000_003 + start)
-        base = datetime(2024, 1, 1)
-        for i in range(start, end):
-            etype = EVENT_TYPES[rng.randrange(len(EVENT_TYPES))]
-            ts = base + timedelta(seconds=rng.randrange(30 * 24 * 3600))
-            user = rng.randrange(self.n_users)
-            value = round(rng.random() * 500, 2)
-            props = '{"k": %d}' % rng.randrange(100)
-            if self.type_filter is not None and etype != self.type_filter:
+        for row in _gen_rows(self.seed, start, end, self.n_users):
+            if self.type_filter is not None and row[3] != self.type_filter:
                 continue  # pushdown: skip at the source
-            yield (i, ts, user, etype, value, props)
+            yield row
 
 
 class SyntheticEventsDataSource(DataSource):
@@ -122,7 +140,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
 
     def __init__(self, schema, options: dict):
         self.rows_per_batch = int(options.get("rows", 100))
-        self.n_parts = int(options.get("partitions", 2))
+        self.n_parts = _positive(options, "partitions", 2)
         self.seed = int(options.get("seed", 42))
         self.n_users = int(options.get("users", 100))
         self.max_batches = int(options.get("batches", 3))
@@ -148,19 +166,8 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        import random
-        from datetime import datetime, timedelta
-
         start, end = partition.value
-        rng = random.Random(self.seed * 1_000_003 + start)
-        base = datetime(2024, 1, 1)
-        for i in range(start, end):
-            etype = EVENT_TYPES[rng.randrange(len(EVENT_TYPES))]
-            ts = base + timedelta(seconds=rng.randrange(30 * 24 * 3600))
-            user = rng.randrange(self.n_users)
-            value = round(rng.random() * 500, 2)
-            props = '{"k": %d}' % rng.randrange(100)
-            yield (i, ts, user, etype, value, props)
+        yield from _gen_rows(self.seed, start, end, self.n_users)
 
     def commit(self, end: dict) -> None:
         pass

@@ -27,13 +27,26 @@ from mapreduce_framework_simple_spark.sources.io import SCHEMAS, load_table
 # Batch twins (oracle-checked)
 # ---------------------------------------------------------------------------
 
+# Exact-cents value sum shared by the batch twins AND the streaming faces:
+# event values are 2-dp doubles, so a float sum accumulates in partition/
+# microbatch order — batch vs stream (different batching!) and Spark vs
+# DuckDB would agree only to the last ULPs. Integer-cents sums are exact
+# under any order; one double conversion at the end (the q128 discipline).
+def _sum_value_cents() -> "F.Column":
+    return (
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+        / 100
+    ).alias("sum_value")
+
+
 @query(
     "q50_tumbling_window",
     oracle="""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100
+               AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -45,7 +58,7 @@ def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_cents())
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
@@ -65,7 +78,8 @@ def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           sum(value) AS sum_value
+           CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100
+               AS sum_value
     FROM slid
     GROUP BY 1
     """,
@@ -76,7 +90,7 @@ def q51_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "events", sf_dir)
     return (
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_cents())
         .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
     )
 
@@ -255,7 +269,7 @@ def stream_tumbling(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), _sum_value_cents())
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
 
@@ -280,7 +294,11 @@ def stream_user_counts(events: DataFrame) -> DataFrame:
     """Streaming per-user totals (complete-mode aggregation) — the
     bounded-state streaming form of q53's final state."""
     return events.groupBy("user_id").agg(
-        F.count("*").alias("total_events"), F.sum("value").alias("total_value")
+        F.count("*").alias("total_events"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+            / 100
+        ).alias("total_value"),
     )
 
 

@@ -256,3 +256,35 @@ def test_unicode_lowercase_cross_engine_canary(spark):
         assert srows[len(agree) + j] != lo, (
             f"divergence class healed: {s!r} — update KNOWN_LIMITS #16"
         )
+
+
+def test_money_aggregates_partition_order_independent(spark, sf_dir):
+    """The exact-cents discipline's core claim: every hashed money
+    aggregate must match its oracle bit-for-bit even when the scan is
+    split many ways (tiny maxPartitionBytes) and the shuffle uses a
+    different partition count — float sums would drift at the last ULPs
+    under any such reordering (observed live: unhinting q05's broadcast
+    flipped its old float revenue by 1 ULP)."""
+    import __spark_entry__ as E
+    from tests.oracle_harness import compare_frames, duck_connection
+
+    names = [
+        "q01_pricing_summary", "q03_top_revenue", "q05_join_chain",
+        "q06_forecast_revenue", "q07_broadcast_brand", "q11_cube",
+        "q23_agg_stats", "q28_scalar_subquery", "q50_tumbling_window",
+        "q51_sliding_window", "q56_having", "q59_corr_covar",
+    ]
+    qs, oracles = E.queries(), E.oracle_sql()
+    con = duck_connection(sf_dir)
+    before_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    before_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024))
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        for name in names:
+            sdf = qs[name](spark, sf_dir).toPandas()
+            ddf = con.execute(oracles[name]).fetchdf()
+            assert compare_frames(sdf, ddf) == [], f"{name} drifted under split scan"
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", before_bytes)
+        spark.conf.set("spark.sql.shuffle.partitions", before_parts)
