@@ -470,24 +470,32 @@ def incremental_lsh_candidates(
     persisted index with a map-side hash join on (band, band_sig).
     Returns (new_doc_id, corpus_doc_id) distinct pairs.
 
-    Fan-out guard: corpus buckets above ``max_bucket_size`` are skipped
-    via the index's stored ``bucket_n`` (a map-side filter — no probe
-    shuffle; indexes written before the column existed are probed
-    uncapped, with a warning); batch-side hot buckets are dropped by the
-    same counted-and-logged rule as :func:`lsh_candidate_pairs`, since
-    an all-boilerplate batch would otherwise multiply against every
-    index bucket it touches.
+    Fan-out guard — UNION-bucket semantics, exactly mirroring
+    :func:`lsh_candidate_pairs` on the combined corpus: a bucket is
+    dropped when its corpus population (the index's stored ``bucket_n``)
+    PLUS its batch population exceeds ``max_bucket_size``. Capping each
+    side independently would be weaker — 600 indexed + 600 batch docs in
+    one boilerplate bucket pass both per-side checks yet emit 360k cross
+    pairs, while monolithic q38 on the union (bucket size 1200) drops
+    them. Dropped buckets are counted and logged (no silent caps);
+    indexes written before ``bucket_n`` existed are probed with the
+    batch-only population (warning logged).
 
-    Scale: corpus-side cost is ONE index scan (16 longs/doc — not the
-    text), zero shuffle; batch-side cost is the batch's own signature
-    pass. Equality with the batch-recompute formulation (q38 on the
-    union, restricted to cross pairs) is asserted in
-    test_similarity_dedup."""
+    Scale: the guard decision joins the index against the (tiny,
+    broadcast) batch bucket list — one column-pruned index metadata
+    scan — and the probe itself is one more index scan with a map-side
+    hash join; batch-side cost is the batch's own signature pass.
+    Equality with the batch-recompute formulation (q38 on the union,
+    restricted to cross pairs) is asserted in test_similarity_dedup,
+    including a planted case where the cap fires only on the UNION."""
     nb = band_signatures_from(new_docs)
     if max_bucket_size is not None:
-        nb = scoped_cache(nb)  # guard count + probe join share one pass
-        nb = _drop_oversized_buckets(
-            nb, max_bucket_size, "incremental_lsh_candidates[batch]"
+        from pyspark.sql import Window
+
+        nb = scoped_cache(
+            nb.withColumn(
+                "nb_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
+            )
         )
     try:
         idx = spark.read.parquet(index_path)
@@ -521,17 +529,36 @@ def incremental_lsh_candidates(
             )
         raise
     if max_bucket_size is not None:
-        if "bucket_n" in idx.columns:
-            idx = idx.where(F.col("bucket_n") <= max_bucket_size)
-        else:
+        if "bucket_n" not in idx.columns:
             logger.warning(
                 "incremental_lsh_candidates: index at %s predates bucket_n; "
-                "probing without the corpus-side fan-out cap", index_path,
+                "capping on batch-side population only", index_path,
+            )
+            idx = idx.withColumn("bucket_n", F.lit(0))
+        batch_buckets = nb.select("band", "band_sig", "nb_n").distinct()
+        drop_buckets = scoped_cache(
+            idx.join(F.broadcast(batch_buckets), ["band", "band_sig"])
+            .where(F.col("bucket_n") + F.col("nb_n") > max_bucket_size)
+            .select("band", "band_sig")
+            .distinct()
+        )
+        # eager tiny action (bounded by the batch's bucket count): a
+        # capped result must never look complete
+        n_dropped = drop_buckets.count()
+        if n_dropped:
+            logger.warning(
+                "incremental_lsh_candidates: dropped %d bucket(s) whose "
+                "corpus+batch population exceeds %d docs (boilerplate "
+                "guard; cross pairs within them are not emitted)",
+                n_dropped, max_bucket_size,
+            )
+            nb = nb.join(
+                F.broadcast(drop_buckets), ["band", "band_sig"], "left_anti"
             )
     return (
         idx.alias("c")
         .join(
-            F.broadcast(nb.alias("n")),
+            F.broadcast(nb.select("band", "band_sig", "doc_id").alias("n")),
             (F.col("c.band") == F.col("n.band"))
             & (F.col("c.band_sig") == F.col("n.band_sig")),
         )
@@ -685,6 +712,17 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         labels = merged.select("node", "label")
         if changed == 0:
             break
+    else:
+        # fail-fast, never fail-silent (the engine-wide rule): returning
+        # partially-propagated labels would split one true component into
+        # several and q89 would keep multiple "representatives" of one
+        # dup group. Diameter > max_iter means the graph is not the tiny-
+        # clique shape dedup produces — raise with the evidence.
+        raise RuntimeError(
+            f"connected_components: {changed} labels still changing after "
+            f"{max_iter} rounds (graph diameter exceeds max_iter); raise "
+            "max_iter or switch to the small-star/large-star formulation"
+        )
     sym.unpersist()
     # the final labels cache stays live: it is materialized (the changed-
     # count ran on it) and the caller's first action would otherwise
@@ -771,14 +809,16 @@ def q89_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     min doc_id, the conventional keep-first policy — and all other
     members are anti-joined away from ``documents``.
 
-    Scale: the component list is vanishingly small next to the corpus
-    (only docs that had a near-dup), so the anti-join broadcasts the
-    drop-list against the full scan — the 100 TB pass is one map-side
-    filter, no shuffle of the corpus itself."""
+    Scale: the drop list is small when near-dup rates are low but
+    SF-PROPORTIONAL on a dup-heavy corpus, so it carries no broadcast
+    hint (a hint is unconditional and AQE cannot demote it): the planner
+    broadcasts it under the threshold — one map-side filter over the
+    corpus scan, no corpus shuffle — and falls back to a shuffled
+    anti-join when a dup-heavy corpus outgrows it."""
     docs = load_table(spark, "documents", sf_dir)
     comp = q79_dedup_components(spark, sf_dir)
     drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select("doc_id", "lang")
+    return docs.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
 
 
 # Shared by q91 (plain broadcast join) and q108 (Bloom-prefiltered):
@@ -982,6 +1022,8 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     def positions(col):  # k seeded positions, identical JVM expr both sides
         return [F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)) for i in range(BLOOM_K)]
 
+    # bit-PACKED bitmap (uint8, m/8 bytes — np.bool_ would be one byte
+    # per bit, 8× the documented broadcast footprint)
     bits = np.zeros(m, dtype=bool)
     pos_rows = (
         probe.select(F.explode(F.array(*positions(F.col("sid")))).alias("p"))
@@ -989,15 +1031,20 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     bits[[r["p"] for r in pos_rows]] = True
-    b_bits = spark.sparkContext.broadcast(bits)
+    b_bits = spark.sparkContext.broadcast(np.packbits(bits))
 
     # no type hints: `from __future__ import annotations` stringifies them
     # and pandas_udf's hint inference then fails to resolve `pd` — the
     # explicit SeriesToSeries eval type is set via the plain decorator form
     def _might_contain(p0, p1, p2, p3):
-        bm = b_bits.value
+        bm = b_bits.value  # packed: bit p lives at byte p>>3, lane 7-(p&7)
+
+        def probe_bits(s):
+            p = s.to_numpy()
+            return (bm[p >> 3] >> (7 - (p & 7))) & 1
+
         return pd.Series(
-            bm[p0.to_numpy()] & bm[p1.to_numpy()] & bm[p2.to_numpy()] & bm[p3.to_numpy()]
+            (probe_bits(p0) & probe_bits(p1) & probe_bits(p2) & probe_bits(p3)) == 1
         )
 
     from pyspark.sql.functions import PandasUDFType
@@ -1172,15 +1219,18 @@ def q126_source_copy_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     down-weight before training. Diagonal entries (same source) measure
     internal redundancy.
 
-    Scale: two broadcast joins of the (tiny) doc→source map onto the LSH
-    pair list, then an aggregation over ≤ sources² keys."""
+    Scale: the doc→source map is one row PER DOCUMENT — unhinted, so
+    the planner broadcasts it only while it fits the threshold and joins
+    shuffled (on the much smaller pair list) at corpus scale; a hint
+    would force an N-row broadcast and OOM exactly where this query is
+    supposed to run. Then an aggregation over ≤ sources² keys."""
     pairs = q38_minhash_lsh_pairs(spark, sf_dir)
     src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
     a = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     b = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     return (
-        pairs.join(F.broadcast(a), "doc_a")
-        .join(F.broadcast(b), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
         .groupBy(
             F.least("sa", "sb").alias("source_a"),
             F.greatest("sa", "sb").alias("source_b"),
@@ -1216,8 +1266,10 @@ def q127_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     into the cleaning pass."""
     sh = shingle_sets(spark, sf_dir)
     src = load_table(spark, "documents", sf_dir).select("doc_id", "source")
+    # per-document map: unhinted (the q126 rule) — broadcast under the
+    # threshold, shuffled join at corpus scale
     return (
-        sh.join(F.broadcast(src), "doc_id")
+        sh.join(src, "doc_id")
         .groupBy("shingle")
         .agg(
             F.count("*").alias("n_docs"),

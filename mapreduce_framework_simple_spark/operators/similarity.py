@@ -83,8 +83,7 @@ MAX_BROADCAST_QUERIES = 100_000  # documented bound: Q·dim·8B ≈ 50 MB at 64 
 
 
 def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
-                          emit_top_k: int | None = None,
-                          threshold: float | None = None):
+                          emit_top_k: int | None = None):
     """Vectorized query-vs-corpus cosine kernel. The reference (QUERY) set
     — never the corpus — is collected once on the driver and shipped via
     ``sc.broadcast``, so executors hold ONE torrent-distributed copy
@@ -105,23 +104,29 @@ def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
     Emits (query_id=ref id, neighbor_id=corpus id, cos_sim UNROUNDED);
     per-batch top-k pruning when ``emit_top_k`` — pruned on the ROUNDED
     score with a margin so the union of batch survivors provably contains
-    the global rounded-order top-k; threshold prefilter when
-    ``threshold`` keeps raw ≥ threshold − 5e-7 (half the 6-dp rounding
-    quantum) so the final rounded cut decides, never the prefilter.
+    the global rounded-order top-k. (Threshold-style scans belong to the
+    block kernel, which carries the half-quantum prefilter.)
     """
     import numpy as np  # local: keeps the shipped closure self-contained
 
-    ref = ref_df.toPandas()
-    if len(ref) > MAX_BROADCAST_QUERIES:
+    # bound check BEFORE collecting — toPandas() on an oversized set IS
+    # the driver OOM the bound exists to prevent; limit+count is cheap
+    if ref_df.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
         raise ValueError(
-            f"query set has {len(ref)} vectors (> {MAX_BROADCAST_QUERIES}); "
+            f"query set exceeds {MAX_BROADCAST_QUERIES} vectors; "
             "use the block or LSH kernels for corpus-scale reference sets"
+        )
+    ref = ref_df.toPandas()
+    if len(ref) == 0:
+        # empty reference set: no pairs (np.stack([]) would raise)
+        spark_sess = ref_df.sparkSession
+        return spark_sess.createDataFrame(
+            [], "query_id long, neighbor_id long, cos_sim_raw double"
         )
     ref_ids_l = ref["vec_id"].to_numpy(dtype="int64")
     ref_mat_l = np.stack([np.asarray(v, dtype="float64") for v in ref["embedding"]])
     bc = spark.sparkContext.broadcast((ref_ids_l, ref_mat_l))
     top_k = emit_top_k
-    thresh = threshold
 
     def score(batches):
         import numpy as np
@@ -148,10 +153,6 @@ def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
             for j in range(sims.shape[1]):
                 col = sims[:, j]
                 mask = ids != ref_ids[j]
-                if thresh is not None:
-                    # half the 6-dp rounding ulp: anything the rounded cut
-                    # could accept survives the prefilter
-                    mask &= col >= thresh - 5e-7
                 idx = np.nonzero(mask)[0]
                 if top_k is not None and len(idx) > top_k:
                     r6 = np.round(col[idx], 6)
@@ -660,9 +661,11 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
         )
         pairs = p if pairs is None else pairs.unionAll(p)
     cand = pairs.dropDuplicates(["vec_a", "vec_b"])
+    # raw columns: dot_expr/norm_expr cast each element inside their
+    # folds already — wrapping in to_double_array would cast everything
+    # TWICE per candidate pair (the redundancy its docstring warns about)
     cos = F.round(
-        dot_expr(to_double_array("emb_a"), to_double_array("emb_b"))
-        / (norm_expr(to_double_array("emb_a")) * norm_expr(to_double_array("emb_b"))),
+        dot_expr("emb_a", "emb_b") / (norm_expr("emb_a") * norm_expr("emb_b")),
         6,
     )
     return (
@@ -769,7 +772,10 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
                FROM embeddings),
     ex AS (SELECT label, generate_subscripts(vec, 1) AS pos, unnest(vec) AS x
            FROM e),
-    cd AS (SELECT label AS clabel, pos, avg(x) AS cx FROM ex GROUP BY 1, 2),
+    cd AS (SELECT label AS clabel, pos,
+                  CAST(sum(CAST(round(x * 1e12) AS HUGEINT)) AS DOUBLE)
+                      / (1e12 * count(*)) AS cx
+           FROM ex GROUP BY 1, 2),
     cent AS (SELECT clabel, list(cx ORDER BY pos) AS cvec FROM cd GROUP BY 1),
     scored AS (SELECT e.vec_id, e.label, cent.clabel,
                       round({_duck_dot('e.vec', 'cent.cvec')}
@@ -800,14 +806,24 @@ def q109_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     row and zero shuffle; the confusion aggregation moves ≤ labels² rows.
     Cosines are rounded to 9 dp before the argmax so a 1-ULP libm
     difference can never flip the winner across engines; ties break to
-    the smaller label in both (max_by on (cos, -label))."""
+    the smaller label in both (max_by on (cos, -label)). Centroid
+    coordinates are FIXED-POINT sums (exact integer pico-units /1e12,
+    decimal/HUGEINT — a float avg() merges partials in layout-dependent
+    order, drifting centroids by several ULPs across partitionings; the
+    ≤1e-12 quantization sits three orders below the 0.5e-9 cosine
+    rounding quantum)."""
     e = load_table(spark, "embeddings", sf_dir).select(
         "vec_id", "label", to_double_array("embedding").alias("vec")
     )
     cent = (
         e.select("label", F.posexplode("vec").alias("pos", "x"))
         .groupBy(F.col("label").alias("clabel"), F.col("pos"))
-        .agg(F.avg("x").alias("cx"))
+        .agg(
+            (
+                F.sum(F.round(F.col("x") * 1e12).cast("decimal(38,0)")).cast("double")
+                / (1e12 * F.count("*"))
+            ).alias("cx")
+        )
         .groupBy("clabel")
         .agg(
             F.transform(
@@ -905,8 +921,11 @@ def q120_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     top = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= KNN_K)
+    # per-vector label map: unhinted (a hint is unconditional; the map is
+    # corpus-sized at scale) — broadcast under the threshold, shuffled
+    # join on the O(N·k) top list beyond it
     labels = em.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel"))
-    votes = top.join(F.broadcast(labels), "neighbor_id")
+    votes = top.join(labels, "neighbor_id")
     grp = votes.groupBy("query_id", "nlabel").agg(
         F.count("*").alias("cnt"), F.min("rnk").alias("best_rank")
     )
@@ -917,7 +936,7 @@ def q120_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     truth = em.select(F.col("vec_id").alias("query_id"), "label")
     return (
-        pred.join(F.broadcast(truth), "query_id")
+        pred.join(truth, "query_id")
         .groupBy("label", "pred_label")
         .agg(F.count("*").alias("n"))
     )

@@ -136,12 +136,15 @@ STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
 _DUCK_STOPS = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
-def _duck_fold_avg(expr: str) -> str:
-    """Sequential doc_id-ordered fold average — DuckDB twin of the q122
-    sorted-fold discipline (order-independent bit-identical doubles)."""
+def _duck_fixed_avg(expr: str) -> str:
+    """Fixed-point average: exact integer pico-unit (1e-12) sums in
+    HUGEINT, one double conversion at the end — deterministic under any
+    partitioning AND scalable (no per-group collection; the sorted-fold
+    alternative materializes a group-sized array, fine for per-doc token
+    arrays but unbounded for per-language document groups)."""
     return (
-        f"list_reduce(list_prepend(0.0, list({expr} ORDER BY doc_id)"
-        f" FILTER ({expr} IS NOT NULL)), (a, b) -> a + b) / count({expr})"
+        f"CAST(sum(CAST(round({expr} * 1e12) AS HUGEINT)) AS DOUBLE)"
+        f" / (1e12 * count({expr}))"
     )
 
 
@@ -160,9 +163,9 @@ def _duck_fold_avg(expr: str) -> str:
           FROM t)
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_docs,
-           {_duck_fold_avg('alpha_r')} AS avg_alpha_ratio,
-           {_duck_fold_avg('space_r')} AS avg_space_ratio,
-           {_duck_fold_avg('stop_r')} AS avg_stopword_ratio,
+           {_duck_fixed_avg('alpha_r')} AS avg_alpha_ratio,
+           {_duck_fixed_avg('space_r')} AS avg_space_ratio,
+           {_duck_fixed_avg('stop_r')} AS avg_stopword_ratio,
            CAST(sum(tlen) AS DOUBLE) / count(tlen) AS avg_len
     FROM r GROUP BY lang
     """,
@@ -172,10 +175,13 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per language — the filter-before-training signal set.
 
     Determinism: each per-doc ratio is an exact int/int division; the
-    per-language average is a SEQUENTIAL fold over doc_id-sorted ratios
-    (the q122 discipline — a plain avg() sums partial aggregates in
-    partition order, bit-identical to the oracle only while the scan is
-    one split). avg_len sums exact integers, so plain division is safe."""
+    per-language average sums exact integer PICO-UNITS (round(r·1e12),
+    decimal/HUGEINT) and divides once — a plain avg() sums partial
+    aggregates in partition order and is bit-identical to the oracle
+    only while the scan is one split, and a doc_id-sorted fold would
+    materialize a per-language array (unbounded at scale). The ≤5e-13
+    quantization is identical in both engines. avg_len sums exact
+    integers, so plain division is safe."""
     docs = load_table(spark, "documents", sf_dir)
     toks = tokens_expr()
     text_len = F.length("text")
@@ -199,28 +205,19 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         text_len.alias("tlen"),
     )
 
-    def fold_avg(col: str) -> Column:
-        # null ratios (NULL/empty text) excluded on BOTH sides: the
-        # when() yields a null struct that collect_list skips, mirroring
-        # the oracle's FILTER — denominators count non-null like avg()
-        lst = F.transform(
-            F.array_sort(
-                F.collect_list(
-                    F.when(
-                        F.col(col).isNotNull(),
-                        F.struct(F.col("doc_id").alias("d"), F.col(col).alias("r")),
-                    )
-                )
-            ),
-            lambda s: s.r,
+    def fixed_avg(col: str) -> Column:
+        # sum() and count() both skip nulls, mirroring the oracle's
+        # null-skipping sum/count semantics for NULL/empty-text docs
+        return (
+            F.sum(F.round(F.col(col) * 1e12).cast("decimal(38,0)")).cast("double")
+            / (1e12 * F.count(F.col(col)))
         )
-        return F.aggregate(lst, F.lit(0.0), lambda a, b: a + b) / F.count(F.col(col))
 
     return r.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        fold_avg("alpha_r").alias("avg_alpha_ratio"),
-        fold_avg("space_r").alias("avg_space_ratio"),
-        fold_avg("stop_r").alias("avg_stopword_ratio"),
+        fixed_avg("alpha_r").alias("avg_alpha_ratio"),
+        fixed_avg("space_r").alias("avg_space_ratio"),
+        fixed_avg("stop_r").alias("avg_stopword_ratio"),
         (F.sum("tlen").cast("double") / F.count("tlen")).alias("avg_len"),
     )
 

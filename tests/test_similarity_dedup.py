@@ -390,6 +390,35 @@ def test_incremental_probe_caps_index_fanout(spark, caplog, tmp_path):
     assert uncapped.count() == 51  # 50 boilerplate hits + the normal one
 
 
+def test_incremental_probe_union_bucket_cap(spark, tmp_path):
+    """The probe's fan-out guard uses UNION-bucket semantics: a bucket
+    whose corpus+batch population exceeds the cap is dropped even when
+    EACH side alone is under it — per-side capping would emit the
+    quadratic cross pairs monolithic q38-on-the-union drops."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+
+    boiler = ("subscribe to our newsletter terms apply all rights "
+              "reserved contact us privacy policy cookie settings")
+    corpus = spark.createDataFrame(
+        [(i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    idx = str(tmp_path / "union_cap_idx")
+    write_lsh_index(corpus, idx)
+    batch = spark.createDataFrame(
+        [(1000 + i, boiler) for i in range(30)], "doc_id long, text string"
+    )
+    # each side is 30 (< 40) but the union bucket is 60 (> 40): dropped,
+    # exactly like q38 on the union corpus would drop it
+    capped = incremental_lsh_candidates(spark, batch, idx, max_bucket_size=40)
+    assert capped.count() == 0
+    # union 60 <= 100: kept — all 900 cross pairs
+    kept = incremental_lsh_candidates(spark, batch, idx, max_bucket_size=100)
+    assert kept.count() == 900
+
+
 def test_incremental_probe_raises_on_missing_index(spark, tmp_path):
     """A typo'd/nonexistent index path must FAIL the probe, not silently
     admit the whole batch as dup-free (the empty-corpus case — a real
