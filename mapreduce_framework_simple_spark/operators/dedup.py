@@ -536,6 +536,12 @@ def incremental_lsh_candidates(
             )
             idx = idx.withColumn("bucket_n", F.lit(0))
         batch_buckets = nb.select("band", "band_sig", "nb_n").distinct()
+        # deliberately a SEPARATE (column-pruned: 2 keys + bucket_n, no
+        # doc ids) index pass, not a residual filter on the probe join:
+        # a post-join predicate would still ENUMERATE every row-pair of
+        # an oversized bucket before discarding it — 2.5e11 predicate
+        # evaluations for one 1M-doc boilerplate bucket — while dropping
+        # the bucket pre-join skips that work entirely
         drop_buckets = scoped_cache(
             idx.join(F.broadcast(batch_buckets), ["band", "band_sig"])
             .where(F.col("bucket_n") + F.col("nb_n") > max_bucket_size)
@@ -684,6 +690,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .select("node", F.least(F.col("node"), F.col("nmin0")).alias("label"))
     )
     cached = labels  # the handle actually holding each round's cache
+    changed = -1  # sentinel: max_iter <= 0 must hit the fail-fast branch
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
@@ -718,10 +725,11 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         # several and q89 would keep multiple "representatives" of one
         # dup group. Diameter > max_iter means the graph is not the tiny-
         # clique shape dedup produces — raise with the evidence.
+        detail = f"{changed} labels still changing" if changed >= 0 else "no rounds ran"
         raise RuntimeError(
-            f"connected_components: {changed} labels still changing after "
-            f"{max_iter} rounds (graph diameter exceeds max_iter); raise "
-            "max_iter or switch to the small-star/large-star formulation"
+            f"connected_components: {detail} after {max_iter} rounds (graph "
+            "diameter exceeds max_iter); raise max_iter or switch to the "
+            "small-star/large-star formulation"
         )
     sym.unpersist()
     # the final labels cache stays live: it is materialized (the changed-

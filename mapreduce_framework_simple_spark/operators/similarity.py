@@ -83,7 +83,8 @@ MAX_BROADCAST_QUERIES = 100_000  # documented bound: Q·dim·8B ≈ 50 MB at 64 
 
 
 def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
-                          emit_top_k: int | None = None):
+                          emit_top_k: int | None = None,
+                          ref_count: int | None = None):
     """Vectorized query-vs-corpus cosine kernel. The reference (QUERY) set
     — never the corpus — is collected once on the driver and shipped via
     ``sc.broadcast``, so executors hold ONE torrent-distributed copy
@@ -110,8 +111,11 @@ def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
     import numpy as np  # local: keeps the shipped closure self-contained
 
     # bound check BEFORE collecting — toPandas() on an oversized set IS
-    # the driver OOM the bound exists to prevent; limit+count is cheap
-    if ref_df.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
+    # the driver OOM the bound exists to prevent; callers that already
+    # counted (q120's dispatch) pass ref_count to skip the extra scan
+    if ref_count is None:
+        ref_count = ref_df.limit(MAX_BROADCAST_QUERIES + 1).count()
+    if ref_count > MAX_BROADCAST_QUERIES:
         raise ValueError(
             f"query set exceeds {MAX_BROADCAST_QUERIES} vectors; "
             "use the block or LSH kernels for corpus-scale reference sets"
@@ -906,8 +910,11 @@ def q120_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     across engines."""
     em = load_table(spark, "embeddings", sf_dir)
     ref = em.select("vec_id", "embedding")
-    if ref.count() <= MAX_BROADCAST_QUERIES:
-        scored_raw = _pairwise_cosine_scan(spark, sf_dir, ref, emit_top_k=KNN_K)
+    n_ref = ref.count()
+    if n_ref <= MAX_BROADCAST_QUERIES:
+        scored_raw = _pairwise_cosine_scan(
+            spark, sf_dir, ref, emit_top_k=KNN_K, ref_count=n_ref
+        )
     else:
         scored_raw = _block_topk_cosine(spark, sf_dir, KNN_K).withColumnRenamed(
             "cos_raw", "cos_sim_raw"
