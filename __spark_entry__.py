@@ -41,6 +41,18 @@ def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSe
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """One callable per declared query, each wrapped with cache-release.
+
+    CONTRACT — strictly sequential consumption: materialize (collect/
+    count/write) each query's result BEFORE invoking the next callable.
+    Invoking query B releases query A's scoped caches, so holding two
+    un-materialized lazy frames silently recomputes A's plan uncached;
+    the module-global cache registry is likewise not safe for concurrent
+    query execution from multiple threads. This matches every known
+    consumer (the round driver's sweep, bench.py, the oracle suite);
+    concurrent serving would wrap each query in its own
+    ``ephemeral.cache_scope()`` instead of this release-on-next-call
+    discipline."""
     registry.load_all()
     return {name: _released(fn) for name, fn in registry.QUERIES.items()}
 

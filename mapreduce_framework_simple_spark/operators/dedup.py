@@ -477,9 +477,11 @@ def incremental_lsh_candidates(
     side independently would be weaker — 600 indexed + 600 batch docs in
     one boilerplate bucket pass both per-side checks yet emit 360k cross
     pairs, while monolithic q38 on the union (bucket size 1200) drops
-    them. Dropped buckets are counted and logged (no silent caps);
-    indexes written before ``bucket_n`` existed are probed with the
-    batch-only population (warning logged).
+    them. Dropped buckets are counted and logged (no silent caps); for
+    indexes written before ``bucket_n`` existed, the corpus populations
+    are derived on the fly with one extra column-pruned index
+    aggregation (warning logged suggesting a rebuild) — the union-bucket
+    cap semantics hold either way.
 
     Scale: the guard decision joins the index against the (tiny,
     broadcast) batch bucket list — one column-pruned index metadata
@@ -529,12 +531,24 @@ def incremental_lsh_candidates(
             )
         raise
     if max_bucket_size is not None:
-        if "bucket_n" not in idx.columns:
+        if "bucket_n" in idx.columns:
+            guard_src = idx.select("band", "band_sig", "bucket_n")
+        else:
+            # an index written before bucket_n existed: derive the corpus
+            # bucket populations with a one-off groupBy — one column-
+            # pruned (2-key) index scan, paid once per probe call, feeding
+            # ONLY the guard decision (the probe join below still reads
+            # the raw index) — rather than capping on batch-side
+            # population alone, which would readmit exactly the quadratic
+            # boilerplate fan-out the cap exists to prevent
             logger.warning(
                 "incremental_lsh_candidates: index at %s predates bucket_n; "
-                "capping on batch-side population only", index_path,
+                "deriving bucket populations with an extra index scan — "
+                "rebuild via write_lsh_index to store them", index_path,
             )
-            idx = idx.withColumn("bucket_n", F.lit(0))
+            guard_src = idx.groupBy("band", "band_sig").agg(
+                F.count("*").alias("bucket_n")
+            )
         batch_buckets = nb.select("band", "band_sig", "nb_n").distinct()
         # deliberately a SEPARATE (column-pruned: 2 keys + bucket_n, no
         # doc ids) index pass, not a residual filter on the probe join:
@@ -543,7 +557,7 @@ def incremental_lsh_candidates(
         # evaluations for one 1M-doc boilerplate bucket — while dropping
         # the bucket pre-join skips that work entirely
         drop_buckets = scoped_cache(
-            idx.join(F.broadcast(batch_buckets), ["band", "band_sig"])
+            guard_src.join(F.broadcast(batch_buckets), ["band", "band_sig"])
             .where(F.col("bucket_n") + F.col("nb_n") > max_bucket_size)
             .select("band", "band_sig")
             .distinct()

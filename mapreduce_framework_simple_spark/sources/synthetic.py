@@ -74,7 +74,9 @@ class SyntheticEventsReader(DataSourceReader):
         self.n_rows = int(options.get("rows", 1000))
         self.n_parts = _positive(options, "partitions", 4)
         self.seed = int(options.get("seed", 42))
-        self.n_users = int(options.get("users", 100))
+        # validated like partitions: users=0 would surface as an opaque
+        # randrange(0) ValueError inside executor tasks at read time
+        self.n_users = _positive(options, "users", 100)
         self.type_filter: str | None = None
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -142,7 +144,7 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
         self.rows_per_batch = int(options.get("rows", 100))
         self.n_parts = _positive(options, "partitions", 2)
         self.seed = int(options.get("seed", 42))
-        self.n_users = int(options.get("users", 100))
+        self.n_users = _positive(options, "users", 100)
         self.max_batches = int(options.get("batches", 3))
 
     def initialOffset(self):  # noqa: N802

@@ -329,13 +329,23 @@ def _clean_stale_batches(out_dir: str, checkpoint_dir: str) -> None:
     ``out_dir`` — a shorter rerun would leave the old tail in place and
     ``spark.read.parquet(out_dir)`` would union stale rows in. A RESUMED
     run (offsets present) keeps everything: its replayed batch ids
-    overwrite their own directories, which is the idempotence contract."""
+    overwrite their own directories, which is the idempotence contract.
+
+    Deletion is scoped to ``batch=*`` subdirectories ONLY — this sink's
+    own naming scheme — never the whole tree: a lost/rotated checkpoint
+    is a routine ops event, and an out_dir that also holds unrelated
+    files (another query's output, a user's scratch data) must not be
+    collateral damage of this query's fresh start."""
+    import re
     import shutil
 
     if not os.path.exists(os.path.join(checkpoint_dir, "offsets")) and os.path.isdir(
         out_dir
     ):
-        shutil.rmtree(out_dir)
+        for name in os.listdir(out_dir):
+            sub = os.path.join(out_dir, name)
+            if re.fullmatch(r"batch=\d+", name) and os.path.isdir(sub):
+                shutil.rmtree(sub)
 
 
 def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,

@@ -452,3 +452,40 @@ def test_lsh_guard_zero_drop_fast_path_plan(spark, sf_dir):
     bands = band_signatures_from(load_table(spark, "documents", sf_dir))
     plan = formatted_plan(lsh_candidate_pairs(bands))
     assert "LeftAnti" not in plan
+
+
+def test_incremental_probe_legacy_index_derives_populations(spark, tmp_path):
+    """An index written WITHOUT the stored bucket_n column (pre-upgrade
+    layout) must still enforce the full union-bucket cap: the probe
+    derives corpus bucket populations with a one-off column-pruned
+    aggregation instead of assuming zero (which would readmit the
+    quadratic boilerplate fan-out for exactly the legacy indexes most
+    likely to contain it)."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+
+    boiler_text = ("subscribe to our newsletter terms apply all rights "
+                   "reserved contact us privacy policy cookie settings")
+    normal_text = "a perfectly ordinary document about spark partitioning"
+    corpus = spark.createDataFrame(
+        [(i, boiler_text) for i in range(50)] + [(900, normal_text)],
+        "doc_id long, text string",
+    )
+    staged = str(tmp_path / "with_bucket_n")
+    write_lsh_index(corpus, staged)
+    legacy = str(tmp_path / "legacy_idx")
+    spark.read.parquet(staged).drop("bucket_n").write.partitionBy(
+        "band"
+    ).parquet(legacy)
+    assert "bucket_n" not in spark.read.parquet(legacy).columns
+
+    batch = spark.createDataFrame(
+        [(2000, boiler_text), (2001, normal_text)], "doc_id long, text string"
+    )
+    capped = incremental_lsh_candidates(spark, batch, legacy, max_bucket_size=10)
+    rows = {(r["new_doc_id"], r["corpus_doc_id"]) for r in capped.collect()}
+    assert rows == {(2001, 900)}  # corpus-side fan-out capped despite no bucket_n

@@ -400,3 +400,31 @@ def test_stream_dedup_against_index_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_clean_stale_batches_scoped_to_batch_dirs(tmp_path):
+    """A fresh run's stale-output cleanup removes ONLY this sink's own
+    ``batch=N`` directories — never unrelated files sharing out_dir (a
+    lost/rotated checkpoint is a routine ops event and must not become
+    silent data loss for neighbors), and never anything when the
+    checkpoint has offsets (resume keeps everything)."""
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        _clean_stale_batches,
+    )
+
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    for d in ["batch=0", "batch=12", "other_data", "batch=notanum"]:
+        (out / d).mkdir(parents=True)
+    (out / "notes.txt").write_text("keep me")
+    ckpt.mkdir()
+
+    # fresh run (no offsets dir): batch=N dirs go, everything else stays
+    _clean_stale_batches(str(out), str(ckpt))
+    assert sorted(os.listdir(out)) == ["batch=notanum", "notes.txt", "other_data"]
+
+    # resumed run (offsets present): nothing is touched
+    (out / "batch=3").mkdir()
+    (ckpt / "offsets").mkdir()
+    _clean_stale_batches(str(out), str(ckpt))
+    assert (out / "batch=3").is_dir()
