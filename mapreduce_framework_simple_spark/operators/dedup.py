@@ -1095,8 +1095,12 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q112's eval sample: ~25% of docs ⇒ ~1/16 of the quadratic truth work.
-EVAL_SAMPLE_BUCKETS = 4
+# q112's eval sample: a FIXED COUNT of docs chosen by md5-rank (q84's
+# stratified-rank machinery, unstratified), NOT a fixed fraction — the
+# exact-Jaccard truth join inside the sample is O(EVAL_SAMPLE_N²)
+# regardless of corpus size, so the declared eval stays O(1) work at
+# 100 TB where a 25% slice would still be 25 TB of quadratic truth work.
+EVAL_SAMPLE_N = 400
 
 _DUCK_LSH_QUALITY_TAIL = f"""
     cnt AS (SELECT doc_id, count(*) AS n FROM sid_sets GROUP BY doc_id),
@@ -1174,13 +1178,43 @@ def _lsh_quality_report(docs: DataFrame) -> DataFrame:
     )
 
 
+def eval_sample_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
+    """Deterministic FIXED-SIZE document sample: the ``n`` docs with the
+    smallest (md5(doc_id), doc_id) rank — q84's md5-rank machinery,
+    unstratified. Membership depends only on doc_id and ``n``; stable
+    across runs, layouts, and engines.
+
+    Scale: the rank window runs over a SLIM (doc_id-only) projection —
+    WindowGroupLimit keeps ≤ n rows per map task before the single
+    merge — and the surviving id list (≤ n rows, O(1) in corpus size by
+    construction) broadcast-joins back to the full rows. No corpus-wide
+    shuffle of document text anywhere."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    keep = (
+        docs.select("doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n)
+        .select("doc_id")
+    )
+    return docs.join(F.broadcast(keep), "doc_id")
+
+
 @query(
     "q112_lsh_quality",
     oracle=f"""
     WITH RECURSIVE
     docs AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
-             WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
-                   % {EVAL_SAMPLE_BUCKETS} = 0),
+             WHERE doc_id IN (
+                 SELECT doc_id FROM (
+                     SELECT doc_id,
+                            row_number() OVER (
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                            ) AS _rk
+                     FROM documents)
+                 WHERE _rk <= {EVAL_SAMPLE_N})),
     sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
            FROM docs),
     {_DUCK_SID_SETS_TAIL},
@@ -1195,19 +1229,34 @@ def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate/hit counts and the two ratios (exact integer division,
     bit-stable across engines).
 
-    SAMPLE-PRICED: the declared query evaluates on a deterministic
-    md5-bucket slice of the corpus (q83's hash-sample machinery — ~25%
-    of docs, so ~1/16 of the quadratic truth work), pushed to the scan
-    BEFORE any shingle computation. The full-corpus eval remains
-    available as the test-only referee (`lsh_quality_full`,
-    equality-tested against its own oracle), so no declared query
-    embeds unbounded quadratic work. Banding P/R is a per-pair property
-    (both sides deterministic functions of the two docs' shingle sets),
-    so the sampled estimate is an unbiased read on the same rule."""
+    SAMPLE-PRICED, FIXED SIZE: the declared query evaluates on the
+    EVAL_SAMPLE_N = 400 documents with the smallest md5-rank
+    (:func:`eval_sample_docs`) — a fixed COUNT, not a fixed fraction, so
+    the exact-Jaccard truth join inside the sample is O(400²) work at
+    ANY corpus size (a fraction sample would keep the eval quadratic in
+    the corpus: 25% of 100 TB is 25 TB of truth work). The full-corpus
+    eval remains available as the test-only referee (`lsh_quality_full`,
+    equality-tested against its own oracle), and the mid-scale
+    fraction-sample form survives as :func:`lsh_quality_fraction`.
+    Banding P/R is a per-pair property (both sides deterministic
+    functions of the two docs' shingle sets), so the sampled estimate is
+    an unbiased read on the same rule."""
+    return _lsh_quality_report(eval_sample_docs(spark, sf_dir, EVAL_SAMPLE_N))
+
+
+def lsh_quality_fraction(
+    spark: SparkSession, sf_dir: str, buckets: int = 4
+) -> DataFrame:
+    """Mid-scale variant of q112: evaluate on a deterministic md5-bucket
+    FRACTION (1/buckets) of the corpus — q83's hash-sample machinery,
+    pushed to the scan. Useful when the corpus is small enough that a
+    proportional eval is affordable and a bigger sample is wanted; the
+    declared q112 uses the fixed-size sample because this form's truth
+    join still scales quadratically with the corpus."""
     from mapreduce_framework_simple_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, "documents", sf_dir).where(
-        hash_bucket(F.col("doc_id"), EVAL_SAMPLE_BUCKETS) == 0
+        hash_bucket(F.col("doc_id"), buckets) == 0
     )
     return _lsh_quality_report(docs)
 

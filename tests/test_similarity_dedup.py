@@ -489,3 +489,27 @@ def test_incremental_probe_legacy_index_derives_populations(spark, tmp_path):
     capped = incremental_lsh_candidates(spark, batch, legacy, max_bucket_size=10)
     rows = {(r["new_doc_id"], r["corpus_doc_id"]) for r in capped.collect()}
     assert rows == {(2001, 900)}  # corpus-side fan-out capped despite no bucket_n
+
+
+def test_eval_sample_is_fixed_size_and_deterministic(spark, sf_dir):
+    """q112's eval sample keeps exactly EVAL_SAMPLE_N docs (min with the
+    corpus) by md5-rank, with membership a pure function of doc_id — the
+    property that makes the declared eval's quadratic truth join O(1) in
+    corpus size."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        EVAL_SAMPLE_N,
+        eval_sample_docs,
+    )
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    n_corpus = load_table(spark, "documents", sf_dir).count()
+    a = {r["doc_id"] for r in eval_sample_docs(spark, sf_dir, 10).select("doc_id").collect()}
+    b = {r["doc_id"] for r in eval_sample_docs(spark, sf_dir, 10).select("doc_id").collect()}
+    assert a == b and len(a) == 10  # deterministic, exactly n
+    full = eval_sample_docs(spark, sf_dir, EVAL_SAMPLE_N).count()
+    assert full == min(EVAL_SAMPLE_N, n_corpus)
+    # smaller n is a prefix of larger n (rank-based, so samples nest)
+    assert a <= {
+        r["doc_id"]
+        for r in eval_sample_docs(spark, sf_dir, 50).select("doc_id").collect()
+    }
