@@ -367,7 +367,7 @@ LSH_MAX_BUCKET = 1000
 
 
 def _drop_oversized_buckets(
-    bands: DataFrame, max_bucket_size: int, what: str
+    bands: DataFrame, max_bucket_size: int, what: str, cache_fn=None
 ) -> DataFrame:
     """Remove rows of (band, band_sig) buckets holding more than
     ``max_bucket_size`` docs; log the dropped-bucket count eagerly.
@@ -380,8 +380,10 @@ def _drop_oversized_buckets(
     cache-populating action, so the count + downstream join together
     cost ONE signature materialization, not three), and the common
     no-oversized-bucket case returns ``bands`` untouched — zero plan
-    change, just the one small aggregate job over the cache."""
-    oversized = scoped_cache(
+    change, just the one small aggregate job over the cache.
+    ``cache_fn`` overrides how the oversized list is cached (default:
+    query-scoped; the session memo passes its own holder)."""
+    oversized = (cache_fn or scoped_cache)(
         bands.groupBy("band", "band_sig")
         .agg(F.count("*").alias("bucket_n"))
         .where(F.col("bucket_n") > max_bucket_size)
@@ -410,8 +412,10 @@ def lsh_candidate_pairs(
     silently diverge between the oracle-verified query and the pipeline.
 
     Buckets larger than ``max_bucket_size`` docs are dropped before the
-    join (see ``LSH_MAX_BUCKET``); pass ``None`` to disable the guard
-    (test/ground-truth use only). With the guard on, ``bands`` is cached
+    join (see ``LSH_MAX_BUCKET``); pass ``None`` when the input is
+    already capped (:func:`capped_corpus_bands`, q38's memoized path) or
+    to genuinely disable the guard (test/ground-truth use only). With
+    the guard on, ``bands`` is cached
     here so the guard's count and the self-join's two scans share ONE
     signature materialization (idempotent if the caller already cached
     the same plan — Spark's CacheManager dedupes by plan).
@@ -437,6 +441,38 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def capped_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus's band-signature frame with the hot-bucket guard
+    applied — MEMOIZED per (session, sf_dir) in the session memo
+    (``ephemeral.memo_get``/``memo_put``), which survives the per-query
+    ``release_caches()``: the inputs are immutable parquet and the cap
+    decision is a pure function of them, so q38 and every query
+    composing it share one signature materialization and one eager
+    drop-count aggregate per session instead of one per query (the
+    round-3 bench drift on the q38 family). The drop count is still
+    logged, once, at memo-build time — a capped result never looks
+    complete. Bounded: 4 rows/doc of (id, band, 44-byte band_sig),
+    ~0.02 % of the corpus text."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    key = ("capped_corpus_bands", id(spark), sf_dir)
+    hit = ephemeral.memo_get(key)
+    if hit is not None:
+        return hit
+    holds: list[DataFrame] = []
+
+    def hold(df: DataFrame) -> DataFrame:
+        df = df.cache()
+        holds.append(df)
+        return df
+
+    bands = hold(band_signatures_from(load_table(spark, "documents", sf_dir)))
+    capped = _drop_oversized_buckets(
+        bands, LSH_MAX_BUCKET, "capped_corpus_bands", cache_fn=hold
+    )
+    return ephemeral.memo_put(key, capped, holds)
 
 
 def write_lsh_index(docs: DataFrame, path: str) -> None:
@@ -615,11 +651,15 @@ def q38_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan computes all 16 signature mins; the band-bucket
     self-join's key (band, band_sig) has near-unique cardinality except
     for true near-dups — no quadratic term anywhere. This is the declared
-    100 TB near-dedup strategy; q36 validates its recall."""
-    bands = scoped_cache(band_signatures_from(
-        load_table(spark, "documents", sf_dir)
-    ))
-    return lsh_candidate_pairs(bands)
+    100 TB near-dedup strategy; q36 validates its recall.
+
+    The capped band frame comes from the session memo
+    (:func:`capped_corpus_bands`), so the five queries composing this
+    one (q79, q89, q107, q126 and q38 itself) pay the signature pass and
+    the guard's eager drop-count aggregate ONCE per session per sf_dir,
+    not once per composing query."""
+    return lsh_candidate_pairs(capped_corpus_bands(spark, sf_dir),
+                               max_bucket_size=None)
 
 
 SIMHASH_BITS = 16

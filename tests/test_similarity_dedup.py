@@ -513,3 +513,35 @@ def test_eval_sample_is_fixed_size_and_deterministic(spark, sf_dir):
         r["doc_id"]
         for r in eval_sample_docs(spark, sf_dir, 50).select("doc_id").collect()
     }
+
+
+def test_capped_corpus_bands_memoized_across_queries(spark, sf_dir):
+    """The capped band frame is built ONCE per (session, sf_dir): a
+    second call — even after the per-query release_caches() boundary —
+    returns the identical memoized frame (no signature recompute, no
+    repeat of the guard's eager drop-count action), and q38-composing
+    queries therefore share it. clear_memo() forgets it."""
+    from mapreduce_framework_simple_spark import ephemeral
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        capped_corpus_bands,
+        q38_minhash_lsh_pairs,
+    )
+
+    ephemeral.clear_memo()
+    first = capped_corpus_bands(spark, sf_dir)
+    ephemeral.release_caches()  # the queries() per-query boundary
+    second = capped_corpus_bands(spark, sf_dir)
+    assert second is first  # memo hit, not a rebuild
+
+    # the memoized plan stays cached across the boundary (re-armed even
+    # after a clearCache) and q38 results are unchanged
+    spark.catalog.clearCache()
+    n1 = q38_minhash_lsh_pairs(spark, sf_dir).count()
+    ephemeral.release_caches()
+    n2 = q38_minhash_lsh_pairs(spark, sf_dir).count()
+    assert n1 == n2
+
+    assert ephemeral.clear_memo() > 0
+    third = capped_corpus_bands(spark, sf_dir)
+    assert third is not first  # rebuilt after an explicit memo clear
+    ephemeral.clear_memo()
