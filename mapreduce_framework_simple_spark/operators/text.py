@@ -849,7 +849,14 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: class-conditional count tables are vocabulary-bounded and
     broadcast; the doc×class expansion is a map-side multiply of the
     (doc, word) stream by L classes; per-doc folds run over tiny arrays.
-    Two corpus shuffles total ((doc, word) counts; per-doc score agg)."""
+    Two corpus shuffles total — the (doc, word) counting aggregation and
+    ONE hash(doc_id) repartition that serves both the score aggregation
+    and the argmax window (hash(doc_id) satisfies both distributions);
+    every other exchange moves vocabulary- or class-bounded rows, with
+    the trained model (cw) scoped-cached so train and infer share one
+    rollup and the two scalar constants (V, N) folded into a single
+    tagged-union global aggregate. 8 exchanges total (docs/PLANS.md),
+    down from 11 in round 3."""
     docs = load_table(spark, "documents", sf_dir)
     dw = docs.select("doc_id", "lang", F.explode(tokens_expr()).alias("word"))
     # dwc is the ONLY frame derived from the raw token explode; the class
@@ -859,19 +866,46 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     dwc = scoped_cache(
         dw.groupBy("doc_id", "lang", "word").agg(F.count("*").alias("cnt"))
     )
-    cw = dwc.groupBy(F.col("lang").alias("clang"), "word").agg(
-        F.sum("cnt").alias("cnt_lw")
+    # cw (the trained model: per-class word counts, vocabulary-bounded)
+    # is consumed THREE times — broadcast into the scoring join, rolled
+    # up into per-class totals, and counted for the vocabulary size —
+    # so it is scoped-cached too: one (clang, word) aggregation over the
+    # cached dwc instead of three (train once, score once)
+    cw = scoped_cache(
+        dwc.groupBy(F.col("lang").alias("clang"), "word").agg(
+            F.sum("cnt").alias("cnt_lw")
+        )
     )
     ct = cw.groupBy("clang").agg(F.sum("cnt_lw").alias("total_l"))
-    vocab = cw.agg(F.count_distinct("word").alias("v"))
-    prior = docs.groupBy(F.col("lang").alias("clang")).agg(
-        F.count("*").alias("n_docs")
+    prior = scoped_cache(
+        docs.groupBy(F.col("lang").alias("clang")).agg(
+            F.count("*").alias("n_docs")
+        )
     )
-    n_all = docs.agg(F.count("*").alias("n"))
+    # the two scalar model constants — vocabulary size V (distinct words
+    # across the class tables, deduped from the vocab-bounded cw cache)
+    # and corpus size N (sum of per-class doc counts ≡ count(*), every
+    # doc having exactly one lang) — fold into ONE tagged-union global
+    # aggregate: a single 1-row final exchange instead of one per
+    # scalar, and no second corpus scan for N
+    consts = scoped_cache(
+        cw.select("word")
+        .distinct()
+        .select(F.lit(1).cast("long").alias("val"), F.lit("v").alias("k"))
+        .unionAll(prior.select(F.col("n_docs").alias("val"), F.lit("n").alias("k")))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("k") == "v", F.col("val"))), F.lit(0)
+            ).alias("v"),
+            F.coalesce(
+                F.sum(F.when(F.col("k") == "n", F.col("val"))), F.lit(0)
+            ).alias("n"),
+        )
+    )
 
     terms = (
         dwc.crossJoin(F.broadcast(ct))
-        .crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(consts.select("v")))
         .join(F.broadcast(cw), ["clang", "word"], "left")
         .select(
             "doc_id",
@@ -887,8 +921,13 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
     )
+    # one exchange serves BOTH the scoring aggregation and the argmax
+    # window: hash(doc_id) satisfies the agg's ClusteredDistribution on
+    # (doc_id, lang, clang) — same doc_id rows are colocated — and the
+    # window's on (doc_id), so neither inserts its own shuffle
     scored = (
-        terms.groupBy("doc_id", "lang", "clang")
+        terms.repartition("doc_id")
+        .groupBy("doc_id", "lang", "clang")
         .agg(
             F.aggregate(
                 F.transform(
@@ -900,7 +939,7 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ll")
         )
         .join(F.broadcast(prior), "clang")
-        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(consts.select("n")))
         .select(
             "doc_id",
             "lang",
