@@ -971,6 +971,57 @@ def q100_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def triangle_count_degree_ordered(pairs: DataFrame, deg: DataFrame) -> DataFrame:
+    """Exact triangle count over an undirected edge list (``doc_a`` <
+    ``doc_b`` rows, ``deg`` = (n, d) node degrees) using DEGREE-ORDER
+    edge orientation: every edge points from its lower-(degree, id)
+    endpoint to the higher one, wedges fan out from each node's
+    OUT-neighbors only, and each triangle is counted exactly once at its
+    minimum-rank vertex. Out-degree under this orientation is bounded by
+    O(√|E|) for ANY degree distribution (a node of degree d > √|E| has
+    out-edges only to nodes of degree ≥ d, and there are < √|E| of
+    those), so per-node wedge fan-out stays bounded even on power-law
+    graphs where id-order orientation lets one hot node generate O(d²)
+    wedges. This is the 100 TB orientation; the DuckDB oracle counts
+    triangles with the plain id-order join — same total by symmetry —
+    and the id-order/degree-order equality is also pinned in tests.
+
+    Scale: two bounded joins attach degrees to endpoints (degree table ≤
+    node count), then two equi-join shuffles enumerate wedges and close
+    them, exactly the join count of the id-order form — only the
+    fan-out bound changes."""
+    da = deg.select(F.col("n").alias("doc_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("n").alias("doc_b"), F.col("d").alias("db"))
+    ranked = pairs.join(da, "doc_a").join(db, "doc_b")
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("doc_a") < F.col("doc_b"))
+    )
+    edges = scoped_cache(
+        ranked.select(
+            F.when(lower_first, F.col("doc_a")).otherwise(F.col("doc_b")).alias("src"),
+            F.when(lower_first, F.col("doc_b")).otherwise(F.col("doc_a")).alias("dst"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dst_d"),
+        )
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    # wedges (v, w) out of each src, ordered v before w by (degree, id)
+    # rank — so the closing edge, if present, is oriented exactly (v, w)
+    wedges = e1.join(
+        e2,
+        (F.col("e1.src") == F.col("e2.src"))
+        & (
+            (F.col("e1.dst_d") < F.col("e2.dst_d"))
+            | (
+                (F.col("e1.dst_d") == F.col("e2.dst_d"))
+                & (F.col("e1.dst") < F.col("e2.dst"))
+            )
+        ),
+    ).select(F.col("e1.dst").alias("v"), F.col("e2.dst").alias("w"))
+    closing = edges.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    return wedges.join(closing, ["v", "w"]).agg(F.count("*").alias("n_triangles"))
+
+
 @query(
     "q107_dedup_triangles",
     oracle=f"""
@@ -1002,17 +1053,16 @@ def q107_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     borderline pairs — a standard health check on a dedup run before
     committing to component-collapse (q79).
 
-    Scale: triangle counting by oriented edge join — edges are stored
-    once with doc_a < doc_b, so e1(a,b)⋈e2(b,c)⋈e3(a,c) enumerates each
-    triangle exactly once via two equi-join shuffles; wedge counts are one
-    degree aggregation. At 100 TB the orientation flips to degree-order
-    (low-degree endpoint first), which bounds the wedge fan-out per node
-    by sqrt(|E|) even under power-law skew; on dedup graphs (tiny cliques)
-    id-order is already balanced. The clustering ratio is an exact IEEE
-    division of two identically-computed integers, so it hashes
-    identically across engines."""
+    Scale: triangle counting runs on the DEGREE-ORDERED orientation
+    (:func:`triangle_count_degree_ordered` — per-node wedge fan-out
+    bounded by O(√|E|) under any skew, the 100 TB form); wedge counts
+    are one degree aggregation. The oracle counts the identical total
+    via the id-order join (orientation cannot change the count). The
+    clustering ratio is an exact IEEE division of two
+    identically-computed integers, so it hashes identically across
+    engines."""
     pairs = scoped_cache(q38_minhash_lsh_pairs(spark, sf_dir))
-    deg = (
+    deg = scoped_cache(
         pairs.select(F.col("doc_a").alias("n"))
         .unionAll(pairs.select(F.col("doc_b").alias("n")))
         .groupBy("n")
@@ -1022,14 +1072,7 @@ def q107_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_nodes"),
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges"),
     )
-    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
-    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
-    tri = (
-        e1.join(e2, e1.b == e2.b2)
-        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
-        .agg(F.count("*").alias("n_triangles"))
-    )
+    tri = triangle_count_degree_ordered(pairs, deg)
     n_edges = pairs.agg(F.count("*").alias("n_edges"))
     out = (
         wedge_stats.crossJoin(n_edges)

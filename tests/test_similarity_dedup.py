@@ -545,3 +545,53 @@ def test_capped_corpus_bands_memoized_across_queries(spark, sf_dir):
     third = capped_corpus_bands(spark, sf_dir)
     assert third is not first  # rebuilt after an explicit memo clear
     ephemeral.clear_memo()
+
+
+def test_triangle_degree_order_equals_id_order(spark, sf_dir):
+    """Degree-ordered triangle counting (q107's shipped orientation) must
+    agree exactly with the plain id-order join — on the real LSH
+    candidate graph AND on a planted skewed wheel+clique graph where a
+    hot hub would dominate id-order wedge fan-out."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        q38_minhash_lsh_pairs,
+        triangle_count_degree_ordered,
+    )
+
+    def id_order_count(pairs):
+        e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+        e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+        return (
+            e1.join(e2, e1.b == e2.b2)
+            .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+            .count()
+        )
+
+    def deg_of(pairs):
+        return (
+            pairs.select(F.col("doc_a").alias("n"))
+            .unionAll(pairs.select(F.col("doc_b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+
+    real = q38_minhash_lsh_pairs(spark, sf_dir)
+    got = triangle_count_degree_ordered(real, deg_of(real)).collect()[0][0]
+    assert got == id_order_count(real)
+
+    # wheel (hub 0 to all rim nodes, rim cycle) + a 5-clique sharing one
+    # rim node: hub degree 12 vs rim degree 3 — orientation matters here
+    rim = list(range(1, 13))
+    edges = [(0, r) for r in rim]
+    edges += [(min(a, b), max(a, b)) for a, b in zip(rim, rim[1:] + rim[:1])]
+    clique = [12, 20, 21, 22, 23]
+    edges += [(min(a, b), max(a, b)) for i, a in enumerate(clique)
+              for b in clique[i + 1:]]
+    planted = spark.createDataFrame(
+        sorted(set(edges)), "doc_a long, doc_b long"
+    )
+    want = id_order_count(planted)
+    got2 = triangle_count_degree_ordered(planted, deg_of(planted)).collect()[0][0]
+    assert got2 == want == 12 + 10  # 12 wheel triangles + C(5,3) clique
