@@ -457,7 +457,10 @@ def capped_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~0.02 % of the corpus text."""
     from mapreduce_framework_simple_spark import ephemeral
 
-    key = ("capped_corpus_bands", id(spark), sf_dir)
+    # applicationId, not id(spark): a stopped session's Python object id
+    # can be reused by a NEW session after GC, which would hand back a
+    # dead entry; the app id is unique per session launch
+    key = ("capped_corpus_bands", spark.sparkContext.applicationId, sf_dir)
     hit = ephemeral.memo_get(key)
     if hit is not None:
         return hit
