@@ -459,8 +459,15 @@ def capped_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # applicationId, not id(spark): a stopped session's Python object id
     # can be reused by a NEW session after GC, which would hand back a
-    # dead entry; the app id is unique per session launch
-    key = ("capped_corpus_bands", spark.sparkContext.applicationId, sf_dir)
+    # dead entry; the app id is unique per session launch. The cap value
+    # is part of the key, so a consumer that changes LSH_MAX_BUCKET
+    # mid-session can never receive a frame capped at the old threshold.
+    key = (
+        "capped_corpus_bands",
+        spark.sparkContext.applicationId,
+        sf_dir,
+        LSH_MAX_BUCKET,
+    )
     hit = ephemeral.memo_get(key)
     if hit is not None:
         return hit
@@ -471,10 +478,21 @@ def capped_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         holds.append(df)
         return df
 
-    bands = hold(band_signatures_from(load_table(spark, "documents", sf_dir)))
-    capped = _drop_oversized_buckets(
-        bands, LSH_MAX_BUCKET, "capped_corpus_bands", cache_fn=hold
-    )
+    try:
+        bands = hold(band_signatures_from(load_table(spark, "documents", sf_dir)))
+        capped = _drop_oversized_buckets(
+            bands, LSH_MAX_BUCKET, "capped_corpus_bands", cache_fn=hold
+        )
+    except BaseException:
+        # a failed build (e.g. the guard's eager count dies on executor
+        # loss) must not leak cached frames that no registry tracks —
+        # release what hold() pinned, then surface the error
+        for h in holds:
+            try:
+                h.unpersist(blocking=False)
+            except Exception:
+                pass
+        raise
     return ephemeral.memo_put(key, capped, holds)
 
 
@@ -1220,20 +1238,11 @@ _DUCK_LSH_QUALITY_FULL = f"""
 """
 
 
-def _lsh_quality_report(docs: DataFrame) -> DataFrame:
-    """P/R of the LSH candidate rule vs exact Jaccard ≥ t ground truth,
-    over an arbitrary (doc_id, text) frame — the kernel q112 prices on a
-    sample and the test-only full referee runs on the whole corpus.
-    Truth pairs and candidate pairs both derive from the SAME input
-    frame, so restricting the frame restricts both sides consistently
-    (a pair is in the sampled eval iff both endpoints sampled)."""
-    sh = scoped_cache(
-        shingle_sets_from(docs).select("doc_id", shingle_id_expr().alias("sid"))
-    )
-    truth = _jaccard_truth_pairs(sh).select("doc_a", "doc_b")
-    cand = lsh_candidate_pairs(band_signatures_from(docs)).select(
-        F.col("doc_a").alias("cand_a"), F.col("doc_b").alias("cand_b")
-    )
+def _pr_compare(truth: DataFrame, cand: DataFrame) -> DataFrame:
+    """One-row precision/recall report from a truth-pair frame
+    (doc_a, doc_b) and a candidate-pair frame (cand_a, cand_b) — THE
+    single definition of the compare-and-ratio tail, shared by the
+    anchored q112, the fraction variant, and the full referee."""
     j = truth.join(
         cand,
         (F.col("doc_a") == F.col("cand_a")) & (F.col("doc_b") == F.col("cand_b")),
@@ -1264,6 +1273,23 @@ def _lsh_quality_report(docs: DataFrame) -> DataFrame:
     )
 
 
+def _lsh_quality_report(docs: DataFrame) -> DataFrame:
+    """P/R of the LSH candidate rule vs exact Jaccard ≥ t ground truth,
+    over an arbitrary (doc_id, text) frame — the WITHIN-FRAME form: a
+    pair is in the eval iff BOTH endpoints are in the frame (used by
+    the full-corpus referee and the fraction variant; the declared q112
+    uses the anchored form, which keeps truth mass non-vanishing under
+    a fixed-size sample)."""
+    sh = scoped_cache(
+        shingle_sets_from(docs).select("doc_id", shingle_id_expr().alias("sid"))
+    )
+    truth = _jaccard_truth_pairs(sh).select("doc_a", "doc_b")
+    cand = lsh_candidate_pairs(band_signatures_from(docs)).select(
+        F.col("doc_a").alias("cand_a"), F.col("doc_b").alias("cand_b")
+    )
+    return _pr_compare(truth, cand)
+
+
 def eval_sample_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     """Deterministic FIXED-SIZE document sample: the ``n`` docs with the
     smallest (md5(doc_id), doc_id) rank — q84's md5-rank machinery,
@@ -1291,20 +1317,44 @@ def eval_sample_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
 @query(
     "q112_lsh_quality",
     oracle=f"""
-    WITH RECURSIVE
-    docs AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents
-             WHERE doc_id IN (
-                 SELECT doc_id FROM (
-                     SELECT doc_id,
-                            row_number() OVER (
-                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-                            ) AS _rk
-                     FROM documents)
-                 WHERE _rk <= {EVAL_SAMPLE_N})),
-    sh AS (SELECT DISTINCT doc_id, unnest({DUCK_SHINGLES}) AS shingle
-           FROM docs),
+    WITH RECURSIVE {_DUCK_SHINGLE_SETS},
     {_DUCK_SID_SETS_TAIL},
-    {_DUCK_LSH_PAIRS},{_DUCK_LSH_QUALITY_TAIL}
+    {_DUCK_LSH_PAIRS},
+    anchors AS (SELECT doc_id FROM (
+        SELECT doc_id, row_number() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS _rk
+        FROM documents) WHERE _rk <= {EVAL_SAMPLE_N}),
+    cnt AS (SELECT doc_id, count(*) AS n FROM sid_sets GROUP BY 1),
+    ash AS (SELECT s.doc_id, s.sid FROM sid_sets s
+            JOIN anchors a ON a.doc_id = s.doc_id),
+    inter AS (SELECT x.doc_id AS ad, b.doc_id AS bd, count(*) AS n_inter
+              FROM ash x JOIN sid_sets b
+                   ON x.sid = b.sid AND x.doc_id <> b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT DISTINCT least(ad, bd) AS doc_a,
+                              greatest(ad, bd) AS doc_b
+              FROM inter
+              JOIN cnt ca ON ca.doc_id = ad
+              JOIN cnt cb ON cb.doc_id = bd
+              WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter)
+                    >= {JACCARD_T}),
+    apairs AS (SELECT p.doc_a, p.doc_b FROM pairs p
+               WHERE p.doc_a IN (SELECT doc_id FROM anchors)
+                  OR p.doc_b IN (SELECT doc_id FROM anchors)),
+    j AS (SELECT count(*) FILTER (t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL)
+                     AS n_hit,
+                 count(*) FILTER (t.doc_a IS NOT NULL) AS n_truth,
+                 count(*) FILTER (p.doc_a IS NOT NULL) AS n_cand
+          FROM truth t FULL OUTER JOIN apairs p
+               ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT)  AS n_candidates,
+           CAST(n_hit AS BIGINT)   AS n_hit,
+           CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand
+                ELSE 0.0 END AS precision,
+           CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth
+                ELSE 0.0 END AS recall
+    FROM j
     """,
 )
 def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1315,19 +1365,75 @@ def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate/hit counts and the two ratios (exact integer division,
     bit-stable across engines).
 
-    SAMPLE-PRICED, FIXED SIZE: the declared query evaluates on the
-    EVAL_SAMPLE_N = 400 documents with the smallest md5-rank
-    (:func:`eval_sample_docs`) — a fixed COUNT, not a fixed fraction, so
-    the exact-Jaccard truth join inside the sample is O(400²) work at
-    ANY corpus size (a fraction sample would keep the eval quadratic in
-    the corpus: 25% of 100 TB is 25 TB of truth work). The full-corpus
-    eval remains available as the test-only referee (`lsh_quality_full`,
-    equality-tested against its own oracle), and the mid-scale
-    fraction-sample form survives as :func:`lsh_quality_fraction`.
-    Banding P/R is a per-pair property (both sides deterministic
-    functions of the two docs' shingle sets), so the sampled estimate is
-    an unbiased read on the same rule."""
-    return _lsh_quality_report(eval_sample_docs(spark, sf_dir, EVAL_SAMPLE_N))
+    ANCHORED FIXED-SIZE SAMPLE (round 4): the EVAL_SAMPLE_N = 400
+    documents with the smallest md5-rank (:func:`eval_sample_docs`) are
+    the eval ANCHORS; the eval covers every pair with AT LEAST ONE
+    anchored endpoint — truth pairs come from an anchor-vs-CORPUS exact
+    Jaccard probe, candidates are q38's full-corpus LSH pairs (the
+    memoized capped bands — the eval audits exactly the rule that
+    ships) restricted to anchored pairs. Why anchored rather than
+    within-sample: a fixed-size WITHIN-sample eval is statistically
+    degenerate at scale — the chance both endpoints of a dup pair land
+    in 400 fixed docs vanishes as the corpus grows, so truth mass → 0
+    and the ratios go 0/0 — while each anchor finds its true dups
+    corpus-wide, keeping expected truth mass at 400 × per-doc dup rate
+    at ANY corpus size. This is the standard ANN/LSH recall protocol:
+    sampled queries, full-corpus ground truth.
+
+    Scale: no quadratic term anywhere — the anchors' shingle set
+    (bounded by EVAL_SAMPLE_N × shingles/doc, ~150k rows) broadcasts
+    into a map-side probe of the corpus shingle scan (q91's
+    decontamination shape), the per-doc count table is one linear
+    aggregation, and the candidate filter is two broadcast lookups of
+    the 400-id anchor list. The full-corpus eval remains the test-only
+    referee (`lsh_quality_full`); the mid-scale fraction form survives
+    as :func:`lsh_quality_fraction`."""
+    anchors = scoped_cache(
+        eval_sample_docs(spark, sf_dir, EVAL_SAMPLE_N).select("doc_id")
+    )
+    sh = scoped_cache(shingle_id_sets(spark, sf_dir))
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    # anchors' shingles: bounded by construction (EVAL_SAMPLE_N docs),
+    # so the hint is safe at any corpus size — same pattern as q91's
+    # broadcast probe shingles
+    ash = sh.join(F.broadcast(anchors), "doc_id")
+    inter = (
+        F.broadcast(ash.alias("x"))
+        .join(
+            sh.alias("b"),
+            (F.col("x.sid") == F.col("b.sid"))
+            & (F.col("x.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("x.doc_id").alias("ad"), F.col("b.doc_id").alias("bd"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_inter")
+    )
+    truth = (
+        inter.join(ca, F.col("ca.doc_id") == F.col("ad"))
+        .join(cb, F.col("cb.doc_id") == F.col("bd"))
+        .where(jac >= JACCARD_T)
+        .select(
+            F.least("ad", "bd").alias("doc_a"),
+            F.greatest("ad", "bd").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pairs = lsh_candidate_pairs(
+        capped_corpus_bands(spark, sf_dir), max_bucket_size=None
+    )
+    fa = anchors.select(F.col("doc_id").alias("doc_a"), F.lit(1).alias("in_a"))
+    fb = anchors.select(F.col("doc_id").alias("doc_b"), F.lit(1).alias("in_b"))
+    cand = (
+        pairs.join(F.broadcast(fa), "doc_a", "left")
+        .join(F.broadcast(fb), "doc_b", "left")
+        .where(F.col("in_a").isNotNull() | F.col("in_b").isNotNull())
+        .select(F.col("doc_a").alias("cand_a"), F.col("doc_b").alias("cand_b"))
+    )
+    return _pr_compare(truth, cand)
 
 
 def lsh_quality_fraction(

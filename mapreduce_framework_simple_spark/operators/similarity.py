@@ -907,19 +907,25 @@ def ivf_knn_confusion(
     semantics on the subquadratic path, returning the same
     (label, pred_label, n) confusion schema.
 
-    Scale — this is the audit a 100 TB rollout actually runs: the exact
-    q120 is O(N²) by definition, while this path's candidate join is
-    probes ⋈ index on cell_id — both sides shuffle once by cell, and
-    per-query work is N_PROBE cells ≈ N_PROBE/N_CELLS of the corpus, so
-    total work is N²·(N_PROBE/N_CELLS) with no broadcast of anything
-    corpus-sized (the query side here IS the corpus, unlike
-    :func:`ivf_probe_bucketed`'s bounded query set, so no cell-id
-    collect/isin pruning — every cell is probed by someone; the
-    per-query pruning lives in the join key). Per-query agreement with
-    the exact q120 is measured in tests (test_similarity_dedup; 0.65 at
-    sf0.001 on the weakly-clustered synthetic embeddings, governed by
-    probe coverage exactly like q41's recall ≥ 0.6 — real embedding
-    corpora cluster far tighter)."""
+    Scale — stated precisely, since the query side here IS the corpus:
+    with K centroids, probe selection costs N·K cosines against a
+    broadcast K-row centroid table, and the candidate join (probes ⋈
+    index on cell_id, both sides shuffled once by cell, no broadcast of
+    anything corpus-sized) costs N·N_PROBE·(N/K). Under the standard
+    production IVF sizing K ≈ √N, BOTH terms are O(N^1.5·n_probe) — the
+    audit's win over exact q120's O(N²) — and the centroid table is √N
+    rows (~10^5 at 10^10 vectors), comfortably broadcastable. This
+    repo's deterministic stride stand-in (K = N/31, documented in
+    :func:`ivf_assignments` as a k-means substitute for oracle
+    determinism) does NOT have that property — at stride sizing the
+    probe-selection term is N²/31 and the centroid broadcast grows with
+    the corpus, so a real rollout must swap the stride for fixed-or-√N
+    k-means centroids; every other piece of the plan (cell-keyed join,
+    no collect, shared vote rule) carries over unchanged. Per-query
+    agreement with the exact q120 is measured in tests
+    (test_similarity_dedup; 0.65 at sf0.001 on the weakly-clustered
+    synthetic embeddings, governed by probe coverage exactly like q41's
+    recall ≥ 0.6 — real embedding corpora cluster far tighter)."""
     pred = ivf_knn_predictions(spark, sf_dir, index_path)
     truth = load_table(spark, "embeddings", sf_dir).select(
         F.col("vec_id").alias("query_id"), "label"

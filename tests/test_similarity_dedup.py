@@ -641,3 +641,22 @@ def test_ivf_knn_audit_agrees_with_exact(spark, sf_dir, tmp_path):
     assert len(p_ivf) == len(p_exact) == n_corpus
     agreement = (p_ivf.sort_index() == p_exact.sort_index()).mean()
     assert agreement >= 0.55, f"IVF/exact kNN agreement {agreement:.3f} < 0.55"
+
+
+def test_lsh_quality_fraction_bucket1_equals_full(spark, sf_dir):
+    """The mid-scale fraction-sample eval with buckets=1 keeps every doc,
+    so it must reproduce the full-corpus referee EXACTLY — pinning the
+    fraction path against rot (hash rule or report-kernel drift) with a
+    bit-level equality rather than a statistical bound."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        lsh_quality_fraction,
+        lsh_quality_full,
+    )
+
+    frac = lsh_quality_fraction(spark, sf_dir, buckets=1).collect()[0].asDict()
+    full = lsh_quality_full(spark, sf_dir).collect()[0].asDict()
+    assert frac == full
+    # and a real fraction is a genuine subset: counts can only shrink
+    part = lsh_quality_fraction(spark, sf_dir, buckets=4).collect()[0].asDict()
+    assert part["n_truth"] <= full["n_truth"]
+    assert part["n_candidates"] <= full["n_candidates"]
