@@ -241,13 +241,35 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jaccard_filter(inter: DataFrame, cnt: DataFrame) -> DataFrame:
+    """THE single definition of the Jaccard-threshold rule: given
+    intersection counts (doc_a, doc_b, n_inter) and per-doc distinct
+    shingle counts (doc_id, n), keep pairs with
+    |a∩b| / (|a| + |b| − |a∩b|) ≥ JACCARD_T and return
+    (doc_a, doc_b, jaccard_raw UNROUNDED). q36, the q112 anchored
+    truth side, and the full referee all pass through here, so a
+    threshold or union-formula change cannot silently diverge the
+    verifier from the eval."""
+    ca = cnt.alias("ca")
+    cb = cnt.alias("cb")
+    jac = F.col("n_inter").cast("double") / (
+        F.col("ca.n") + F.col("cb.n") - F.col("n_inter")
+    )
+    return (
+        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
+        .where(jac >= JACCARD_T)
+        .select("doc_a", "doc_b", jac.alias("jaccard_raw"))
+    )
+
+
 def _jaccard_truth_pairs(sh: DataFrame) -> DataFrame:
     """Exact Jaccard ≥ JACCARD_T pairs over a (doc_id, sid) shingle-id
-    frame — THE single definition of the ground-truth rule (q36 and
-    q112's truth side both call it, so a threshold or sid-derivation
-    change cannot silently diverge the verifier from the eval). Returns
-    (doc_a, doc_b, jaccard_raw UNROUNDED); quadratic in colliding docs
-    by design — verification duty only."""
+    frame (all unordered pairs WITHIN the frame, doc_a < doc_b) — the
+    self-join form of the ground-truth rule; the threshold itself lives
+    in :func:`_jaccard_filter`, shared with q112's anchored truth side.
+    Returns (doc_a, doc_b, jaccard_raw UNROUNDED); quadratic in
+    colliding docs by design — verification duty only."""
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -256,15 +278,7 @@ def _jaccard_truth_pairs(sh: DataFrame) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
-    jac = F.col("n_inter").cast("double") / (F.col("ca.n") + F.col("cb.n") - F.col("n_inter"))
-    return (
-        inter.join(ca, F.col("ca.doc_id") == F.col("doc_a"))
-        .join(cb, F.col("cb.doc_id") == F.col("doc_b"))
-        .where(jac >= JACCARD_T)
-        .select("doc_a", "doc_b", jac.alias("jaccard_raw"))
-    )
+    return _jaccard_filter(inter, cnt)
 
 
 N_HASHES = 16
@@ -1206,19 +1220,17 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 100 TB where a 25% slice would still be 25 TB of quadratic truth work.
 EVAL_SAMPLE_N = 400
 
-_DUCK_LSH_QUALITY_TAIL = f"""
-    cnt AS (SELECT doc_id, count(*) AS n FROM sid_sets GROUP BY doc_id),
-    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-              FROM sid_sets a JOIN sid_sets b ON a.sid = b.sid AND a.doc_id < b.doc_id
-              GROUP BY 1, 2),
-    truth AS (SELECT doc_a, doc_b FROM inter
-              JOIN cnt ca ON ca.doc_id = doc_a
-              JOIN cnt cb ON cb.doc_id = doc_b
-              WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= {JACCARD_T}),
+def _duck_pr_tail(cand_cte: str) -> str:
+    """The compare-and-ratio SQL tail (full-outer truth-vs-candidate
+    join, counts, zero-denominator conventions) with the candidate CTE
+    name as the only variable — ONE definition shared by the q112
+    oracle (``apairs``) and the full referee (``pairs``), mirroring
+    :func:`_pr_compare` on the Spark side."""
+    return f"""
     j AS (SELECT count(*) FILTER (t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL) AS n_hit,
                  count(*) FILTER (t.doc_a IS NOT NULL) AS n_truth,
                  count(*) FILTER (p.doc_a IS NOT NULL) AS n_cand
-          FROM truth t FULL OUTER JOIN pairs p
+          FROM truth t FULL OUTER JOIN {cand_cte} p
                ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
     SELECT CAST(n_truth AS BIGINT) AS n_truth,
            CAST(n_cand AS BIGINT)  AS n_candidates,
@@ -1228,6 +1240,19 @@ _DUCK_LSH_QUALITY_TAIL = f"""
            CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth ELSE 0.0 END
                AS recall
     FROM j
+"""
+
+
+_DUCK_LSH_QUALITY_TAIL = f"""
+    cnt AS (SELECT doc_id, count(*) AS n FROM sid_sets GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+              FROM sid_sets a JOIN sid_sets b ON a.sid = b.sid AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    truth AS (SELECT doc_a, doc_b FROM inter
+              JOIN cnt ca ON ca.doc_id = doc_a
+              JOIN cnt cb ON cb.doc_id = doc_b
+              WHERE CAST(n_inter AS DOUBLE) / (ca.n + cb.n - n_inter) >= {JACCARD_T}),
+    {_duck_pr_tail("pairs")}
 """
 
 # full-corpus referee oracle (test-only — no declared query runs this)
@@ -1341,20 +1366,7 @@ def eval_sample_docs(spark: SparkSession, sf_dir: str, n: int) -> DataFrame:
     apairs AS (SELECT p.doc_a, p.doc_b FROM pairs p
                WHERE p.doc_a IN (SELECT doc_id FROM anchors)
                   OR p.doc_b IN (SELECT doc_id FROM anchors)),
-    j AS (SELECT count(*) FILTER (t.doc_a IS NOT NULL AND p.doc_a IS NOT NULL)
-                     AS n_hit,
-                 count(*) FILTER (t.doc_a IS NOT NULL) AS n_truth,
-                 count(*) FILTER (p.doc_a IS NOT NULL) AS n_cand
-          FROM truth t FULL OUTER JOIN apairs p
-               ON t.doc_a = p.doc_a AND t.doc_b = p.doc_b)
-    SELECT CAST(n_truth AS BIGINT) AS n_truth,
-           CAST(n_cand AS BIGINT)  AS n_candidates,
-           CAST(n_hit AS BIGINT)   AS n_hit,
-           CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand
-                ELSE 0.0 END AS precision,
-           CASE WHEN n_truth > 0 THEN CAST(n_hit AS DOUBLE) / n_truth
-                ELSE 0.0 END AS recall
-    FROM j
+    {_duck_pr_tail("apairs")}
     """,
 )
 def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1391,12 +1403,22 @@ def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = scoped_cache(
         eval_sample_docs(spark, sf_dir, EVAL_SAMPLE_N).select("doc_id")
     )
-    sh = scoped_cache(shingle_id_sets(spark, sf_dir))
+    # corpus shingle frame: deliberately UNCACHED — pinning a
+    # corpus-sized exploded frame in executor storage is what the cache
+    # hygiene rules exist to prevent at 100 TB; its two consumers (the
+    # count table and the probe scan) each recompute from the columnar
+    # scan instead. A deployment running many evals would persist
+    # (doc_id, sid) once as parquet.
+    sh = shingle_id_sets(spark, sf_dir)
     cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    # anchors' shingles: bounded by construction (EVAL_SAMPLE_N docs),
-    # so the hint is safe at any corpus size — same pattern as q91's
-    # broadcast probe shingles
-    ash = sh.join(F.broadcast(anchors), "doc_id")
+    # anchors' shingles: the broadcast anchor-id list is pushed into its
+    # OWN documents scan (map-side semi filter), so the anchored side
+    # never touches the corpus-wide shingle frame — bounded by
+    # EVAL_SAMPLE_N × shingles/doc, safe to hint at any corpus size
+    # (q91's broadcast-probe pattern)
+    ash = shingle_sets_from(
+        load_table(spark, "documents", sf_dir).join(F.broadcast(anchors), "doc_id")
+    ).select("doc_id", shingle_id_expr().alias("sid"))
     inter = (
         F.broadcast(ash.alias("x"))
         .join(
@@ -1404,21 +1426,16 @@ def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x.sid") == F.col("b.sid"))
             & (F.col("x.doc_id") != F.col("b.doc_id")),
         )
-        .groupBy(F.col("x.doc_id").alias("ad"), F.col("b.doc_id").alias("bd"))
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
         .agg(F.count("*").alias("n_inter"))
     )
-    ca = cnt.alias("ca")
-    cb = cnt.alias("cb")
-    jac = F.col("n_inter").cast("double") / (
-        F.col("ca.n") + F.col("cb.n") - F.col("n_inter")
-    )
     truth = (
-        inter.join(ca, F.col("ca.doc_id") == F.col("ad"))
-        .join(cb, F.col("cb.doc_id") == F.col("bd"))
-        .where(jac >= JACCARD_T)
+        _jaccard_filter(inter, cnt)
         .select(
-            F.least("ad", "bd").alias("doc_a"),
-            F.greatest("ad", "bd").alias("doc_b"),
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
         )
         .distinct()
     )
@@ -1439,12 +1456,14 @@ def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_quality_fraction(
     spark: SparkSession, sf_dir: str, buckets: int = 4
 ) -> DataFrame:
-    """Mid-scale variant of q112: evaluate on a deterministic md5-bucket
-    FRACTION (1/buckets) of the corpus — q83's hash-sample machinery,
-    pushed to the scan. Useful when the corpus is small enough that a
-    proportional eval is affordable and a bigger sample is wanted; the
-    declared q112 uses the fixed-size sample because this form's truth
-    join still scales quadratically with the corpus."""
+    """Mid-scale variant of q112: evaluate WITHIN a deterministic
+    md5-bucket FRACTION (1/buckets) of the corpus — q83's hash-sample
+    machinery, pushed to the scan; a pair is in the eval iff both
+    endpoints land in the slice. Useful when the corpus is small enough
+    that a proportional within-slice eval is affordable; the declared
+    q112 uses the ANCHORED fixed-size sample instead, because this
+    form's truth join still scales quadratically with the corpus (at
+    1/b sampling, (N/b)² work)."""
     from mapreduce_framework_simple_spark.operators.sampling import hash_bucket
 
     docs = load_table(spark, "documents", sf_dir).where(

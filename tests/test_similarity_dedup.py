@@ -656,7 +656,9 @@ def test_lsh_quality_fraction_bucket1_equals_full(spark, sf_dir):
     frac = lsh_quality_fraction(spark, sf_dir, buckets=1).collect()[0].asDict()
     full = lsh_quality_full(spark, sf_dir).collect()[0].asDict()
     assert frac == full
-    # and a real fraction is a genuine subset: counts can only shrink
+    # a real fraction's TRUTH set is a genuine subset (truth is pure
+    # Jaccard, monotone under slicing). Candidates are deliberately NOT
+    # asserted monotone: the hot-bucket cap can fire on the full corpus
+    # yet not on a slice, legitimately giving the slice MORE candidates.
     part = lsh_quality_fraction(spark, sf_dir, buckets=4).collect()[0].asDict()
     assert part["n_truth"] <= full["n_truth"]
-    assert part["n_candidates"] <= full["n_candidates"]
