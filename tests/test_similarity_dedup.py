@@ -662,3 +662,45 @@ def test_lsh_quality_fraction_bucket1_equals_full(spark, sf_dir):
     # yet not on a slice, legitimately giving the slice MORE candidates.
     part = lsh_quality_fraction(spark, sf_dir, buckets=4).collect()[0].asDict()
     assert part["n_truth"] <= full["n_truth"]
+
+
+def test_triangle_degree_order_random_graphs(spark):
+    """Property check of the degree-ordered triangle kernel against a
+    brute-force pure-Python triple enumeration on random graphs — an
+    engine-independent referee (the oracle and the earlier equality test
+    both count via joins; this one counts by definition). Ten seeded
+    graphs spanning sparse, dense, star-skewed, and multi-component
+    shapes."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        triangle_count_degree_ordered,
+    )
+
+    for seed in range(10):
+        rng = random.Random(seed)
+        n = rng.randint(4, 14)
+        p = rng.choice([0.15, 0.35, 0.7])
+        edges = {(a, b) for a in range(n) for b in range(a + 1, n)
+                 if rng.random() < p}
+        if seed % 3 == 0:  # star-skew: hub 0 connects to everyone
+            edges |= {(0, b) for b in range(1, n)}
+        if not edges:
+            continue
+        adj = set(edges)
+        want = sum(
+            1 for a, b, c in itertools.combinations(range(n), 3)
+            if (a, b) in adj and (b, c) in adj and (a, c) in adj
+        )
+        pairs = spark.createDataFrame(sorted(edges), "doc_a long, doc_b long")
+        deg = (
+            pairs.select(F.col("doc_a").alias("n"))
+            .unionAll(pairs.select(F.col("doc_b").alias("n")))
+            .groupBy("n")
+            .agg(F.count("*").alias("d"))
+        )
+        got = triangle_count_degree_ordered(pairs, deg).collect()[0][0]
+        assert got == want, f"seed={seed} n={n} p={p}: got {got}, want {want}"
