@@ -704,3 +704,54 @@ def test_triangle_degree_order_random_graphs(spark):
         )
         got = triangle_count_degree_ordered(pairs, deg).collect()[0][0]
         assert got == want, f"seed={seed} n={n} p={p}: got {got}, want {want}"
+
+
+def test_q112_oracle_matches_when_cap_fires(spark, tmp_path, monkeypatch):
+    """The anchored q112 must stay hash-equal to its DuckDB oracle on a
+    corpus where the hot-bucket cap FIRES: the candidate side (memoized
+    capped corpus bands) and the oracle's bok/kept mirror must drop the
+    same boilerplate bucket, while the anchored truth side still sees
+    those pairs — precision/recall genuinely exercised by the cap."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from mapreduce_framework_simple_spark.operators import dedup as D
+    from tests.oracle_harness import compare_frames
+
+    n_boiler = 30
+    boiler_text = ("subscribe to our newsletter terms apply all rights "
+                   "reserved contact us privacy policy cookie settings")
+    rows = [
+        {"doc_id": i, "text": boiler_text, "lang": "en", "source": "web",
+         "n_chars": len(boiler_text)}
+        for i in range(n_boiler)
+    ] + [
+        {"doc_id": 100 + i,
+         "text": f"twin document shared words alpha beta gamma {i % 2}",
+         "lang": "en", "source": "web", "n_chars": 40}
+        for i in range(4)
+    ]
+    sf = tmp_path / "planted112"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
+
+    oracle = entrymod.oracle_sql()["q112_lsh_quality"].replace(
+        f"count(*) <= {D.LSH_MAX_BUCKET}", "count(*) <= 10"
+    )
+    assert oracle != entrymod.oracle_sql()["q112_lsh_quality"]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    ddf = con.execute(oracle).fetchdf()
+
+    # the memo key includes the cap value, so the patched cap gets its
+    # own fresh entry — no stale-frame hazard
+    monkeypatch.setattr(D, "LSH_MAX_BUCKET", 10)
+    sdf = D.q112_lsh_quality(spark, str(sf)).toPandas()
+    assert compare_frames(sdf, ddf) == []
+    row = sdf.iloc[0]
+    # truth includes the boilerplate clique; capped candidates exclude it
+    assert row["n_truth"] > row["n_candidates"] > 0
+    assert row["recall"] < 1.0 and row["precision"] == 1.0
