@@ -74,7 +74,24 @@ def scoped_cache(df: DataFrame) -> DataFrame:
 # with query count. Same single-threaded contract as the scoped registry.
 # --------------------------------------------------------------------------
 
-_MEMO: dict[tuple, tuple[DataFrame, list[DataFrame]]] = {}
+# key -> (application_id, frame, held caches); insertion order is LRU order.
+# Hygiene bounds (ADVICE r4): entries from stopped SparkContexts are evicted
+# on the next put, and the registry is LRU-capped so many distinct
+# (sf_dir, cap) keys (test suites, multi-sf drivers) cannot pin unbounded
+# executor storage within one session.
+_MEMO: dict[tuple, tuple[str, DataFrame, list[DataFrame]]] = {}
+MEMO_MAX_ENTRIES = 8
+
+
+def _evict(key: tuple) -> None:
+    ent = _MEMO.pop(key, None)
+    if ent is None:
+        return
+    for h in ent[2]:
+        try:
+            h.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def memo_get(key: tuple) -> DataFrame | None:
@@ -83,11 +100,12 @@ def memo_get(key: tuple) -> DataFrame | None:
     ``spark.catalog.clearCache()`` (bench hygiene) unpersists the DATA
     and deregisters the plan, so without re-arming every later use would
     recompute uncached. Re-caching an uncached plan is a registration
-    only — the data repopulates lazily at the next action."""
+    only — the data repopulates lazily at the next action. A hit moves
+    the entry to most-recently-used position."""
     ent = _MEMO.get(key)
     if ent is None:
         return None
-    df, holds = ent
+    app_id, df, holds = ent
     for h in holds:
         try:
             lvl = h.storageLevel
@@ -96,21 +114,55 @@ def memo_get(key: tuple) -> DataFrame | None:
         except Exception:  # session stopped — stale entry, drop it
             _MEMO.pop(key, None)
             return None
+    _MEMO.pop(key)
+    _MEMO[key] = (app_id, df, holds)  # re-insert at MRU position
     return df
 
 
 def memo_put(key: tuple, df: DataFrame, holds: list[DataFrame]) -> DataFrame:
     """Register ``df`` under ``key``; ``holds`` are the cached frames the
-    plan depends on (kept so :func:`clear_memo` can unpersist them)."""
-    _MEMO[key] = (df, holds)
+    plan depends on (kept so eviction / :func:`clear_memo` can unpersist
+    them). Put-time hygiene: entries whose SparkContext differs from
+    ``df``'s are evicted (their executor blocks died with the old
+    context; only the registry entry lingers), then the registry is
+    LRU-capped at ``MEMO_MAX_ENTRIES``."""
+    try:
+        app_id = df.sparkSession.sparkContext.applicationId
+    except Exception:
+        app_id = "<unknown>"
+    for k in [k for k, ent in _MEMO.items() if ent[0] != app_id]:
+        _evict(k)
+    _MEMO[key] = (app_id, df, holds)
+    while len(_MEMO) > MEMO_MAX_ENTRIES:
+        _evict(next(iter(_MEMO)))  # head of insertion order = LRU
     return df
+
+
+def evict_stale_inputs(prefix: tuple, fingerprint, fp_pos: int) -> int:
+    """Evict entries whose key starts with ``prefix`` but whose
+    ``key[fp_pos]`` input fingerprint differs from ``fingerprint``.
+
+    Required for correctness, not just storage hygiene: Spark's
+    CacheManager matches by LOGICAL PLAN, and a same-path rebuild plans
+    the identical scan — with the stale entry's frames still registered,
+    the rebuilt plan would silently read the OLD cached data. Dropping
+    the stale entry's caches first makes the rebuild actually re-scan."""
+    n = 0
+    for k in [
+        k
+        for k in _MEMO
+        if k[: len(prefix)] == prefix and k[fp_pos] != fingerprint
+    ]:
+        _evict(k)
+        n += 1
+    return n
 
 
 def clear_memo() -> int:
     """Unpersist and forget every memoized frame (session teardown, or a
     consumer that wants strictly-cold executions)."""
     n = 0
-    for df, holds in _MEMO.values():
+    for _app, df, holds in _MEMO.values():
         for h in holds:
             try:
                 h.unpersist(blocking=False)

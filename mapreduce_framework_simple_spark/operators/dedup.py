@@ -22,6 +22,7 @@ declared 100 TB strategy and q36 is demoted to verification duty.
 from __future__ import annotations
 
 import logging
+import os
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -155,10 +156,20 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
       naive 65.8 s, prefix 43.1 s — the quadratic term bites and the
       prefix wins.
 
-    Hence q36 ships the naive plan for the benchmarked corpus and this
-    variant is the measured escape hatch for skewed/dup-heavy corpora
-    (equality-tested in test_similarity_dedup)."""
+    q36 dispatches between the two kernels automatically on the measured
+    join fan-out (see :func:`_jaccard_join_fanout`); this entry point
+    forces the prefix plan (equality-tested in test_similarity_dedup)."""
     sh = scoped_cache(shingle_id_sets(spark, sf_dir))
+    return _jaccard_prefix_pairs(sh).select(
+        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+    )
+
+
+def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
+    """The prefix-filter kernel body over a CACHED (doc_id, sid) frame —
+    returns (doc_a, doc_b, jaccard_raw UNROUNDED), identical rows to
+    :func:`_jaccard_truth_pairs` (see :func:`ngram_jaccard_prefix` for
+    the algorithm and measured regimes)."""
     from pyspark.sql import Window
 
     freq = sh.groupBy("sid").agg(F.count("*").alias("df"))
@@ -204,9 +215,35 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard_raw") >= JACCARD_T)
     )
-    return verified.select(
-        "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
+    return verified.select("doc_a", "doc_b", "jaccard_raw")
+
+
+# Kernel dispatch threshold for q36: mean naive-self-join fan-out
+# (emitted pairs per shingle-set row, Σ C(df,2) / Σ df). Measured:
+# normal corpora sit at 0.54 (sf0.01) – 4.9 (sf0.1) where the naive
+# kernel wins (2.6 s vs 4.4 s at sf0.1); the 10× dup-heavy replica sits
+# at 53.1 where the prefix kernel wins (43 s vs 66 s). 16 splits the two
+# regimes with >3× headroom on both sides.
+JACCARD_FANOUT_DISPATCH = 16.0
+
+
+def _jaccard_join_fanout(sh: DataFrame) -> float:
+    """Predicted output rows PER INPUT ROW of the naive sid self-join
+    (Σ_s C(df_s, 2) / Σ_s df_s) — the skew statistic q36's kernel
+    dispatch keys on. One map-side-combined aggregate over the (cached)
+    shingle frame; the eager collect is a single scalar row, the same
+    one-small-action pattern as the LSH fan-out guard."""
+    row = (
+        sh.groupBy("sid")
+        .agg(F.count("*").alias("df"))
+        .agg(
+            (
+                F.sum(F.col("df") * (F.col("df") - 1) / 2) / F.sum("df")
+            ).alias("fanout")
+        )
+        .collect()[0]
     )
+    return float(row["fanout"] or 0.0)
 
 
 @query(
@@ -231,12 +268,23 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     identified by their 60-bit md5-derived integer id — see
     shingle_id_expr for why that is oracle-safe).
 
-    Naive sid self-join — measured faster than the prefix-filtered
-    variant on this corpus (see ngram_jaccard_prefix for the
-    skew-proof alternative); q38's MinHash-LSH is the 100 TB path and
-    this operator is its ground-truth verifier."""
+    Kernel choice is a size-based planner `if`, mirroring q120's
+    dispatch: the measured naive-self-join fan-out
+    (:func:`_jaccard_join_fanout`, one cheap aggregate over the cached
+    shingle frame) picks the naive sid self-join below
+    ``JACCARD_FANOUT_DISPATCH`` — faster on ordinary corpora, where
+    prefix bookkeeping outweighs the blow-up it prevents — and the
+    PPJoin-style prefix kernel (:func:`_jaccard_prefix_pairs`) above it,
+    where frequency skew would make the naive join quadratic (both
+    regimes measured in tools/scale_probe.py; the kernels are
+    equality-tested). q38's MinHash-LSH is the 100 TB path and this
+    operator is its ground-truth verifier."""
     sh = scoped_cache(shingle_id_sets(spark, sf_dir))
-    return _jaccard_truth_pairs(sh).select(
+    if _jaccard_join_fanout(sh) > JACCARD_FANOUT_DISPATCH:
+        pairs = _jaccard_prefix_pairs(sh)
+    else:
+        pairs = _jaccard_truth_pairs(sh)
+    return pairs.select(
         "doc_a", "doc_b", F.round(F.col("jaccard_raw"), 6).alias("jaccard")
     )
 
@@ -418,7 +466,7 @@ def _drop_oversized_buckets(
 
 
 def lsh_candidate_pairs(
-    bands: DataFrame, max_bucket_size: int | None = LSH_MAX_BUCKET
+    bands: DataFrame, max_bucket_size: int | None = ...
 ) -> DataFrame:
     """Banded self-join on (band, band_sig): distinct candidate pairs
     (doc_a < doc_b). The single definition of the LSH candidate rule —
@@ -440,6 +488,13 @@ def lsh_candidate_pairs(
     function, and the q38-composing queries, are therefore not pure plan
     builders. The DuckDB oracles mirror the cap (``bok``/``kept`` CTEs),
     so query/oracle hash equality holds even when the cap fires."""
+    # ``...`` default = "the module's current LSH_MAX_BUCKET", read at
+    # CALL time — a def-time default would freeze the value, so a runtime
+    # change (monkeypatch, the curate CLI knob) would silently apply to
+    # capped_corpus_bands (which reads the global) but not to default-arg
+    # callers. None still means "guard disabled".
+    if max_bucket_size is ...:
+        max_bucket_size = LSH_MAX_BUCKET
     if max_bucket_size is not None:
         bands = scoped_cache(bands)
         bands = _drop_oversized_buckets(bands, max_bucket_size, "lsh_candidate_pairs")
@@ -455,6 +510,38 @@ def lsh_candidate_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _input_fingerprint(path: str) -> str:
+    """Cheap snapshot of a local input path — sorted (relpath, size,
+    mtime_ns) of every data file, md5-folded. Folding this into the
+    session-memo key means a consumer that REWRITES the dataset at the
+    same path mid-session gets a fresh memo entry instead of stale capped
+    bands (the memo's immutable-parquet premise, now enforced rather than
+    assumed). Non-local paths (object stores) fall back to ``"nostat"``
+    — for those the key degrades to path-only, the prior behavior."""
+    import hashlib
+
+    h = hashlib.md5()
+    try:
+        if os.path.isdir(path):
+            for root, dirs, files in os.walk(path):
+                dirs.sort()
+                for f in sorted(files):
+                    fp = os.path.join(root, f)
+                    st = os.stat(fp)
+                    h.update(
+                        f"{os.path.relpath(fp, path)}:{st.st_size}:"
+                        f"{st.st_mtime_ns};".encode()
+                    )
+        elif os.path.isfile(path):
+            st = os.stat(path)
+            h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+        else:
+            return "nostat"
+    except OSError:
+        return "nostat"
+    return h.hexdigest()
 
 
 def capped_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,16 +562,32 @@ def capped_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # can be reused by a NEW session after GC, which would hand back a
     # dead entry; the app id is unique per session launch. The cap value
     # is part of the key, so a consumer that changes LSH_MAX_BUCKET
-    # mid-session can never receive a frame capped at the old threshold.
+    # mid-session can never receive a frame capped at the old threshold;
+    # the input fingerprint is part of the key, so a same-path dataset
+    # REWRITE mid-session can never serve stale bands.
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    fp = _input_fingerprint(docs_path)
     key = (
         "capped_corpus_bands",
         spark.sparkContext.applicationId,
         sf_dir,
+        fp,
         LSH_MAX_BUCKET,
     )
     hit = ephemeral.memo_get(key)
     if hit is not None:
         return hit
+    # same-path entries under a DIFFERENT fingerprint are stale — and
+    # worse than wasted storage: the CacheManager matches by logical
+    # plan, so with their frames still registered a rebuild would
+    # silently serve the OLD cached data. Evict them, then drop the
+    # (possibly stale) shared file-status cache for the path so the new
+    # scan re-lists the rewritten files.
+    if ephemeral.evict_stale_inputs(key[:3], fp, fp_pos=3):
+        try:
+            spark.catalog.refreshByPath(docs_path)
+        except Exception:
+            pass
     holds: list[DataFrame] = []
 
     def hold(df: DataFrame) -> DataFrame:
@@ -533,7 +636,7 @@ def incremental_lsh_candidates(
     spark: SparkSession,
     new_docs: DataFrame,
     index_path: str,
-    max_bucket_size: int | None = LSH_MAX_BUCKET,
+    max_bucket_size: int | None = ...,
 ) -> DataFrame:
     """Near-dup candidates between a NEW document batch and an indexed
     corpus: compute band signatures for the batch only, broadcast them
@@ -561,6 +664,8 @@ def incremental_lsh_candidates(
     Equality with the batch-recompute formulation (q38 on the union,
     restricted to cross pairs) is asserted in test_similarity_dedup,
     including a planted case where the cap fires only on the UNION."""
+    if max_bucket_size is ...:  # call-time read of the module global
+        max_bucket_size = LSH_MAX_BUCKET  # (see lsh_candidate_pairs)
     nb = band_signatures_from(new_docs)
     if max_bucket_size is not None:
         from pyspark.sql import Window

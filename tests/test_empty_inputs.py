@@ -190,5 +190,5 @@ def test_kmeans_empty_embeddings(spark, tmp_path):
         "embedding": pd.Series(dtype="object"),
         "label": pd.Series(dtype="int32"),
     }).to_parquet(sf / "embeddings.parquet")
-    assigned, trace = kmeans(spark, str(sf))
-    assert assigned.count() == 0 and trace == []
+    assigned, trace, centroids = kmeans(spark, str(sf))
+    assert assigned.count() == 0 and trace == [] and centroids == []

@@ -547,6 +547,160 @@ def test_capped_corpus_bands_memoized_across_queries(spark, sf_dir):
     ephemeral.clear_memo()
 
 
+def test_memo_rebuilds_after_dataset_rewrite(spark, tmp_path):
+    """The memo key folds in an input-files fingerprint, so a consumer
+    that REWRITES the dataset at the same path mid-session gets a fresh
+    build reflecting the new files — never stale capped bands (the
+    immutable-parquet premise, enforced rather than assumed)."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark import ephemeral
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    sf = tmp_path / "rewritable"
+    sf.mkdir()
+
+    def write(n_docs):
+        pd.DataFrame(
+            [
+                {"doc_id": i,
+                 "text": f"wholly distinct document {i} talks about topic "
+                         f"{i * 13} and subject {i * 7} extensively",
+                 "lang": "en", "source": "web", "n_chars": 70}
+                for i in range(n_docs)
+            ]
+        ).to_parquet(sf / "documents.parquet")
+
+    try:
+        write(3)
+        first = D.capped_corpus_bands(spark, str(sf))
+        assert first.count() == 3 * 4  # 4 bands per doc
+        write(5)  # same path, new corpus
+        second = D.capped_corpus_bands(spark, str(sf))
+        assert second is not first  # fingerprint changed → rebuilt
+        assert second.count() == 5 * 4
+    finally:
+        ephemeral.clear_memo()
+
+
+def test_memo_lru_cap_and_stale_app_eviction(spark):
+    """The session memo is bounded: (a) inserting more than
+    MEMO_MAX_ENTRIES distinct keys evicts the least-recently-used entry
+    and unpersists its held frames; (b) entries recorded under a
+    different (stopped) SparkContext are evicted on the next put."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.clear_memo()
+    try:
+        # (b) a lingering entry from a dead context
+        ghost = spark.range(1).cache()
+        ephemeral._MEMO[("ghost",)] = ("app-of-a-stopped-context", ghost, [ghost])
+
+        frames = []
+        for i in range(ephemeral.MEMO_MAX_ENTRIES + 2):
+            h = spark.range(i + 1).cache()
+            h.count()
+            frames.append(h)
+            ephemeral.memo_put(("lru", i), h, [h])
+        assert ("ghost",) not in ephemeral._MEMO  # stale-app evicted
+        assert len(ephemeral._MEMO) == ephemeral.MEMO_MAX_ENTRIES
+        # the two oldest LRU keys are gone and their caches released
+        assert ("lru", 0) not in ephemeral._MEMO
+        assert ("lru", 1) not in ephemeral._MEMO
+        lvl = frames[0].storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)
+        # a memo_get refreshes recency: the oldest surviving key outlives
+        # the next insertion after being touched
+        oldest = ("lru", 2)
+        assert ephemeral.memo_get(oldest) is not None
+        extra = spark.range(99).cache()
+        frames.append(extra)
+        ephemeral.memo_put(("lru", 99), extra, [extra])
+        assert oldest in ephemeral._MEMO
+        assert ("lru", 3) not in ephemeral._MEMO  # evicted instead
+    finally:
+        ephemeral.clear_memo()
+        for h in frames + [ghost]:
+            try:
+                h.unpersist(blocking=False)
+            except Exception:
+                pass
+
+
+def test_lsh_cap_default_reads_global_at_call_time(spark, monkeypatch):
+    """The default-arg cap must honor a RUNTIME change to
+    LSH_MAX_BUCKET (call-time read, not def-time binding) — otherwise a
+    monkeypatched or CLI-tuned cap would apply to the memoized q38 path
+    but silently not to default-arg callers."""
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    boiler = [(i, "subscribe to our newsletter terms apply all rights "
+                  "reserved contact us privacy policy cookie settings")
+              for i in range(40)]
+    docs = spark.createDataFrame(boiler, "doc_id long, text string")
+    bands = D.band_signatures_from(docs)
+    assert D.lsh_candidate_pairs(bands).count() == 40 * 39 // 2
+    monkeypatch.setattr(D, "LSH_MAX_BUCKET", 10)
+    assert D.lsh_candidate_pairs(bands).count() == 0  # cap honored
+
+
+def test_q36_dispatches_kernels_by_fanout(spark, sf_dir, tmp_path, monkeypatch):
+    """q36's kernel dispatch: on an ordinary corpus the naive self-join
+    runs (prefix kernel untouched); on a planted dup-heavy corpus the
+    measured fan-out crosses JACCARD_FANOUT_DISPATCH and the prefix
+    kernel runs — and its answer still equals the naive ground truth."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    calls = []
+    real_prefix = D._jaccard_prefix_pairs
+
+    def spy(sh):
+        calls.append("prefix")
+        return real_prefix(sh)
+
+    monkeypatch.setattr(D, "_jaccard_prefix_pairs", spy)
+
+    # ordinary corpus (fan-out ≈ 0.55 at sf0.001): naive kernel
+    D.q36_ngram_jaccard(spark, sf_dir).count()
+    assert calls == []
+
+    # dup-heavy planted corpus: 50 exact copies + twins → fan-out >> 16
+    rows = [
+        {"doc_id": i,
+         "text": "subscribe to our newsletter terms apply all rights "
+                 "reserved contact us privacy policy cookie settings",
+         "lang": "en", "source": "web", "n_chars": 100}
+        for i in range(50)
+    ] + [
+        {"doc_id": 100 + i,
+         "text": f"twin document shared words alpha beta gamma delta {i % 2}",
+         "lang": "en", "source": "web", "n_chars": 50}
+        for i in range(4)
+    ]
+    sf = tmp_path / "dupheavy36"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
+
+    sh = D.shingle_id_sets(spark, str(sf))
+    assert D._jaccard_join_fanout(sh) > D.JACCARD_FANOUT_DISPATCH
+    got = D.q36_ngram_jaccard(spark, str(sf)).toPandas()
+    assert calls == ["prefix"]
+    want = (
+        D._jaccard_truth_pairs(sh)
+        .select("doc_a", "doc_b",
+                F.round(F.col("jaccard_raw"), 6).alias("jaccard"))
+        .toPandas()
+    )
+    key = ["doc_a", "doc_b"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        want.sort_values(key).reset_index(drop=True)
+    )
+    assert len(got) > 0
+
+
 def test_triangle_degree_order_equals_id_order(spark, sf_dir):
     """Degree-ordered triangle counting (q107's shipped orientation) must
     agree exactly with the plain id-order join — on the real LSH
@@ -747,9 +901,16 @@ def test_q112_oracle_matches_when_cap_fires(spark, tmp_path, monkeypatch):
     ddf = con.execute(oracle).fetchdf()
 
     # the memo key includes the cap value, so the patched cap gets its
-    # own fresh entry — no stale-frame hazard
+    # own fresh entry — no stale-frame hazard; released in the finally
+    # so the planted corpus's cached bands don't pollute executor
+    # storage for the rest of the suite
+    from mapreduce_framework_simple_spark import ephemeral
+
     monkeypatch.setattr(D, "LSH_MAX_BUCKET", 10)
-    sdf = D.q112_lsh_quality(spark, str(sf)).toPandas()
+    try:
+        sdf = D.q112_lsh_quality(spark, str(sf)).toPandas()
+    finally:
+        ephemeral.clear_memo()
     assert compare_frames(sdf, ddf) == []
     row = sdf.iloc[0]
     # truth includes the boilerplate clique; capped candidates exclude it
