@@ -69,10 +69,12 @@ def _assign(df: DataFrame, centroids) -> DataFrame:
 
 
 def kmeans(spark: SparkSession, sf_dir: str, k: int = K,
-           n_iter: int = N_ITER) -> tuple[DataFrame, list[float]]:
+           n_iter: int = N_ITER) -> tuple[DataFrame, list[float], list[list[float]]]:
     """Lloyd's k-means (cosine flavor) with deterministic seeding (every
     (N/k)-th vector). Returns (final assignments DataFrame, per-iteration
-    mean-similarity trace — monotone non-decreasing up to fp noise)."""
+    mean-similarity trace — monotone non-decreasing up to fp noise, and
+    the final centroid list — K × dim floats, driver-sized; the IVF index
+    builder consumes these as its cell centroids)."""
     from mapreduce_framework_simple_spark.ephemeral import scoped_cache
 
     em = scoped_cache(
@@ -82,7 +84,7 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int = K,
     if n == 0:
         # empty-input contract: empty assignments, empty trace — not a
         # numpy AxisError from zero seeds
-        return _assign(em, [[0.0]]).limit(0), []
+        return _assign(em, [[0.0]]).limit(0), [], []
     stride = max(n // k, 1)
     seeds = (
         em.where(F.col("vec_id") % stride == 0)
@@ -119,7 +121,7 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int = K,
     # no unpersist here: the returned frame is lazy over em — the scoped
     # cache is released at the next query boundary (ephemeral protocol),
     # after the caller has materialized the result
-    return assigned, trace
+    return assigned, trace, centroids
 
 
 @query("q68_kmeans")  # rows-only: iterative, not SQL-expressible (SURVEY §2.3)
@@ -127,7 +129,7 @@ def q68_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster sizes + cohesion after 5 iterations (deterministic
     seeding ⇒ deterministic output; the oracle-less rows-only check is
     backed by the convergence test in tests/test_iterative.py)."""
-    assigned, _ = kmeans(spark, sf_dir)
+    assigned, _, _ = kmeans(spark, sf_dir)
     return (
         assigned.groupBy("cluster")
         .agg(F.count("*").alias("n_members"), F.round(F.avg("sim"), 6).alias("mean_sim"))

@@ -21,6 +21,7 @@ the driver:
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -230,16 +231,55 @@ N_CELLS_STRIDE = 31  # vec_id % 31 == 0 → deterministic centroid "training" se
 N_PROBE = 6
 
 
-def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Assign every vector to its nearest centroid cell (IVF build side).
+def kmeans_centroid_frame(spark: SparkSession, sf_dir: str,
+                          k: int | None = None) -> DataFrame:
+    """(cell_id, c_emb) IVF centroids from the seeded Lloyd's k-means
+    (:func:`mapreduce_framework_simple_spark.operators.iterative.kmeans`)
+    — THE production centroid source for the IVF index. ``k`` defaults
+    to ⌈√N⌉, the standard IVF sizing under which both the probe-selection
+    term (N·K cosines) and the candidate join (N·n_probe·N/K) are
+    O(N^1.5·n_probe), and the centroid table stays √N rows (~10⁵ at
+    10¹⁰ vectors — comfortably broadcastable). The deterministic stride
+    sample (:func:`_stride_centroids`) remains only as the oracle-stable
+    default of the q41/q120 query surface.
 
-    Centroids are a deterministic sample (vec_id % 31 == 0) standing in
-    for a k-means pass; the assignment is argmax cosine over the broadcast
-    centroid set, computed JVM-side."""
+    Scale: k-means itself is n_iter distributed passes (see
+    iterative.py); the returned frame is K × dim doubles created from
+    the driver-held centroid list — tiny by construction."""
+    import math
+
+    from mapreduce_framework_simple_spark.operators.iterative import kmeans
+
+    if k is None:
+        n = load_table(spark, "embeddings", sf_dir).count()
+        k = max(1, math.isqrt(n))
+    _, _, cents = kmeans(spark, sf_dir, k=k)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    return spark.createDataFrame(rows, "cell_id long, c_emb array<double>")
+
+
+def _stride_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic stride stand-in centroid set (vec_id % 31 == 0)
+    — kept for oracle/test determinism (k-means assignment can flip on
+    1-ULP partial-aggregation differences across partitionings); at
+    K = N/31 it does NOT have the O(N^1.5) IVF sizing — production
+    indexes pass :func:`kmeans_centroid_frame` instead."""
     em = load_table(spark, "embeddings", sf_dir)
-    cents = em.where(F.col("vec_id") % N_CELLS_STRIDE == 0).select(
+    return em.where(F.col("vec_id") % N_CELLS_STRIDE == 0).select(
         F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
     )
+
+
+def ivf_assignments(spark: SparkSession, sf_dir: str,
+                    centroids: DataFrame | None = None) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (IVF build side).
+
+    ``centroids`` is any (cell_id, c_emb) frame — production passes
+    :func:`kmeans_centroid_frame` (K ≈ √N); None falls back to the
+    deterministic stride sample. Assignment is argmax cosine over the
+    broadcast centroid set, computed JVM-side."""
+    em = load_table(spark, "embeddings", sf_dir)
+    cents = centroids if centroids is not None else _stride_centroids(spark, sf_dir)
     scored = em.join(F.broadcast(cents)).select(
         "vec_id",
         "embedding",
@@ -257,17 +297,19 @@ def ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_probes(
-    spark: SparkSession, sf_dir: str, queries: DataFrame | None = None
+    spark: SparkSession, sf_dir: str, queries: DataFrame | None = None,
+    centroids: DataFrame | None = None
 ) -> DataFrame:
     """(query_id, q_emb, cell_id): the top-N_PROBE cells per query —
     shared by q41, the bucketed-index probe, and the leave-one-out kNN
     audit so the probe rule cannot drift between paths. ``queries``
     overrides the default deterministic stride subset with any
-    (query_id, q_emb) frame (the audit passes the whole corpus)."""
+    (query_id, q_emb) frame (the audit passes the whole corpus);
+    ``centroids`` must be the SAME frame the index/assignments were
+    built with (the bucketed paths read it back from the index, so the
+    two cannot drift)."""
     em = load_table(spark, "embeddings", sf_dir)
-    cents = em.where(F.col("vec_id") % N_CELLS_STRIDE == 0).select(
-        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
-    )
+    cents = centroids if centroids is not None else _stride_centroids(spark, sf_dir)
     q = queries if queries is not None else em.where(
         F.col("vec_id") % QUERY_STRIDE == 0
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
@@ -306,19 +348,32 @@ def _score_and_rank_candidates(cand: DataFrame) -> DataFrame:
     )
 
 
+def ann_ivf_topk(spark: SparkSession, sf_dir: str,
+                 centroids: DataFrame | None = None) -> DataFrame:
+    """IVF approximate top-k for the deterministic query subset against
+    any centroid set — q41's body, parameterized so production (k-means
+    centroids, K ≈ √N) and the oracle-stable stride default share one
+    probe/score/rank path. Recall vs exact q40 is tested for BOTH
+    centroid sources."""
+    assigned = ivf_assignments(spark, sf_dir, centroids=centroids)
+    cand = _ivf_probes(spark, sf_dir, centroids=centroids).join(assigned, "cell_id")
+    return _score_and_rank_candidates(cand)
+
+
 @query("q41_ann_ivf")  # rows-only check; recall vs q40 asserted in tests
 def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probe the N_PROBE nearest cells per query,
     exact cosine rank within the probed shard.
 
     Scale: corpus is hash-partitioned by cell_id (in production:
-    bucketed-by-cell parquet — see :func:`ivf_probe_bucketed`); each
-    query touches N_PROBE cells ≈ N_PROBE/N_CELLS of the data.
-    Approximation error is bounded by probe count, tested as recall@k ≥
-    0.6 against the exact q40 answer."""
-    assigned = ivf_assignments(spark, sf_dir)
-    cand = _ivf_probes(spark, sf_dir).join(assigned, "cell_id")
-    return _score_and_rank_candidates(cand)
+    bucketed-by-cell parquet — see :func:`ivf_probe_bucketed`, built
+    with k-means centroids at K ≈ √N via
+    :func:`kmeans_centroid_frame`); each query touches N_PROBE cells.
+    This query entry keeps the deterministic stride centroids so its
+    row count is oracle-stable. Approximation error is bounded by probe
+    count, tested as recall@k ≥ 0.6 against the exact q40 answer — on
+    both the stride and the k-means centroid sets."""
+    return ann_ivf_topk(spark, sf_dir)
 
 
 NEARDUP_THRESHOLD = 0.45
@@ -740,15 +795,34 @@ def q96_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell_id so a probe is a partition-pruned read, not a filter").
 # ---------------------------------------------------------------------------
 
-def write_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
+                    centroids: DataFrame | None = None) -> None:
     """IVF build step: materialize the corpus partitioned by cell_id.
     Each Voronoi cell becomes its own parquet directory, so a probe reads
     only the probed cells' files — partition pruning at the source, the
     layout that turns IVF from a full-scan-with-filter into a
-    fraction-of-corpus read at 100 TB."""
-    ivf_assignments(spark, sf_dir).write.partitionBy("cell_id").mode(
-        "overwrite"
-    ).parquet(path)
+    fraction-of-corpus read at 100 TB.
+
+    ``centroids`` (production: :func:`kmeans_centroid_frame`, K ≈ √N) is
+    persisted WITH the index under ``<path>/_centroids`` — the
+    underscore prefix makes Spark's file listing skip it on the main
+    index read — so every probe path reads back the exact centroid set
+    the cells were built from; index and probe geometry cannot drift.
+    None keeps the deterministic stride stand-in (oracle/test use)."""
+    ivf_assignments(spark, sf_dir, centroids=centroids).write.partitionBy(
+        "cell_id"
+    ).mode("overwrite").parquet(path)
+    if centroids is not None:
+        centroids.write.mode("overwrite").parquet(path + "/_centroids")
+
+
+def _index_centroids(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The centroid frame persisted with a bucketed IVF index, or None
+    for stride-built (or pre-centroid) indexes."""
+    try:
+        return spark.read.parquet(index_path + "/_centroids")
+    except AnalysisException:
+        return None
 
 
 def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
@@ -757,9 +831,12 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     (a few ints per query, collected from the tiny query×centroid
     ranking — bounded by Q·N_PROBE, never corpus-sized) become a
     partition predicate on the index scan, so only probed directories
-    are read. Tests assert result equality with q41 and the presence of
-    partition filters in the scan."""
-    probes = scoped_cache(_ivf_probes(spark, sf_dir))
+    are read. The probe geometry comes from the centroids stored WITH
+    the index (:func:`_index_centroids`). Tests assert result equality
+    with the recompute formulation and the presence of partition
+    filters in the scan."""
+    cents = _index_centroids(spark, index_path)
+    probes = scoped_cache(_ivf_probes(spark, sf_dir, centroids=cents))
     # Q·N_PROBE ints — the probe list is driver-sized by construction;
     # probes is cached so the collect and the candidate join share one
     # computation of the centroid ranking
@@ -884,12 +961,16 @@ def ivf_knn_predictions(
     corpus vector, on the bucketed IVF index: each vector probes its
     N_PROBE nearest cells and votes over its KNN_K nearest neighbors
     within them — exact cosine there, q120's rounding and vote rule
-    (:func:`_knn_vote_predictions`)."""
+    (:func:`_knn_vote_predictions`). Probe geometry comes from the
+    centroids stored with the index. A vector whose probed cells hold
+    no other vectors yields no prediction row — the confusion wrapper
+    surfaces those as NULL pred_label rather than dropping them."""
     em = load_table(spark, "embeddings", sf_dir)
     all_q = em.select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
     )
-    probes = _ivf_probes(spark, sf_dir, queries=all_q)
+    cents = _index_centroids(spark, index_path)
+    probes = _ivf_probes(spark, sf_dir, queries=all_q, centroids=cents)
     idx = spark.read.parquet(index_path)
     top = _score_and_rank_candidates(probes.join(idx, "cell_id")).where(
         F.col("rnk") <= KNN_K
@@ -905,33 +986,33 @@ def ivf_knn_confusion(
 ) -> DataFrame:
     """Leave-one-out kNN audit on the BUCKETED IVF INDEX — q120's
     semantics on the subquadratic path, returning the same
-    (label, pred_label, n) confusion schema.
+    (label, pred_label, n) confusion schema. Vectors whose probed cells
+    hold no other vectors appear with NULL pred_label (truth-side left
+    join) instead of vanishing — every corpus vector is accounted for.
 
     Scale — stated precisely, since the query side here IS the corpus:
     with K centroids, probe selection costs N·K cosines against a
     broadcast K-row centroid table, and the candidate join (probes ⋈
     index on cell_id, both sides shuffled once by cell, no broadcast of
-    anything corpus-sized) costs N·N_PROBE·(N/K). Under the standard
-    production IVF sizing K ≈ √N, BOTH terms are O(N^1.5·n_probe) — the
-    audit's win over exact q120's O(N²) — and the centroid table is √N
-    rows (~10^5 at 10^10 vectors), comfortably broadcastable. This
-    repo's deterministic stride stand-in (K = N/31, documented in
-    :func:`ivf_assignments` as a k-means substitute for oracle
-    determinism) does NOT have that property — at stride sizing the
-    probe-selection term is N²/31 and the centroid broadcast grows with
-    the corpus, so a real rollout must swap the stride for fixed-or-√N
-    k-means centroids; every other piece of the plan (cell-keyed join,
-    no collect, shared vote rule) carries over unchanged. Per-query
-    agreement with the exact q120 is measured in tests
-    (test_similarity_dedup; 0.65 at sf0.001 on the weakly-clustered
-    synthetic embeddings, governed by probe coverage exactly like q41's
-    recall ≥ 0.6 — real embedding corpora cluster far tighter)."""
+    anything corpus-sized) costs N·N_PROBE·(N/K). Under the production
+    configuration — an index built with ``centroids=``
+    :func:`kmeans_centroid_frame` (K ≈ √N k-means centroids, read back
+    from the index here) — BOTH terms are O(N^1.5·n_probe), the audit's
+    win over exact q120's O(N²), and the centroid table is √N rows
+    (~10^5 at 10^10 vectors), comfortably broadcastable. A stride-built
+    index (K = N/31, kept for oracle determinism) lacks that sizing —
+    its probe-selection term is N²/31 — so production indexes pass
+    k-means centroids; the whole plan is identical either way. Per-query
+    agreement with the exact q120 is asserted ≥ 0.55 in tests on BOTH
+    centroid sources at sf0.001 (weakly-clustered synthetic embeddings;
+    agreement is governed by probe coverage exactly like q41's recall ≥
+    0.6 — real embedding corpora cluster far tighter)."""
     pred = ivf_knn_predictions(spark, sf_dir, index_path)
     truth = load_table(spark, "embeddings", sf_dir).select(
         F.col("vec_id").alias("query_id"), "label"
     )
     return (
-        pred.join(truth, "query_id")
+        truth.join(pred, "query_id", "left")
         .groupBy("label", "pred_label")
         .agg(F.count("*").alias("n"))
     )

@@ -44,15 +44,24 @@ from mapreduce_framework_simple_spark.sources.io import load_table
 CONTAMINATION_MAX = 0.5  # drop docs with > 50% probe-shingle overlap
 
 
-def _lsh_pairs_from(docs: DataFrame) -> DataFrame:
+def _lsh_pairs_from(docs: DataFrame,
+                    max_bucket_size: int | None = ...) -> DataFrame:
     """q38's banded candidate join over an arbitrary (doc_id, text) frame
-    — same candidate rule as the oracle-verified query (shared helper)."""
-    return lsh_candidate_pairs(band_signatures_from(docs))
+    — same candidate rule as the oracle-verified query (shared helper).
+    ``...`` keeps the module-default hot-bucket cap (call-time read)."""
+    return lsh_candidate_pairs(band_signatures_from(docs),
+                               max_bucket_size=max_bucket_size)
 
 
-def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
+def curate(spark: SparkSession, sf_dir: str, out_dir: str,
+           lsh_max_bucket: int | None = ...) -> dict:
     """Run the full curation pass; write survivors to ``out_dir`` and
     return the audit report (python ints — driver-sized by construction).
+
+    ``lsh_max_bucket`` tunes the near-dup stage's hot-bucket boilerplate
+    cap per-corpus (``...`` = the module default ``LSH_MAX_BUCKET``;
+    None disables the guard — ground-truth runs only). Exposed on the
+    CLI as ``tools/curate.py --lsh-max-bucket N``.
 
     Audit-count design: every stage's count is an aggregate over that
     stage's ID-ONLY keep/drop frame (keep_ids, exact_keep, drop,
@@ -94,7 +103,7 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str) -> dict:
 
         # 3. near-dup collapse on the thinned corpus: LSH pairs →
         #    components → drop non-representatives (tiny drop list)
-        pairs = _lsh_pairs_from(exact)
+        pairs = _lsh_pairs_from(exact, lsh_max_bucket)
         comp = connected_components(pairs)
         drop = scoped_cache(
             comp.where(F.col("doc_id") != F.col("component")).select("doc_id")

@@ -755,28 +755,20 @@ def test_ivf_knn_audit_agrees_with_exact(spark, sf_dir, tmp_path):
     """The IVF leave-one-out kNN audit (the measured subquadratic path
     for q120's semantics at 100 TB) must (a) classify every corpus
     vector, (b) return q120's confusion schema, and (c) agree with the
-    exact q120 predictions on most vectors — the bound reflects ~35%
-    probe coverage on the weakly-clustered synthetic embeddings (same
-    regime as q41's recall >= 0.6; measured 0.65 here)."""
+    exact q120 predictions on >= 0.55 of vectors — the asserted bound
+    under ~27-35% probe coverage on the weakly-clustered synthetic
+    embeddings (same regime as q41's recall >= 0.6; measured 0.65 on
+    the stride index and 0.72 on the k-means index at sf0.001). Run on
+    BOTH the oracle-stable stride index and the production k-means
+    (K≈sqrt(N)) index — the shipped 100 TB configuration."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     import mapreduce_framework_simple_spark.operators.similarity as S
 
-    path = str(tmp_path / "ivf_knn_idx")
-    S.write_ivf_index(spark, sf_dir, path)
-
-    conf = S.ivf_knn_confusion(spark, sf_dir, path).toPandas()
     em = S.load_table(spark, "embeddings", sf_dir)
     n_corpus = em.count()
-    assert sorted(conf.columns) == ["label", "n", "pred_label"]
-    assert conf["n"].sum() == n_corpus  # every vector classified
 
-    p_ivf = (
-        S.ivf_knn_predictions(spark, sf_dir, path)
-        .toPandas()
-        .set_index("query_id")["pred_label"]
-    )
     # exact predictions: q120's kernel + the SAME shared vote rule
     ref = em.select("vec_id", "embedding")
     scored = S._pairwise_cosine_scan(
@@ -792,9 +784,88 @@ def test_ivf_knn_audit_agrees_with_exact(spark, sf_dir, tmp_path):
         .toPandas()
         .set_index("query_id")["pred_label"]
     )
-    assert len(p_ivf) == len(p_exact) == n_corpus
-    agreement = (p_ivf.sort_index() == p_exact.sort_index()).mean()
-    assert agreement >= 0.55, f"IVF/exact kNN agreement {agreement:.3f} < 0.55"
+
+    for tag, cents in [
+        ("stride", None),
+        ("kmeans", S.kmeans_centroid_frame(spark, sf_dir)),
+    ]:
+        path = str(tmp_path / f"ivf_knn_idx_{tag}")
+        S.write_ivf_index(spark, sf_dir, path, centroids=cents)
+
+        conf = S.ivf_knn_confusion(spark, sf_dir, path).toPandas()
+        assert sorted(conf.columns) == ["label", "n", "pred_label"]
+        assert conf["n"].sum() == n_corpus  # every vector accounted for
+
+        p_ivf = (
+            S.ivf_knn_predictions(spark, sf_dir, path)
+            .toPandas()
+            .set_index("query_id")["pred_label"]
+        )
+        assert len(p_ivf) == len(p_exact) == n_corpus
+        agreement = (p_ivf.sort_index() == p_exact.sort_index()).mean()
+        assert agreement >= 0.55, (
+            f"{tag} IVF/exact kNN agreement {agreement:.3f} < 0.55"
+        )
+
+
+def test_kmeans_centroid_ivf_recall(spark, sf_dir):
+    """The production IVF configuration — seeded k-means centroids at
+    K≈sqrt(N) (kmeans_centroid_frame) — must hit the same recall bound
+    vs the exact q40 answer as the stride oracle path (measured 0.69
+    kmeans vs 0.67 stride at sf0.001), on the SAME probe/score/rank
+    code (ann_ivf_topk)."""
+    import math
+
+    import mapreduce_framework_simple_spark.operators.similarity as S
+
+    n = S.load_table(spark, "embeddings", sf_dir).count()
+    cents = S.kmeans_centroid_frame(spark, sf_dir)
+    assert cents.count() == max(1, math.isqrt(n))  # K = ceil-ish sqrt(N)
+
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.q40_cosine_topk(spark, sf_dir).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_ivf_topk(spark, sf_dir, centroids=cents).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6, f"k-means IVF recall {recall:.3f} < 0.6"
+
+
+def test_kmeans_ivf_index_roundtrips_centroids(spark, sf_dir, tmp_path):
+    """A k-means-built bucketed index stores its centroids alongside the
+    cells (<path>/_centroids, invisible to the main index scan), and the
+    bucketed probe — reading the geometry back from the index — returns
+    exactly the in-memory recompute's answer while still partition-
+    pruning the index scan."""
+    import mapreduce_framework_simple_spark.operators.similarity as S
+    from mapreduce_framework_simple_spark.plans.explain import formatted_plan
+
+    cents = S.kmeans_centroid_frame(spark, sf_dir)
+    path = str(tmp_path / "ivf_kmeans_idx")
+    S.write_ivf_index(spark, sf_dir, path, centroids=cents)
+
+    stored = S._index_centroids(spark, path)
+    assert stored is not None and stored.count() == cents.count()
+    # the underscore dir is skipped by the main index read
+    idx_cols = set(spark.read.parquet(path).columns)
+    assert idx_cols == {"vec_id", "embedding", "cell_id"}
+
+    got = S.ivf_probe_bucketed(spark, sf_dir, path)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan
+    assert "cell_id" in plan.split("PartitionFilters", 1)[1][:200]
+    g = got.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    e = (
+        S.ann_ivf_topk(spark, sf_dir, centroids=cents)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    cols = ["query_id", "neighbor_id", "rnk"]
+    assert g[cols].equals(e[cols])
 
 
 def test_lsh_quality_fraction_bucket1_equals_full(spark, sf_dir):

@@ -1,8 +1,10 @@
 #!/usr/bin/env python
 """Run the end-to-end curation pipeline from the command line.
 
-Usage: python tools/curate.py [sf_dir] [out_dir]
+Usage: python tools/curate.py [sf_dir] [out_dir] [--lsh-max-bucket N]
 
+``--lsh-max-bucket`` tunes the near-dup stage's hot-bucket boilerplate
+cap per-corpus without editing source (default: dedup.LSH_MAX_BUCKET).
 Prints the audit report as one JSON line (same shape the pipeline test
 asserts invariants over).
 """
@@ -18,17 +20,23 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+    args = sys.argv[1:]
+    cap = ...  # pipeline sentinel: keep the module-default cap
+    if "--lsh-max-bucket" in args:
+        i = args.index("--lsh-max-bucket")
+        cap = int(args[i + 1])
+        del args[i:i + 2]
+    sf_dir = args[0] if len(args) > 0 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
-    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/mfss_curated"
+    out_dir = args[1] if len(args) > 1 else "/tmp/mfss_curated"
 
     from mapreduce_framework_simple_spark.pipeline import curate
     from mapreduce_framework_simple_spark.session import get_session
 
     spark = get_session("mfss-curate")
     spark.sparkContext.setLogLevel("ERROR")
-    report = curate(spark, sf_dir, out_dir)
+    report = curate(spark, sf_dir, out_dir, lsh_max_bucket=cap)
     report["out_dir"] = out_dir
     print(json.dumps(report))
 
