@@ -226,15 +226,38 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
 # regimes with >3× headroom on both sides.
 JACCARD_FANOUT_DISPATCH = 16.0
 
+# The fan-out probe measures a 1-in-8 deterministic sid-hash sample: the
+# per-sid groupBy would otherwise shuffle nearly the whole shingle frame
+# (sids are mostly unique), making the dispatch cost ~20 % of the kernel
+# it is choosing. Sampling BY SID keeps the estimator stratified — every
+# occurrence of a sampled sid is counted, so per-sid df values are exact
+# and the ratio Σ C(df,2)/Σ df is consistent; dup-heavy corpora replicate
+# EVERY sid, so the skew signal survives any sample. An empty sample
+# (tiny corpus) reads as 0.0 → naive kernel, the right call at that size.
+_FANOUT_SAMPLE_MOD = 8
 
-def _jaccard_join_fanout(sh: DataFrame) -> float:
+# (applicationId, sf_dir, input fingerprint) -> measured fan-out. The
+# statistic is a pure function of immutable parquet (same premise,
+# same key fields as the capped-band session memo), so composing queries
+# and repeat bench runs skip the probe entirely. Scalars only — nothing
+# to unpersist — bounded by FIFO eviction.
+_FANOUT_MEMO: dict[tuple, float] = {}
+_FANOUT_MEMO_MAX = 32
+
+
+def _jaccard_join_fanout(sh: DataFrame, memo_key: tuple | None = None) -> float:
     """Predicted output rows PER INPUT ROW of the naive sid self-join
     (Σ_s C(df_s, 2) / Σ_s df_s) — the skew statistic q36's kernel
-    dispatch keys on. One map-side-combined aggregate over the (cached)
-    shingle frame; the eager collect is a single scalar row, the same
-    one-small-action pattern as the LSH fan-out guard."""
+    dispatch keys on. One map-side-combined aggregate over a 1/8
+    sid-hash sample of the (cached) shingle frame; the eager collect is
+    a single scalar row, the same one-small-action pattern as the LSH
+    fan-out guard. Pass ``memo_key`` (session + input fingerprint) to
+    memoize the scalar across composing queries and repeat runs."""
+    if memo_key is not None and memo_key in _FANOUT_MEMO:
+        return _FANOUT_MEMO[memo_key]
     row = (
-        sh.groupBy("sid")
+        sh.where(F.pmod(F.xxhash64("sid"), F.lit(_FANOUT_SAMPLE_MOD)) == 0)
+        .groupBy("sid")
         .agg(F.count("*").alias("df"))
         .agg(
             (
@@ -243,7 +266,12 @@ def _jaccard_join_fanout(sh: DataFrame) -> float:
         )
         .collect()[0]
     )
-    return float(row["fanout"] or 0.0)
+    val = float(row["fanout"] or 0.0)
+    if memo_key is not None:
+        while len(_FANOUT_MEMO) >= _FANOUT_MEMO_MAX:
+            _FANOUT_MEMO.pop(next(iter(_FANOUT_MEMO)))
+        _FANOUT_MEMO[memo_key] = val
+    return val
 
 
 @query(
@@ -270,8 +298,8 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Kernel choice is a size-based planner `if`, mirroring q120's
     dispatch: the measured naive-self-join fan-out
-    (:func:`_jaccard_join_fanout`, one cheap aggregate over the cached
-    shingle frame) picks the naive sid self-join below
+    (:func:`_jaccard_join_fanout`, one aggregate over a 1/8 sid-hash
+    sample, memoized per session+input) picks the naive sid self-join below
     ``JACCARD_FANOUT_DISPATCH`` — faster on ordinary corpora, where
     prefix bookkeeping outweighs the blow-up it prevents — and the
     PPJoin-style prefix kernel (:func:`_jaccard_prefix_pairs`) above it,
@@ -280,7 +308,12 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality-tested). q38's MinHash-LSH is the 100 TB path and this
     operator is its ground-truth verifier."""
     sh = scoped_cache(shingle_id_sets(spark, sf_dir))
-    if _jaccard_join_fanout(sh) > JACCARD_FANOUT_DISPATCH:
+    memo_key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _input_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+    )
+    if _jaccard_join_fanout(sh, memo_key) > JACCARD_FANOUT_DISPATCH:
         pairs = _jaccard_prefix_pairs(sh)
     else:
         pairs = _jaccard_truth_pairs(sh)

@@ -701,6 +701,36 @@ def test_q36_dispatches_kernels_by_fanout(spark, sf_dir, tmp_path, monkeypatch):
     assert len(got) > 0
 
 
+def test_q36_fanout_memoized_per_session_and_input(spark, sf_dir, monkeypatch):
+    """The dispatch statistic is memoized per (session, sf_dir, input
+    fingerprint): q36 consults the scalar memo before re-measuring, so
+    repeat runs over immutable parquet skip the probe. Seeding the memo
+    with an absurd fan-out must flip the kernel choice — proof the
+    memoized value, not a re-measurement, drives the dispatch."""
+    import os as _os
+
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    calls = []
+    real_prefix = D._jaccard_prefix_pairs
+
+    def spy(sh):
+        calls.append("prefix")
+        return real_prefix(sh)
+
+    monkeypatch.setattr(D, "_jaccard_prefix_pairs", spy)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        D._input_fingerprint(_os.path.join(sf_dir, "documents.parquet")),
+    )
+    D.q36_ngram_jaccard(spark, sf_dir).count()
+    assert calls == [] and key in D._FANOUT_MEMO  # measured + stored
+    monkeypatch.setitem(D._FANOUT_MEMO, key, 1e9)
+    D.q36_ngram_jaccard(spark, sf_dir).count()
+    assert calls == ["prefix"]  # memo hit drove the dispatch
+
+
 def test_triangle_degree_order_equals_id_order(spark, sf_dir):
     """Degree-ordered triangle counting (q107's shipped orientation) must
     agree exactly with the plain id-order join — on the real LSH
