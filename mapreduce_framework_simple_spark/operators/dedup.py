@@ -886,23 +886,90 @@ def q39_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Below this many candidate edges the component fixpoint runs as a
+# driver-side union-find over the Arrow-collected edge list instead of
+# iterated Spark jobs — the same bounded-side dispatch rationale as q120's
+# broadcast bound: 1M (a,b) long pairs is ~16 MB via toPandas, far under
+# any driver budget, while each DISTRIBUTED round costs 2 shuffles of
+# fixed job overhead that dwarfs microsecond union-find at this size.
+# LSH dedup graphs are tiny relative to the corpus (pairs ≈ near-dup
+# rate × N, and the hot-bucket cap bounds the blow-up), so at 100 TB a
+# typical run still dispatches small; a dup-heavy corpus beyond the
+# bound takes the unchanged distributed propagation path.
+CC_DRIVER_EDGE_BOUND = 1_000_000
+
+
+def _driver_union_find(a_vals, b_vals) -> dict:
+    """Exact min-label components over an in-memory edge list: classic
+    union-find with path compression, then each node labeled with the
+    min node id of its root's component — identical output contract to
+    the distributed propagation loop."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(a_vals, b_vals):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    best: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in best or n < best[r]:
+            best[r] = n
+    return {n: best[find(n)] for n in parent}
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 20) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 20,
+                         driver_edge_bound: int = CC_DRIVER_EDGE_BOUND) -> DataFrame:
     """Connected components by min-label propagation — the canonical
     dedup post-step: near-dup PAIRS (q38) become dedup GROUPS, and
     "keep one doc per component" falls out as min(doc_id) == label.
 
-    Spark-first iteration: each round joins current labels across edges
-    and takes the elementwise min; terminates when a round changes no
-    label (checked with one count per round). Label count is monotone
-    non-increasing, so rounds ≤ graph diameter ≤ max_iter for any real
-    dedup graph (components are tiny cliques).
+    Kernel choice is a size-based planner `if`, mirroring q120's
+    dispatch: a single ``limit(bound+1)`` Arrow collect both measures
+    the edge count and, when it fits, IS the input to an exact
+    driver-side union-find (:func:`_driver_union_find`) — one Spark
+    action total instead of 2 shuffles per propagation round. Beyond
+    the bound the unchanged distributed loop runs: each round joins
+    current labels across edges and takes the elementwise min,
+    terminating when a round changes no label (one count per round).
+    Label count is monotone non-increasing, so rounds ≤ graph diameter
+    ≤ max_iter for any real dedup graph (components are tiny cliques).
 
-    Scale: state is one (node, label) pair per node; each round is one
-    shuffle keyed by node. The 100 TB version is the same loop over the
-    alternating small-star/large-star formulation; at dedup-graph shapes
-    (diameter ≤ 3) plain propagation converges in 2-3 rounds.
+    Scale: state is one (node, label) pair per node; each distributed
+    round is one shuffle keyed by node. The 100 TB version is the same
+    loop over the alternating small-star/large-star formulation; at
+    dedup-graph shapes (diameter ≤ 3) plain propagation converges in
+    2-3 rounds. Both kernels emit the identical (node, min-label)
+    relation — equality-tested on the real LSH graph.
     """
+    probe = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .limit(driver_edge_bound + 1)
+        .toPandas()
+    )
+    if len(probe) <= driver_edge_bound:
+        labels = _driver_union_find(probe["a"].tolist(), probe["b"].tolist())
+        from pyspark.sql import types as T
+
+        node_t = edges.schema[src].dataType
+        return edges.sparkSession.createDataFrame(
+            sorted(labels.items()),
+            T.StructType([
+                T.StructField("doc_id", node_t),
+                T.StructField("component", node_t),
+            ]),
+        )
     sym = scoped_cache(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -731,6 +731,29 @@ def test_q36_fanout_memoized_per_session_and_input(spark, sf_dir, monkeypatch):
     assert calls == ["prefix"]  # memo hit drove the dispatch
 
 
+def test_components_driver_kernel_equals_distributed(spark, sf_dir):
+    """The size-dispatched components kernels must agree exactly: the
+    driver union-find (default at bench scale) and the distributed
+    min-label propagation (forced via driver_edge_bound=0) produce the
+    identical (doc_id, component) relation on the real LSH candidate
+    graph. Also pins the dispatch itself: the real graph is under the
+    bound, so the default path must NOT run propagation rounds."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        connected_components,
+        q38_minhash_lsh_pairs,
+    )
+
+    pairs = q38_minhash_lsh_pairs(spark, sf_dir)
+    small = sorted(
+        tuple(r) for r in connected_components(pairs).collect()
+    )
+    big = sorted(
+        tuple(r)
+        for r in connected_components(pairs, driver_edge_bound=0).collect()
+    )
+    assert small == big and len(small) > 0
+
+
 def test_triangle_degree_order_equals_id_order(spark, sf_dir):
     """Degree-ordered triangle counting (q107's shipped orientation) must
     agree exactly with the plain id-order join — on the real LSH
