@@ -993,8 +993,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         )
         # carry the pre-round label through the merge so the convergence
         # check is a filter over this same frame — not a second
-        # new-vs-old join (one fewer shuffle per round)
-        merged = scoped_cache(
+        # new-vs-old join (one fewer shuffle per round).
+        # localCheckpoint, not cache: each round's plan references the
+        # previous round's join, so without lineage truncation the
+        # logical plan grows per iteration and Catalyst re-optimization
+        # OOMs the driver by ~10 rounds on long-diameter graphs (same
+        # trade as pagerank's loop, iterative.py:197 — blocks are
+        # unreplicated executor storage; an executor loss restarts the
+        # call).
+        merged = (
             labels.join(neighbor_min, labels.node == F.col("node2"), "left")
             .select(
                 "node",
@@ -1003,11 +1010,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                     "label"
                 ),
             )
+            .localCheckpoint(eager=True)
         )
         changed = merged.where(F.col("label") != F.col("old_label")).count()
-        # the count() above materialized merged's cache, so the old
-        # round's cache is dead weight from here — release it, or executor
-        # storage grows linearly with iteration count on large graphs
+        # the previous round's frame is dead weight from here — release
+        # it (round 1: frees the seed CACHE; later rounds: drops the
+        # superseded localCheckpoint reference so the ContextCleaner
+        # frees its blocks), or executor storage grows with iteration
+        # count on large graphs
         cached.unpersist()
         cached = merged
         labels = merged.select("node", "label")

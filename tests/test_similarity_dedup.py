@@ -753,6 +753,27 @@ def test_components_driver_kernel_equals_distributed(spark, sf_dir):
     )
     assert small == big and len(small) > 0
 
+    # planted long chain + separate clique + isolated edge: diameter >> 2
+    # exercises union-find path compression and multi-round propagation
+    # on the same graph; edges deliberately listed high-to-low so the
+    # min-label is NOT the first node union-find encounters
+    chain = [(i + 1, i) for i in range(11, 0, -1)]  # 12..1 one component
+    clique = [(a, b) for a in (100, 101, 102) for b in (103, 104)]
+    planted = spark.createDataFrame(
+        chain + clique + [(500, 501)], ["doc_a", "doc_b"]
+    )
+    got = sorted(tuple(r) for r in connected_components(planted).collect())
+    want = sorted(
+        [(n, 1) for n in range(1, 13)]
+        + [(n, 100) for n in (100, 101, 102, 103, 104)]
+        + [(500, 500), (501, 500)]
+    )
+    assert got == want
+    assert got == sorted(
+        tuple(r)
+        for r in connected_components(planted, driver_edge_bound=0).collect()
+    )
+
 
 def test_triangle_degree_order_equals_id_order(spark, sf_dir):
     """Degree-ordered triangle counting (q107's shipped orientation) must
