@@ -775,6 +775,54 @@ def test_components_driver_kernel_equals_distributed(spark, sf_dir):
     )
 
 
+def test_components_kernels_match_bfs_referee_on_random_graphs(spark):
+    """Both dispatched components kernels vs an independent pure-Python
+    BFS referee on seeded random multigraphs (sparse, giant-component,
+    and dense regimes; duplicate edges, reversed duplicates, and
+    self-loops all occur at these densities) — the same
+    brute-force-referee pattern as the triangle orientation test, so a
+    bug shared by BOTH kernels cannot hide behind their mutual
+    equality."""
+    import random
+    from collections import defaultdict, deque
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        connected_components,
+    )
+
+    for seed, n_nodes, n_edges in [(1, 40, 30), (2, 60, 90), (3, 25, 200)]:
+        rng = random.Random(seed)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(n_edges)
+        ]
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        want = {}
+        for start in sorted(adj):
+            if start in want:
+                continue
+            comp, q = {start}, deque([start])
+            while q:
+                for v in adj[q.popleft()] - comp:
+                    comp.add(v)
+                    q.append(v)
+            lbl = min(comp)
+            for u in comp:
+                want[u] = lbl
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        for bound in (0, 10**6):  # 0 forces distributed; 10^6 → driver
+            got = {
+                r.doc_id: r.component
+                for r in connected_components(
+                    df, driver_edge_bound=bound
+                ).collect()
+            }
+            assert got == want, (seed, bound)
+
+
 def test_triangle_degree_order_equals_id_order(spark, sf_dir):
     """Degree-ordered triangle counting (q107's shipped orientation) must
     agree exactly with the plain id-order join — on the real LSH
