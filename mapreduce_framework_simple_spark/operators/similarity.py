@@ -808,10 +808,21 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     underscore prefix makes Spark's file listing skip it on the main
     index read — so every probe path reads back the exact centroid set
     the cells were built from; index and probe geometry cannot drift.
-    None keeps the deterministic stride stand-in (oracle/test use)."""
-    ivf_assignments(spark, sf_dir, centroids=centroids).write.partitionBy(
+    None keeps the deterministic stride stand-in (oracle/test use).
+
+    The assignment frame is repartitioned BY CELL before the
+    partitionBy write: without it every write task holds rows of most
+    cells, so the layout fans out to tasks × K files (measured at the
+    100× probe: 14,320 files for 447 cells, and the build was
+    write-dominated at 190 s; with the shuffle: one file per cell,
+    118 s — the remainder is the N·K assignment compute, not the
+    write). At index scale (K = 10⁵ cells, 10³ write tasks) the
+    unshuffled form is ~10⁸ tiny files — a listing/metadata failure
+    mode, not just slow. One extra corpus shuffle is the right trade
+    for a write-once index."""
+    ivf_assignments(spark, sf_dir, centroids=centroids).repartition(
         "cell_id"
-    ).mode("overwrite").parquet(path)
+    ).write.partitionBy("cell_id").mode("overwrite").parquet(path)
     if centroids is not None:
         centroids.write.mode("overwrite").parquet(path + "/_centroids")
 
