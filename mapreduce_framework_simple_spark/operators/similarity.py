@@ -666,7 +666,8 @@ def _lsh_band_exprs_sql(vec: str, n_bits: int = LSH_N_BITS,
 def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
                          n_bits: int = LSH_N_BITS, n_bands: int = LSH_N_BANDS,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         max_bucket_size: int | None = None) -> DataFrame:
     """Embedding near-dup via random-hyperplane LSH (SimHash for vectors).
 
     Signature: sign bits of H·v for a fixed seeded hyperplane matrix H
@@ -676,9 +677,23 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
     — near 1 for cos → 1, which is the near-dup regime this targets (the
     exact q42 covers the exploratory low-threshold regime).
 
-    Scale: signatures are 64 vectorized FMAs per Arrow batch; the only
-    shuffle is the band-bucket self-join whose buckets are near-unique
-    except for true near-dups — same shape as MinHash-LSH (q38).
+    Scale: signatures are 64 vectorized FMAs per Arrow batch; the band
+    bucketing is q38's exact long shape — (vec_id, band, band_sig), one
+    self-join on (band, band_sig) — and every shuffle up to candidate
+    dedup carries IDS ONLY (two longs per pair). Embeddings attach
+    AFTER dropDuplicates, via two joins against the id-pruned corpus
+    scan. The earlier formulation dragged both 64-double embeddings
+    through the per-band joins and the dedup shuffle (~1.1 KB/pair);
+    the 100× dup-heavy probe (200k vectors, 99 exact copies each,
+    ~40M pre-dedup candidates) spilled >75 GB and died on disk — the
+    id-only form shuffles ~60× narrower and completes that same probe
+    in 185 s (1× = 1.2 s; wall grew 156× while verify-work grew
+    ~10⁴× — each vector's 99 copies share every band bucket, so
+    intra-bucket pairs go from ~0 to C(100,2) per original).
+    ``max_bucket_size``
+    optionally applies q38's hot-bucket guard (same helper, same
+    logged drop count) for boilerplate-heavy production corpora; the
+    default None keeps the exact uncapped semantics of the q96 oracle.
     """
     import numpy as np
     import pandas as pd
@@ -700,30 +715,48 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
             yield pd.DataFrame(out)
 
     band_schema = ", ".join([f"band{b} long" for b in range(n_bands)])
-    sigs = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
+    stack_args = ", ".join(f"{b}, band{b}" for b in range(n_bands))
+    bands = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)).mapInPandas(
         signatures, f"vec_id long, {band_schema}"
-    ).join(df.select(F.col(id_col).alias("vec_id"), F.col(vec_col)), "vec_id")
-    sigs = scoped_cache(sigs)
-
-    pairs = None
-    for b in range(n_bands):
-        a = sigs.alias("a")
-        c = sigs.alias("b")
-        p = (
-            a.join(
-                c,
-                (F.col(f"a.band{b}") == F.col(f"b.band{b}"))
-                & (F.col("a.vec_id") < F.col("b.vec_id")),
-            )
-            .select(
-                F.col("a.vec_id").alias("vec_a"),
-                F.col("b.vec_id").alias("vec_b"),
-                F.col(f"a.{vec_col}").alias("emb_a"),
-                F.col(f"b.{vec_col}").alias("emb_b"),
-            )
+    ).selectExpr(
+        "vec_id", f"stack({n_bands}, {stack_args}) as (band, band_sig)"
+    )
+    bands = scoped_cache(bands)
+    if max_bucket_size is not None:
+        from mapreduce_framework_simple_spark.operators.dedup import (
+            _drop_oversized_buckets,
         )
-        pairs = p if pairs is None else pairs.unionAll(p)
-    cand = pairs.dropDuplicates(["vec_a", "vec_b"])
+
+        bands = _drop_oversized_buckets(
+            bands, max_bucket_size, "hyperplane_lsh_pairs"
+        )
+    a = bands.alias("a")
+    c = bands.alias("b")
+    cand_ids = (
+        a.join(
+            c,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    emb = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+    cand = cand_ids.join(
+        emb.select(
+            F.col("vec_id").alias("vec_a"), F.col(vec_col).alias("emb_a")
+        ),
+        "vec_a",
+    ).join(
+        emb.select(
+            F.col("vec_id").alias("vec_b"), F.col(vec_col).alias("emb_b")
+        ),
+        "vec_b",
+    )
     # raw columns: dot_expr/norm_expr cast each element inside their
     # folds already — wrapping in to_double_array would cast everything
     # TWICE per candidate pair (the redundancy its docstring warns about)

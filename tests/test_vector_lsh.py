@@ -43,6 +43,37 @@ def test_lsh_no_false_positives_above_threshold(spark, planted):
     assert (got.cos_sim >= 0.95).all()
 
 
+def test_lsh_hot_bucket_cap(spark, planted):
+    """max_bucket_size applies q38's hot-bucket guard: a planted
+    boilerplate cluster (60 identical vectors -> every one of its band
+    buckets holds all 60) is dropped under a cap of 10, while the
+    size-2 planted near-dup buckets survive untouched; the default
+    (None) keeps the uncapped q96-oracle semantics and reports the
+    cluster's C(60,2) pairs."""
+    df, truth = planted
+    rng = np.random.RandomState(11)
+    hot = [float(x) for x in rng.randn(64)]
+    hot_df = df.sparkSession.createDataFrame(
+        [(5000 + i, hot) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = df.unionAll(hot_df)
+
+    capped = hyperplane_lsh_pairs(
+        corpus, threshold=0.95, max_bucket_size=10
+    ).toPandas()
+    capped_pairs = set(zip(capped.vec_a, capped.vec_b))
+    assert not any(a >= 5000 for a, _ in capped_pairs), "hot bucket leaked"
+    recall = len(truth & capped_pairs) / len(truth)
+    assert recall >= 0.9, f"cap hurt planted recall: {recall:.2f}"
+
+    uncapped = hyperplane_lsh_pairs(corpus, threshold=0.95).toPandas()
+    hot_pairs = {
+        (a, b) for a, b in zip(uncapped.vec_a, uncapped.vec_b) if a >= 5000
+    }
+    assert len(hot_pairs) == 60 * 59 // 2
+
+
 def test_block_topk_kernel_matches_bruteforce(spark, tmp_path):
     """Property check for the corpus-scale kNN fallback kernel: on a
     planted random corpus, _block_topk_cosine's margin-pruned output,
