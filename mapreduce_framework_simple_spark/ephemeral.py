@@ -47,7 +47,7 @@ def cache_scope():
         while len(_SCOPED) > mark:
             df = _SCOPED.pop()
             try:
-                df.unpersist(blocking=False)
+                _release(df)
             except Exception:
                 pass
 
@@ -57,6 +57,46 @@ def scoped_cache(df: DataFrame) -> DataFrame:
     df = df.cache()
     _SCOPED.append(df)
     return df
+
+
+def scoped_release(df: DataFrame) -> DataFrame:
+    """Register an ALREADY-materialized frame (a localCheckpoint) for
+    release at the next query boundary, without re-caching it — calling
+    :func:`scoped_cache` on a checkpointed frame would register its
+    LogicalRDD plan in the CacheManager and duplicate the blocks into
+    cache storage on the next action."""
+    _SCOPED.append(df)
+    return df
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Deterministically free the executor blocks of a
+    ``localCheckpoint()``-ed frame.
+
+    ``DataFrame.unpersist()`` goes through the CacheManager and silently
+    NO-OPS on a localCheckpoint, whose blocks belong to the internal RDD
+    behind the LogicalRDD plan; left alone they are freed only when the
+    ContextCleaner notices the JVM object is unreachable (needs a JVM GC
+    — nondeterministic, periodic fallback every 30 min), so a fixpoint
+    loop that supersedes one checkpoint per round can hold many rounds'
+    worth of node-sized block sets at once. Best-effort: returns True
+    when blocks were released, False when the plan is not a LogicalRDD
+    (callers fall back to ``unpersist()``/GC)."""
+    try:
+        jplan = df._jdf.queryExecution().analyzed()
+        if jplan.getClass().getSimpleName() != "LogicalRDD":
+            return False
+        jplan.rdd().unpersist(False)
+        return True
+    except Exception:
+        return False
+
+
+def _release(df: DataFrame) -> None:
+    """Free a scoped frame whichever way it was materialized: CacheManager
+    entry (scoped_cache) or localCheckpoint blocks (scoped_release)."""
+    if not release_local_checkpoint(df):
+        df.unpersist(blocking=False)
 
 
 # --------------------------------------------------------------------------
@@ -132,6 +172,10 @@ def memo_put(key: tuple, df: DataFrame, holds: list[DataFrame]) -> DataFrame:
         app_id = "<unknown>"
     for k in [k for k, ent in _MEMO.items() if ent[0] != app_id]:
         _evict(k)
+    # A re-put over a live key must unpersist the old entry's holds first
+    # (a plain overwrite would orphan them as permanently-pinned executor
+    # blocks) — and popping also restores correct MRU insertion order.
+    _evict(key)
     _MEMO[key] = (app_id, df, holds)
     while len(_MEMO) > MEMO_MAX_ENTRIES:
         _evict(next(iter(_MEMO)))  # head of insertion order = LRU
@@ -184,7 +228,7 @@ def release_caches() -> int:
     while _SCOPED:
         df = _SCOPED.pop()
         try:
-            df.unpersist(blocking=False)
+            _release(df)
             n += 1
         except Exception:  # session already stopped — nothing to release
             pass

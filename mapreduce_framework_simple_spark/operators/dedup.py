@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import logging
 import os
+from types import EllipsisType
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
@@ -30,7 +31,11 @@ from pyspark.sql import functions as F
 
 logger = logging.getLogger(__name__)
 
-from mapreduce_framework_simple_spark.ephemeral import scoped_cache
+from mapreduce_framework_simple_spark.ephemeral import (
+    release_local_checkpoint,
+    scoped_cache,
+    scoped_release,
+)
 from mapreduce_framework_simple_spark.operators.text import (
     DUCK_SHINGLES,
     DUCK_TOKS,
@@ -226,14 +231,20 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
 # regimes with >3× headroom on both sides.
 JACCARD_FANOUT_DISPATCH = 16.0
 
-# The fan-out probe measures a 1-in-8 deterministic sid-hash sample: the
-# per-sid groupBy would otherwise shuffle nearly the whole shingle frame
-# (sids are mostly unique), making the dispatch cost ~20 % of the kernel
-# it is choosing. Sampling BY SID keeps the estimator stratified — every
-# occurrence of a sampled sid is counted, so per-sid df values are exact
-# and the ratio Σ C(df,2)/Σ df is consistent; dup-heavy corpora replicate
-# EVERY sid, so the skew signal survives any sample. An empty sample
-# (tiny corpus) reads as 0.0 → naive kernel, the right call at that size.
+# The fan-out probe measures a 1-in-8 deterministic ROW-hash sample
+# (hash of (sid, doc_id)): the per-sid groupBy would otherwise shuffle
+# nearly the whole shingle frame (sids are mostly unique), making the
+# dispatch cost ~20 % of the kernel it is choosing. Sampling by ROW —
+# not by sid — is what makes the probe skew-robust: a single ultra-hot
+# boilerplate shingle (df = 100k) lands ~df/8 rows in every sample, so
+# it can never be missed the way an all-or-nothing per-sid sample would
+# miss it with probability 7/8. Per-sid counts c_s ~ Binomial(df_s, p)
+# are then debiased with the standard second-moment estimator
+# E[c²] = p²df² + p(1−p)df  ⇒  df²̂ = (c² − (1−p)c)/p², giving an
+# unbiased Σ C(df,2)/Σ df — the same statistic the sf0.01/sf0.1/10×
+# crossover was measured on, so JACCARD_FANOUT_DISPATCH carries over.
+# An empty sample (tiny corpus) reads as 0.0 → naive kernel, the right
+# call at that size.
 _FANOUT_SAMPLE_MOD = 8
 
 # (applicationId, sf_dir, input fingerprint) -> measured fan-out. The
@@ -249,24 +260,36 @@ def _jaccard_join_fanout(sh: DataFrame, memo_key: tuple | None = None) -> float:
     """Predicted output rows PER INPUT ROW of the naive sid self-join
     (Σ_s C(df_s, 2) / Σ_s df_s) — the skew statistic q36's kernel
     dispatch keys on. One map-side-combined aggregate over a 1/8
-    sid-hash sample of the (cached) shingle frame; the eager collect is
-    a single scalar row, the same one-small-action pattern as the LSH
-    fan-out guard. Pass ``memo_key`` (session + input fingerprint) to
-    memoize the scalar across composing queries and repeat runs."""
+    row-hash sample of the (cached) shingle frame (see the
+    ``_FANOUT_SAMPLE_MOD`` comment for the debiasing math and why row
+    sampling — unlike sid sampling — cannot miss a hot shingle); the
+    eager collect is a single scalar row, the same one-small-action
+    pattern as the LSH fan-out guard. Pass ``memo_key`` (session +
+    input fingerprint) to memoize the scalar across composing queries
+    and repeat runs."""
     if memo_key is not None and memo_key in _FANOUT_MEMO:
         return _FANOUT_MEMO[memo_key]
+    p = 1.0 / _FANOUT_SAMPLE_MOD
     row = (
-        sh.where(F.pmod(F.xxhash64("sid"), F.lit(_FANOUT_SAMPLE_MOD)) == 0)
+        sh.where(
+            F.pmod(F.xxhash64("sid", "doc_id"), F.lit(_FANOUT_SAMPLE_MOD)) == 0
+        )
         .groupBy("sid")
-        .agg(F.count("*").alias("df"))
+        .agg(F.count("*").alias("c"))
         .agg(
+            F.sum(
+                (F.col("c") * F.col("c") - (1.0 - p) * F.col("c")) / (p * p)
+            ).alias("sum_df2"),
+            (F.sum("c") / p).alias("sum_df"),
+        )
+        .select(
             (
-                F.sum(F.col("df") * (F.col("df") - 1) / 2) / F.sum("df")
+                (F.col("sum_df2") - F.col("sum_df")) / (2.0 * F.col("sum_df"))
             ).alias("fanout")
         )
         .collect()[0]
     )
-    val = float(row["fanout"] or 0.0)
+    val = max(0.0, float(row["fanout"] or 0.0))
     if memo_key is not None:
         while len(_FANOUT_MEMO) >= _FANOUT_MEMO_MAX:
             _FANOUT_MEMO.pop(next(iter(_FANOUT_MEMO)))
@@ -298,7 +321,7 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Kernel choice is a size-based planner `if`, mirroring q120's
     dispatch: the measured naive-self-join fan-out
-    (:func:`_jaccard_join_fanout`, one aggregate over a 1/8 sid-hash
+    (:func:`_jaccard_join_fanout`, one aggregate over a 1/8 row-hash
     sample, memoized per session+input) picks the naive sid self-join below
     ``JACCARD_FANOUT_DISPATCH`` — faster on ordinary corpora, where
     prefix bookkeeping outweighs the blow-up it prevents — and the
@@ -499,7 +522,7 @@ def _drop_oversized_buckets(
 
 
 def lsh_candidate_pairs(
-    bands: DataFrame, max_bucket_size: int | None = ...
+    bands: DataFrame, max_bucket_size: int | None | EllipsisType = ...
 ) -> DataFrame:
     """Banded self-join on (band, band_sig): distinct candidate pairs
     (doc_a < doc_b). The single definition of the LSH candidate rule —
@@ -669,7 +692,7 @@ def incremental_lsh_candidates(
     spark: SparkSession,
     new_docs: DataFrame,
     index_path: str,
-    max_bucket_size: int | None = ...,
+    max_bucket_size: int | None | EllipsisType = ...,
 ) -> DataFrame:
     """Near-dup candidates between a NEW document batch and an indexed
     corpus: compute band signatures for the batch only, broadcast them
@@ -953,16 +976,21 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     2-3 rounds. Both kernels emit the identical (node, min-label)
     relation — equality-tested on the real LSH graph.
     """
-    probe = (
+    # The probe pays the full edge plan regardless (limit short-circuits
+    # only the final stage; the shuffles below it run completely), so
+    # cache the pair frame FIRST: the under-bound path collects from it
+    # once, and the over-bound path's sym union reads the cached blocks
+    # instead of recomputing the expensive LSH-pair join twice more.
+    pairs = scoped_cache(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .limit(driver_edge_bound + 1)
-        .toPandas()
     )
+    probe = pairs.limit(driver_edge_bound + 1).toPandas()
     if len(probe) <= driver_edge_bound:
         labels = _driver_union_find(probe["a"].tolist(), probe["b"].tolist())
         from pyspark.sql import types as T
 
         node_t = edges.schema[src].dataType
+        pairs.unpersist()  # nothing further reads it on this path
         return edges.sparkSession.createDataFrame(
             sorted(labels.items()),
             T.StructType([
@@ -971,9 +999,9 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             ]),
         )
     sym = scoped_cache(
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
+        pairs.unionAll(
+            pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
     )
     # seed each node with min(self, direct neighbors) — exactly the state
     # after round 1 of identity-seeded propagation, computed as ONE
@@ -1014,11 +1042,15 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         )
         changed = merged.where(F.col("label") != F.col("old_label")).count()
         # the previous round's frame is dead weight from here — release
-        # it (round 1: frees the seed CACHE; later rounds: drops the
-        # superseded localCheckpoint reference so the ContextCleaner
-        # frees its blocks), or executor storage grows with iteration
-        # count on large graphs
-        cached.unpersist()
+        # it NOW (round 1: frees the seed CACHE via unpersist; later
+        # rounds: release_local_checkpoint frees the superseded
+        # checkpoint's internal-RDD blocks directly — a plain
+        # unpersist() is a CacheManager call that NO-OPS on a
+        # localCheckpoint, which would leave storage growing with
+        # iteration count until a JVM GC lets the ContextCleaner catch
+        # up), so live state stays O(1) frames on any graph
+        if not release_local_checkpoint(cached):
+            cached.unpersist()
         cached = merged
         labels = merged.select("node", "label")
         if changed == 0:
@@ -1036,9 +1068,13 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             "small-star/large-star formulation"
         )
     sym.unpersist()
-    # the final labels cache stays live: it is materialized (the changed-
-    # count ran on it) and the caller's first action would otherwise
-    # recompute every propagation round from scratch. One bounded DF.
+    pairs.unpersist()
+    # the final labels checkpoint stays live: it is materialized (the
+    # changed-count ran on it) and the caller's first action would
+    # otherwise recompute every propagation round from scratch. One
+    # bounded DF — registered for the query-boundary release (which is
+    # localCheckpoint-aware), so it cannot outlive its query either.
+    scoped_release(cached)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 
 

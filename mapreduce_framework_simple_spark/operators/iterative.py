@@ -29,6 +29,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_simple_spark.ephemeral import (
+    release_local_checkpoint,
+    scoped_release,
+)
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
@@ -68,13 +72,18 @@ def _assign(df: DataFrame, centroids) -> DataFrame:
     )
 
 
-def kmeans(spark: SparkSession, sf_dir: str, k: int = K,
+def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
            n_iter: int = N_ITER) -> tuple[DataFrame, list[float], list[list[float]]]:
     """Lloyd's k-means (cosine flavor) with deterministic seeding (every
-    (N/k)-th vector). Returns (final assignments DataFrame, per-iteration
-    mean-similarity trace — monotone non-decreasing up to fp noise, and
-    the final centroid list — K × dim floats, driver-sized; the IVF index
-    builder consumes these as its cell centroids)."""
+    (N/k)-th vector). ``k=None`` means ⌈√N⌉ — the IVF sizing — computed
+    here from the count this function needs anyway, so callers don't pay
+    a second corpus scan just to size k. Returns (final assignments
+    DataFrame, per-iteration mean-similarity trace — monotone
+    non-decreasing up to fp noise, and the final centroid list — K × dim
+    floats, driver-sized; the IVF index builder consumes these as its
+    cell centroids)."""
+    import math
+
     from mapreduce_framework_simple_spark.ephemeral import scoped_cache
 
     em = scoped_cache(
@@ -85,6 +94,8 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int = K,
         # empty-input contract: empty assignments, empty trace — not a
         # numpy AxisError from zero seeds
         return _assign(em, [[0.0]]).limit(0), [], []
+    if k is None:
+        k = max(1, math.isqrt(n))
     stride = max(n // k, 1)
     seeds = (
         em.where(F.col("vec_id") % stride == 0)
@@ -204,16 +215,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
         )
         # empty graph: sum over zero rows is NULL — treat as converged
         deltas.append(float(delta) if delta is not None else 0.0)
-        # frees the round-1 CACHE; later rounds' frames are localCheckpoints
-        # whose blocks the CacheManager does not track — those are freed by
-        # the ContextCleaner once the superseded frame reference drops on
-        # the next line (reference-tracked RDD cleanup), so storage stays
-        # O(1) frames rather than O(rounds)
-        ranks.unpersist()
+        # frees the round-1 CACHE via unpersist; later rounds' frames are
+        # localCheckpoints whose blocks the CacheManager does NOT track
+        # (unpersist() no-ops on them) — release_local_checkpoint frees
+        # the superseded internal-RDD blocks deterministically instead of
+        # waiting for a JVM GC to let the ContextCleaner catch up, so
+        # storage stays O(1) frames rather than O(rounds)
+        if not release_local_checkpoint(ranks):
+            ranks.unpersist()
         ranks = new_ranks
     e.unpersist()
     nodes.unpersist()
     deg.unpersist()
+    # the returned frame is a materialized checkpoint — register it for
+    # the (localCheckpoint-aware) query-boundary release so its blocks
+    # cannot outlive the query that built them
+    scoped_release(ranks)
     return ranks, deltas
 
 

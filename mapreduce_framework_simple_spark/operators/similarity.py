@@ -245,14 +245,12 @@ def kmeans_centroid_frame(spark: SparkSession, sf_dir: str,
 
     Scale: k-means itself is n_iter distributed passes (see
     iterative.py); the returned frame is K × dim doubles created from
-    the driver-held centroid list — tiny by construction."""
-    import math
-
+    the driver-held centroid list — tiny by construction. ``k=None``
+    (the ⌈√N⌉ default) is passed through to :func:`iterative.kmeans`,
+    which sizes it from the corpus count it takes anyway — no separate
+    sizing scan here."""
     from mapreduce_framework_simple_spark.operators.iterative import kmeans
 
-    if k is None:
-        n = load_table(spark, "embeddings", sf_dir).count()
-        k = max(1, math.isqrt(n))
     _, _, cents = kmeans(spark, sf_dir, k=k)
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     return spark.createDataFrame(rows, "cell_id long, c_emb array<double>")
@@ -841,7 +839,14 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     underscore prefix makes Spark's file listing skip it on the main
     index read — so every probe path reads back the exact centroid set
     the cells were built from; index and probe geometry cannot drift.
-    None keeps the deterministic stride stand-in (oracle/test use).
+    None keeps the deterministic stride stand-in (oracle/test use) —
+    and the STRIDE set is persisted too, so every complete index carries
+    its geometry and a missing sidecar is unambiguous evidence of a
+    partial build (the write order is index-then-sidecar because
+    overwrite mode clears ``path`` first; :func:`_index_centroids`
+    therefore treats an absent sidecar as fail-fast, never as a
+    fallback — probing a k-means index with stride geometry would
+    return silently wrong neighbors).
 
     The assignment frame is repartitioned BY CELL before the
     partitionBy write: without it every write task holds rows of most
@@ -853,20 +858,29 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     unshuffled form is ~10⁸ tiny files — a listing/metadata failure
     mode, not just slow. One extra corpus shuffle is the right trade
     for a write-once index."""
-    ivf_assignments(spark, sf_dir, centroids=centroids).repartition(
+    cents = (
+        centroids if centroids is not None else _stride_centroids(spark, sf_dir)
+    )
+    ivf_assignments(spark, sf_dir, centroids=cents).repartition(
         "cell_id"
     ).write.partitionBy("cell_id").mode("overwrite").parquet(path)
-    if centroids is not None:
-        centroids.write.mode("overwrite").parquet(path + "/_centroids")
+    cents.write.mode("overwrite").parquet(path + "/_centroids")
 
 
-def _index_centroids(spark: SparkSession, index_path: str) -> DataFrame | None:
-    """The centroid frame persisted with a bucketed IVF index, or None
-    for stride-built (or pre-centroid) indexes."""
+def _index_centroids(spark: SparkSession, index_path: str) -> DataFrame:
+    """The centroid frame persisted with a bucketed IVF index. A missing
+    sidecar means the build died between the index write and the sidecar
+    write (or a pre-sidecar legacy layout): raise rather than guess — a
+    probe against assumed geometry returns wrong neighbors silently."""
     try:
         return spark.read.parquet(index_path + "/_centroids")
     except AnalysisException:
-        return None
+        raise ValueError(
+            f"IVF index at {index_path!r} has no _centroids sidecar: the "
+            "index write did not complete (or predates sidecar layouts). "
+            "Rebuild it with write_ivf_index — probing with assumed "
+            "centroid geometry would silently return wrong neighbors."
+        )
 
 
 def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:

@@ -28,6 +28,8 @@ a handful of scalar aggregates.
 
 from __future__ import annotations
 
+from types import EllipsisType
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,7 +47,7 @@ CONTAMINATION_MAX = 0.5  # drop docs with > 50% probe-shingle overlap
 
 
 def _lsh_pairs_from(docs: DataFrame,
-                    max_bucket_size: int | None = ...) -> DataFrame:
+                    max_bucket_size: int | None | EllipsisType = ...) -> DataFrame:
     """q38's banded candidate join over an arbitrary (doc_id, text) frame
     — same candidate rule as the oracle-verified query (shared helper).
     ``...`` keeps the module-default hot-bucket cap (call-time read)."""
@@ -54,7 +56,7 @@ def _lsh_pairs_from(docs: DataFrame,
 
 
 def curate(spark: SparkSession, sf_dir: str, out_dir: str,
-           lsh_max_bucket: int | None = ...) -> dict:
+           lsh_max_bucket: int | None | EllipsisType = ...) -> dict:
     """Run the full curation pass; write survivors to ``out_dir`` and
     return the audit report (python ints — driver-sized by construction).
 

@@ -149,6 +149,70 @@ def test_scoped_cache_release_and_scope(spark):
     assert ephemeral.release_caches() == 0   # registry drained
 
 
+def test_release_local_checkpoint_frees_blocks(spark):
+    """DataFrame.unpersist() is a CacheManager call that silently NO-OPS
+    on a localCheckpoint (its blocks belong to the internal RDD behind
+    the LogicalRDD plan) — release_local_checkpoint must free those
+    blocks deterministically, and the scoped-release path (_release)
+    must route checkpointed frames through it. Without this, fixpoint
+    loops leak one node-sized block set per superseded round until a
+    JVM GC lets the ContextCleaner catch up."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+
+    ck = spark.range(100).localCheckpoint(eager=True)
+    assert jsc.getPersistentRDDs().size() == base + 1
+    ck.unpersist(blocking=True)  # the documented no-op
+    assert jsc.getPersistentRDDs().size() == base + 1
+    assert ephemeral.release_local_checkpoint(ck)
+    assert jsc.getPersistentRDDs().size() == base
+
+    # a plain cached frame is NOT a LogicalRDD: the helper declines and
+    # callers fall back to unpersist()
+    plain = spark.range(10).cache()
+    plain.count()
+    assert not ephemeral.release_local_checkpoint(plain)
+    plain.unpersist(blocking=True)
+
+    # scoped_release + release_caches frees a checkpoint at the query
+    # boundary (the path connected_components/pagerank final frames take)
+    ck2 = ephemeral.scoped_release(spark.range(50).localCheckpoint(eager=True))
+    assert jsc.getPersistentRDDs().size() == base + 1
+    ephemeral.release_caches()
+    assert jsc.getPersistentRDDs().size() == base
+
+
+def test_components_distributed_loop_storage_hygiene(spark):
+    """The distributed min-label fixpoint must hold O(1) frames, not
+    O(rounds): superseded per-round localCheckpoints are freed inside
+    the loop, and the final checkpoint is freed by the query-boundary
+    release. A path graph (diameter 6) forces multiple rounds; after
+    materialization + boundary release the session's persistent-RDD
+    count returns to its baseline."""
+    from mapreduce_framework_simple_spark import ephemeral
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        connected_components,
+    )
+
+    ephemeral.release_caches()
+    jsc = spark.sparkContext._jsc.sc()
+    base = jsc.getPersistentRDDs().size()
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+    )
+    res = connected_components(edges, driver_edge_bound=0)
+    got = {(r["doc_id"], r["component"]) for r in res.collect()}
+    assert got == {(i, 0) for i in range(8)}  # one chain, min label 0
+    # mid-flight state is bounded: final checkpoint + sym/pairs caches
+    # at most — loop rounds must not have accumulated
+    assert jsc.getPersistentRDDs().size() <= base + 3
+    ephemeral.release_caches()
+    assert jsc.getPersistentRDDs().size() == base
+
+
 def test_queries_wrapper_releases_previous_caches(spark, sf_dir):
     """__spark_entry__.queries() wraps every callable to release the
     PREVIOUS query's scoped caches at call time — the property that

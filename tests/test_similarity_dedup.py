@@ -627,6 +627,29 @@ def test_memo_lru_cap_and_stale_app_eviction(spark):
                 pass
 
 
+def test_memo_reput_evicts_old_holds(spark):
+    """memo_put over an already-present key must unpersist the OLD
+    entry's held caches first: a plain overwrite would orphan them as
+    permanently-pinned executor blocks that neither LRU eviction nor
+    clear_memo can ever reach (they'd have no registry reference)."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.clear_memo()
+    old_h = spark.range(5).cache()
+    new_h = spark.range(6).cache()
+    try:
+        old_h.count()
+        ephemeral.memo_put(("reput",), old_h, [old_h])
+        ephemeral.memo_put(("reput",), new_h, [new_h])
+        lvl = old_h.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk)  # old holds released
+        assert ephemeral.memo_get(("reput",)) is new_h
+    finally:
+        ephemeral.clear_memo()
+        for h in (old_h, new_h):
+            h.unpersist(blocking=False)
+
+
 def test_lsh_cap_default_reads_global_at_call_time(spark, monkeypatch):
     """The default-arg cap must honor a RUNTIME change to
     LSH_MAX_BUCKET (call-time read, not def-time binding) — otherwise a
@@ -699,6 +722,46 @@ def test_q36_dispatches_kernels_by_fanout(spark, sf_dir, tmp_path, monkeypatch):
         want.sort_values(key).reset_index(drop=True)
     )
     assert len(got) > 0
+
+
+def test_fanout_probe_sees_single_hot_shingle(spark, tmp_path):
+    """Skew-robustness of the dispatch probe: a corpus whose docs are
+    pairwise-unique EXCEPT for one shared boilerplate 3-shingle is the
+    exact shape the dispatch exists to catch (that one sid drives the
+    naive join quadratic). A per-SID 1-in-8 sample would miss the hot
+    sid with probability 7/8; the row-level sample counts ~df/8 of its
+    occurrences always, and the debiased estimator must land within 2×
+    of the exact fan-out — and above the dispatch threshold."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    n = 400
+    rows = [
+        {"doc_id": i,
+         "text": f"u{i}a u{i}b shared boiler plate u{i}c u{i}d",
+         "lang": "en", "source": "web", "n_chars": 40}
+        for i in range(n)
+    ]
+    sf = tmp_path / "hotshingle"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
+
+    sh = D.shingle_id_sets(spark, str(sf))
+    exact = (
+        sh.groupBy("sid")
+        .agg(F.count("*").alias("df"))
+        .agg((F.sum(F.col("df") * (F.col("df") - 1) / 2) / F.sum("df"))
+             .alias("f"))
+        .collect()[0]["f"]
+    )
+    assert exact > D.JACCARD_FANOUT_DISPATCH  # the corpus IS the bad shape
+    est = D._jaccard_join_fanout(sh)
+    assert est > D.JACCARD_FANOUT_DISPATCH, (
+        f"probe missed the hot shingle: est {est:.2f} vs exact {exact:.2f}"
+    )
+    assert exact / 2 <= est <= exact * 2
 
 
 def test_q36_fanout_memoized_per_session_and_input(spark, sf_dir, monkeypatch):
@@ -988,6 +1051,29 @@ def test_kmeans_ivf_index_roundtrips_centroids(spark, sf_dir, tmp_path):
     )
     cols = ["query_id", "neighbor_id", "rnk"]
     assert g[cols].equals(e[cols])
+
+
+def test_ivf_index_missing_sidecar_fails_fast(spark, sf_dir, tmp_path):
+    """Every complete index carries its _centroids sidecar (stride builds
+    too); a missing sidecar means the build died between the index write
+    and the sidecar write. The probe paths must REFUSE such an index —
+    probing a k-means-cell index with assumed stride geometry would
+    return silently wrong neighbors, violating fail-fast."""
+    import shutil
+
+    import pytest
+
+    import mapreduce_framework_simple_spark.operators.similarity as S
+
+    path = str(tmp_path / "ivf_partial_idx")
+    S.write_ivf_index(spark, sf_dir, path)  # stride build writes one too
+    assert S._index_centroids(spark, path).count() > 0
+
+    shutil.rmtree(path + "/_centroids")  # simulate the partial build
+    with pytest.raises(ValueError, match="_centroids sidecar"):
+        S.ivf_probe_bucketed(spark, sf_dir, path)
+    with pytest.raises(ValueError, match="_centroids sidecar"):
+        S.ivf_knn_confusion(spark, sf_dir, path).collect()
 
 
 def test_lsh_quality_fraction_bucket1_equals_full(spark, sf_dir):

@@ -11,6 +11,7 @@ asserts invariants over).
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -19,25 +20,39 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def main() -> None:
-    args = sys.argv[1:]
-    cap = ...  # pipeline sentinel: keep the module-default cap
-    if "--lsh-max-bucket" in args:
-        i = args.index("--lsh-max-bucket")
-        cap = int(args[i + 1])
-        del args[i:i + 2]
-    sf_dir = args[0] if len(args) > 0 else os.environ.get(
-        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(
+        description="Run the end-to-end curation pipeline."
     )
-    out_dir = args[1] if len(args) > 1 else "/tmp/mfss_curated"
+    ap.add_argument(
+        "sf_dir",
+        nargs="?",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        help="input table directory (default: $SPARK_GRAFT_SF_DIR)",
+    )
+    ap.add_argument(
+        "out_dir", nargs="?", default="/tmp/mfss_curated",
+        help="output directory for the curated corpus",
+    )
+    ap.add_argument(
+        "--lsh-max-bucket",
+        type=int,
+        default=None,
+        metavar="N",
+        help="hot-bucket boilerplate cap for the near-dup stage "
+        "(default: dedup.LSH_MAX_BUCKET)",
+    )
+    ns = ap.parse_args(argv)
+    # pipeline sentinel: ... keeps the module-default cap
+    cap = ns.lsh_max_bucket if ns.lsh_max_bucket is not None else ...
 
     from mapreduce_framework_simple_spark.pipeline import curate
     from mapreduce_framework_simple_spark.session import get_session
 
     spark = get_session("mfss-curate")
     spark.sparkContext.setLogLevel("ERROR")
-    report = curate(spark, sf_dir, out_dir, lsh_max_bucket=cap)
-    report["out_dir"] = out_dir
+    report = curate(spark, ns.sf_dir, ns.out_dir, lsh_max_bucket=cap)
+    report["out_dir"] = ns.out_dir
     print(json.dumps(report))
 
 
