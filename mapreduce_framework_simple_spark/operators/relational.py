@@ -650,7 +650,7 @@ def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     division at the end — a float running sum is summation-order
     sensitive and drifts at the 1e-9 level between engines."""
     o = load_table(spark, "orders", sf_dir)
-    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    run_cents = cents_l("o_totalprice")
     ordering = [F.asc("o_orderdate"), F.asc("o_orderkey")]
     w_run = (
         Window.partitionBy("o_custkey").orderBy(*ordering)
@@ -660,9 +660,9 @@ def q14_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         F.col("o_custkey").alias("custkey"),
         F.col("o_orderkey").alias("orderkey"),
-        (F.sum(cents).over(w_run).cast("double") / 100).alias("running_spend"),
+        (F.sum(run_cents).over(w_run).cast("double") / 100).alias("running_spend"),
         (
-            F.sum(cents).over(w_3).cast("double")
+            F.sum(run_cents).over(w_3).cast("double")
             / (F.lit(100.0) * F.count(F.lit(1)).over(w_3))
         ).alias("avg_last3"),
     )
@@ -1979,9 +1979,7 @@ def q114_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
-            "monetary_cents"
-        ),
+        F.sum(cents_l("o_totalprice")).alias("monetary_cents"),
     )
     r_q = F.ntile(4).over(Window.orderBy("last_order", "custkey"))
     f_q = F.ntile(4).over(Window.orderBy("frequency", "custkey"))
@@ -2482,11 +2480,11 @@ def q128_ab_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials; the arm join and t arithmetic run on the tiny per-type
     rollup. Degenerate arms (n < 2) are excluded on both sides."""
     ev = load_table(spark, "events", sf_dir)
-    cents = F.round(F.col("value") * 100).cast("long")
+    val_cents = cents_l("value")
     c = ev.select(
         "event_type",
         F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")).alias("arm"),
-        cents.alias("cents"),
+        val_cents.alias("cents"),
     )
     # decimal(38,0) accumulators, not LongType: Spark in non-ANSI mode
     # WRAPS silently on 64-bit overflow while the DuckDB oracle raises —

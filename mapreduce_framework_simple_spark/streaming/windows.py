@@ -32,11 +32,11 @@ from mapreduce_framework_simple_spark.sources.io import SCHEMAS, load_table
 # microbatch order — batch vs stream (different batching!) and Spark vs
 # DuckDB would agree only to the last ULPs. Integer-cents sums are exact
 # under any order; one double conversion at the end (the q128 discipline).
-def _sum_value_cents() -> "F.Column":
+def _sum_value_cents(alias: str = "sum_value") -> "F.Column":
     return (
         F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
         / 100
-    ).alias("sum_value")
+    ).alias(alias)
 
 
 @query(
@@ -219,11 +219,12 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
         parts = sorted(
             f for f in os.listdir(src) if not f.startswith(("_", "."))
         )
-        sig = ";".join(
-            f"{f}:{os.stat(os.path.join(src, f)).st_mtime_ns}"
-            f":{os.stat(os.path.join(src, f)).st_size}"
-            for f in parts
-        )
+
+        def _part_sig(f: str) -> str:
+            st = os.stat(os.path.join(src, f))
+            return f"{f}:{st.st_mtime_ns}:{st.st_size}"
+
+        sig = ";".join(_part_sig(f) for f in parts)
     else:
         st = os.stat(src)
         sig = f"{st.st_mtime_ns}:{st.st_size}"
@@ -236,14 +237,28 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     # prior run (the atomic rename makes that near-impossible, but cheap)
     if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
         tmp = f"{drop_zone}.tmp.{os.getpid()}"
-        load_table(spark, table, sf_dir).repartition(n_files).write.mode(
-            "overwrite"
-        ).parquet(tmp)
         try:
-            os.rename(tmp, drop_zone)
-        except OSError:
-            # a concurrent process won the rename — use its stage
+            load_table(spark, table, sf_dir).repartition(n_files).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            try:
+                os.rename(tmp, drop_zone)
+            except OSError:
+                # Either a concurrent process won the rename, or a BROKEN
+                # stage (exists but no _SUCCESS — e.g. /tmp aged out files
+                # inside it) is blocking the slot. Distinguish by
+                # re-probing the marker: trusting "a winner exists" here
+                # would silently stream a truncated stage forever.
+                if os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    shutil.rmtree(drop_zone, ignore_errors=True)
+                    os.rename(tmp, drop_zone)
+        except BaseException:
+            # a failed write (or failed repair-rename) must not strand a
+            # table-sized partial copy under the shared temp dir
             shutil.rmtree(tmp, ignore_errors=True)
+            raise
     return drop_zone
 
 
@@ -295,10 +310,7 @@ def stream_user_counts(events: DataFrame) -> DataFrame:
     bounded-state streaming form of q53's final state."""
     return events.groupBy("user_id").agg(
         F.count("*").alias("total_events"),
-        (
-            F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
-            / 100
-        ).alias("total_value"),
+        _sum_value_cents("total_value"),
     )
 
 
@@ -323,7 +335,8 @@ def run_available_now(
     return stream_df.sparkSession.table(query_name)
 
 
-def _clean_stale_batches(out_dir: str, checkpoint_dir: str) -> None:
+def _clean_stale_batches(spark: SparkSession, out_dir: str,
+                         checkpoint_dir: str) -> None:
     """A FRESH run (no offsets in the checkpoint) must not inherit
     ``batch=N`` directories from a previous run into the same
     ``out_dir`` — a shorter rerun would leave the old tail in place and
@@ -335,17 +348,30 @@ def _clean_stale_batches(out_dir: str, checkpoint_dir: str) -> None:
     own naming scheme — never the whole tree: a lost/rotated checkpoint
     is a routine ops event, and an out_dir that also holds unrelated
     files (another query's output, a user's scratch data) must not be
-    collateral damage of this query's fresh start."""
-    import re
-    import shutil
+    collateral damage of this query's fresh start.
 
-    if not os.path.exists(os.path.join(checkpoint_dir, "offsets")) and os.path.isdir(
-        out_dir
-    ):
-        for name in os.listdir(out_dir):
-            sub = os.path.join(out_dir, name)
-            if re.fullmatch(r"batch=\d+", name) and os.path.isdir(sub):
-                shutil.rmtree(sub)
+    Filesystem access goes through the Hadoop FileSystem API resolved
+    from each path's own scheme — the sinks are documented as the
+    production warehouse-landing pattern, and an ``os.path`` guard would
+    silently NO-OP on ``hdfs://``/``s3a://`` out_dirs, letting exactly
+    the stale-tail corruption this function exists to prevent through."""
+    import re
+
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+
+    offsets = HPath(checkpoint_dir.rstrip("/") + "/offsets")
+    if offsets.getFileSystem(hconf).exists(offsets):
+        return  # resumed run: replayed batch ids overwrite themselves
+    out = HPath(out_dir)
+    fs = out.getFileSystem(hconf)
+    if not fs.exists(out):
+        return
+    for st in fs.listStatus(out):
+        if st.isDirectory() and re.fullmatch(
+            r"batch=\d+", st.getPath().getName()
+        ):
+            fs.delete(st.getPath(), True)
 
 
 def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
@@ -360,7 +386,7 @@ def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     ``out_dir`` is owned by this query: a fresh run (new checkpoint)
     clears it first so stale ``batch=N`` dirs from prior runs cannot
     leak into reads."""
-    _clean_stale_batches(out_dir, checkpoint_dir)
+    _clean_stale_batches(stream_df.sparkSession, out_dir, checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
@@ -396,28 +422,33 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
     windowed aggregation cannot express (the SURVEY §2.3 "stateful
     running count per user" bullet, done with user-managed state).
 
-    Scale: state is one (long, double) pair per active user, partitioned
+    Scale: state is one (long, long) pair per active user, partitioned
     by the group key across the cluster; ProcessingTimeTimeout would
     evict idle users in a real deployment (NoTimeout keeps the test
-    deterministic)."""
+    deterministic). State holds INTEGER CENTS, not a float sum — the
+    module-wide exact-cents discipline (see :func:`_sum_value_cents`):
+    a float accumulator drifts with microbatch order, so batch-vs-stream
+    equality would only hold to the last ULPs; cents are exact under any
+    order, converted to dollars once on emit."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
         import pandas as pd
 
-        cnt, total = state.get if state.exists else (0, 0.0)
+        cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += int(len(pdf))
-            total += float(pdf["value"].sum())
-        state.update((cnt, total))
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((cnt, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "total_events": [cnt], "total_value": [total]}
+            {"user_id": [key[0]], "total_events": [cnt],
+             "total_value": [cents / 100.0]}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, total_events long, total_value double",
-        stateStructType="count long, total double",
+        stateStructType="count long, total_cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -470,7 +501,9 @@ def stream_tws_user_totals(events: DataFrame) -> DataFrame:
     support, and a RocksDB-backed state store.
 
     Scale: identical state footprint to the GroupState version (one
-    (long, double) pair per user, partitioned by key); RocksDB keeps
+    (long, long) integer-cents pair per user — the exact-cents
+    discipline, see stream_stateful_user_totals — partitioned by key);
+    RocksDB keeps
     hot state off-heap and incremental-checkpoints to the stream's
     checkpoint location — the state backend built for billions of keys.
 
@@ -485,18 +518,21 @@ def stream_tws_user_totals(events: DataFrame) -> DataFrame:
 
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._totals = handle.getValueState("totals", "count long, total double")
+            self._totals = handle.getValueState(
+                "totals", "count long, total_cents long"
+            )
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
-            cnt, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            cnt, cents = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 cnt += int(len(pdf))
-                total += float(pdf["value"].sum())
-            self._totals.update((cnt, total))
+                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            self._totals.update((cnt, cents))
             yield pd.DataFrame(
-                {"user_id": [key[0]], "total_events": [cnt], "total_value": [total]}
+                {"user_id": [key[0]], "total_events": [cnt],
+                 "total_value": [cents / 100.0]}
             )
 
         def close(self) -> None:
@@ -552,7 +588,7 @@ def stream_dedup_against_index(docs_stream: DataFrame, index_path: str,
         incremental_lsh_candidates,
     )
 
-    _clean_stale_batches(out_dir, checkpoint_dir)
+    _clean_stale_batches(docs_stream.sparkSession, out_dir, checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         cands = incremental_lsh_candidates(

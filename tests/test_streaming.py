@@ -402,12 +402,14 @@ def test_stream_dedup_against_index_equals_batch(spark, sf_dir, tmp_path):
     assert got == want and len(want) > 0
 
 
-def test_clean_stale_batches_scoped_to_batch_dirs(tmp_path):
+def test_clean_stale_batches_scoped_to_batch_dirs(spark, tmp_path):
     """A fresh run's stale-output cleanup removes ONLY this sink's own
     ``batch=N`` directories — never unrelated files sharing out_dir (a
     lost/rotated checkpoint is a routine ops event and must not become
     silent data loss for neighbors), and never anything when the
-    checkpoint has offsets (resume keeps everything)."""
+    checkpoint has offsets (resume keeps everything). Paths resolve
+    through the Hadoop FileSystem API so the guard also holds on
+    hdfs://-style out_dirs, not just the local FS."""
     from mapreduce_framework_simple_spark.streaming.windows import (
         _clean_stale_batches,
     )
@@ -420,11 +422,18 @@ def test_clean_stale_batches_scoped_to_batch_dirs(tmp_path):
     ckpt.mkdir()
 
     # fresh run (no offsets dir): batch=N dirs go, everything else stays
-    _clean_stale_batches(str(out), str(ckpt))
+    _clean_stale_batches(spark, str(out), str(ckpt))
     assert sorted(os.listdir(out)) == ["batch=notanum", "notes.txt", "other_data"]
 
     # resumed run (offsets present): nothing is touched
     (out / "batch=3").mkdir()
     (ckpt / "offsets").mkdir()
-    _clean_stale_batches(str(out), str(ckpt))
+    _clean_stale_batches(spark, str(out), str(ckpt))
     assert (out / "batch=3").is_dir()
+
+    # scheme-qualified paths resolve through the same Hadoop FS route
+    (ckpt / "offsets").rmdir()
+    (out / "batch=4").mkdir()
+    _clean_stale_batches(spark, f"file://{out}", f"file://{ckpt}")
+    assert not (out / "batch=4").exists()
+    assert (out / "notes.txt").exists()
