@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from mapreduce_framework_simple_spark.operators.mapreduce import MapReduceEngine
+from mapreduce_framework_simple_spark.operators.text import DUCK_TOKS
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
@@ -157,8 +158,17 @@ def q62_matrix_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's PDL matrix example (map: invert each matrix,
     Simple.pm:756-828). Matrices are built from the first 9 embedding
     components with +10 on the diagonal (diagonal dominance → invertible).
-    numpy LU inside a scalar pandas_udf; the oracle checks det and
-    inv[0][0] against the closed-form adjugate to 6 dp."""
+    numpy LU inside a scalar pandas_udf.
+
+    Determinism: the EMITTED det/inv00 are computed with the closed-form
+    adjugate in the oracle's exact operation order (elementwise IEEE
+    doubles → bit-identical on both engines), because LU-with-pivoting
+    and cofactor expansion differ in low-order bits — a value landing
+    within that error of a 0.5e-6 rounding boundary would round apart
+    and flake the hash compare (probability grows with row count). The
+    np.linalg LU inversion still runs as the actual PDL-parity work and
+    is cross-checked against the adjugate in-batch (fail-fast, never
+    fail-silent)."""
 
     out_t = T.StructType([
         T.StructField("det", T.DoubleType()),
@@ -173,11 +183,19 @@ def q62_matrix_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         mats = np.stack(
             [np.asarray(v[:9], dtype=np.float64).reshape(3, 3) + np.eye(3) * 10 for v in emb]
         )
-        dets = np.linalg.det(mats)
-        invs = np.linalg.inv(mats)
+        a, b, c = mats[:, 0, 0], mats[:, 0, 1], mats[:, 0, 2]
+        d, e, f = mats[:, 1, 0], mats[:, 1, 1], mats[:, 1, 2]
+        g, h, i = mats[:, 2, 0], mats[:, 2, 1], mats[:, 2, 2]
+        dets = a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+        inv00 = (e * i - f * h) / dets
+        invs = np.linalg.inv(mats)  # the real LU inversion (PDL parity)
+        if not np.allclose(invs[:, 0, 0], inv00, rtol=1e-9, atol=1e-12):
+            raise AssertionError(
+                "q62: LU inverse disagrees with the adjugate closed form"
+            )
         return pd.DataFrame({
             "det": np.round(dets, 6),
-            "inv00": np.round(invs[:, 0, 0], 6),
+            "inv00": np.round(inv00, 6),
         })
 
     em = load_table(spark, "embeddings", sf_dir)
@@ -192,9 +210,8 @@ def q62_matrix_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q63_word_count_pandas",
-    oracle="""
-    WITH toks AS (SELECT list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                     t -> t <> '') AS toks FROM documents),
+    oracle=f"""
+    WITH toks AS (SELECT {DUCK_TOKS} AS toks FROM documents),
     words AS (SELECT unnest(toks) AS word FROM toks)
     SELECT word, CAST(count(*) AS BIGINT) AS cnt
     FROM words GROUP BY word
@@ -350,10 +367,7 @@ CHUNK_TOKENS = 16
 @query(
     "q80_chunk_documents",
     oracle=f"""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                  x -> x <> '') AS toks
-               FROM documents),
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
     c AS (SELECT doc_id, toks,
                  unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_idx
           FROM t)
@@ -410,10 +424,7 @@ PACK_BUDGET = 48  # tokens per packed sequence
 @query(
     "q81_pack_chunks",
     oracle=f"""
-    WITH t AS (SELECT doc_id,
-                      list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                                  x -> x <> '') AS toks
-               FROM documents),
+    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
     c AS (SELECT doc_id, toks,
                  unnest(range(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS BIGINT))) AS chunk_idx
           FROM t),

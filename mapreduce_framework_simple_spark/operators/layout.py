@@ -46,8 +46,18 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16) -> Da
     ``agg_exprs``: list of (col_expr, partial_fn, final_fn, name) where
     partial/final are e.g. (F.sum, F.sum) for sum or (F.count, F.sum)
     for count.
+
+    The salt is a CONTENT hash of the row, never rand(): a seeded rand
+    is still partition-layout- and row-order-dependent, so a task retry
+    after a fetch failure would re-draw different salts — reducers that
+    already consumed the old map output keep stale (key, salt) partials
+    while re-run ones see the new assignment, double-counting or
+    dropping hot-key rows (the determinism rule sampling.py documents;
+    dedup.py salts the same way). Exact-duplicate rows share a salt —
+    acceptable: dedup runs upstream, and duplicates of a hot key
+    collapse in the partial agg anyway.
     """
-    salt = (F.rand(seed=42) * salt_n).cast("int").alias("_salt")
+    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_n)).alias("_salt")
     partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(
         *[pf(expr).alias(f"_p_{name}") for expr, pf, _, name in agg_exprs]
     )
@@ -58,12 +68,14 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16) -> Da
 
 def salted_join(skewed: DataFrame, skew_key: str, small: DataFrame,
                 small_key: str, salt_n: int = 16) -> DataFrame:
-    """Skew-proof equi-join: salt the skewed side with a random shard id,
+    """Skew-proof equi-join: salt the skewed side with a shard id,
     explode the small side across all shard ids, join on (key, salt).
     Output rows identical to the plain join; the hot key's rows spread
-    over ``salt_n`` tasks instead of one."""
+    over ``salt_n`` tasks instead of one. The shard id is a row-content
+    hash, not rand() — see salted_agg for why a seeded rand is not
+    retry-safe."""
     salted_big = skewed.withColumn(
-        "_salt", (F.rand(seed=42) * salt_n).cast("int")
+        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_n))
     )
     exploded_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))

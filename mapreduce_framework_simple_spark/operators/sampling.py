@@ -203,7 +203,12 @@ def q124_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         + 1.0
     ) / 4294967297.0
-    es_key = F.round(F.log(u) / F.col("n_chars"), 12)
+    # try_divide: an empty doc (n_chars = 0) would abort the whole query
+    # under ANSI mode (Spark 4 default), while the DuckDB oracle's plain
+    # / yields NULL (the row then sorts after every real key — DESC
+    # NULLS LAST — i.e. a zero-weight doc is never sampled, the ES
+    # semantics for weight → 0)
+    es_key = F.round(F.try_divide(F.log(u), F.col("n_chars")), 12)
     w = Window.orderBy(F.desc(es_key), F.asc("doc_id"))
     return (
         docs.select("doc_id", "source", "n_chars", es_key.alias("es_key"))

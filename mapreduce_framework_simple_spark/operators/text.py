@@ -119,9 +119,14 @@ def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(toks).alias("n_tokens"),
         F.length("text").alias("n_chars_calc"),
-        (
-            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast("double")
-            / F.size(toks)
+        # try_divide, not /: an empty/whitespace-only doc has 0 tokens,
+        # and ANSI mode (Spark 4 default) aborts the whole query on x/0
+        # while the DuckDB oracle yields NULL — try_divide IS that NULL
+        F.try_divide(
+            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+                "double"
+            ),
+            F.size(toks),
         ).alias("avg_token_len"),
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias(
             "n_word_pieces"
@@ -185,16 +190,26 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = tokens_expr()
     text_len = F.length("text")
-    alpha_ratio = (
-        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast("double")
-        / text_len
+    # try_divide throughout: empty text (length 0) / zero-token docs
+    # would abort the query under ANSI mode (Spark 4 default), while the
+    # DuckDB oracle's plain / yields NULL — try_divide matches that, and
+    # fixed_avg's null-skipping sum/count then drops the row exactly
+    # like the oracle does
+    alpha_ratio = F.try_divide(
+        F.length(F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")).cast(
+            "double"
+        ),
+        text_len,
     )
-    space_ratio = (
-        (text_len - F.length(F.regexp_replace(F.col("text"), " ", ""))).cast("double")
-        / text_len
+    space_ratio = F.try_divide(
+        (text_len - F.length(F.regexp_replace(F.col("text"), " ", ""))).cast(
+            "double"
+        ),
+        text_len,
     )
-    stop_ratio = (
-        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double") / F.size(toks)
+    stop_ratio = F.try_divide(
+        F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS))).cast("double"),
+        F.size(toks),
     )
     r = docs.select(
         "doc_id",
@@ -207,10 +222,11 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def fixed_avg(col: str) -> Column:
         # sum() and count() both skip nulls, mirroring the oracle's
-        # null-skipping sum/count semantics for NULL/empty-text docs
-        return (
-            F.sum(F.round(F.col(col) * 1e12).cast("decimal(38,0)")).cast("double")
-            / (1e12 * F.count(F.col(col)))
+        # null-skipping sum/count semantics for NULL/empty-text docs;
+        # try_divide: a group whose every doc is NULL-ratio has count 0
+        return F.try_divide(
+            F.sum(F.round(F.col(col) * 1e12).cast("decimal(38,0)")).cast("double"),
+            1e12 * F.count(F.col(col)),
         )
 
     return r.groupBy("lang").agg(
@@ -218,7 +234,9 @@ def q32_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         fixed_avg("alpha_r").alias("avg_alpha_ratio"),
         fixed_avg("space_r").alias("avg_space_ratio"),
         fixed_avg("stop_r").alias("avg_stopword_ratio"),
-        (F.sum("tlen").cast("double") / F.count("tlen")).alias("avg_len"),
+        F.try_divide(F.sum("tlen").cast("double"), F.count("tlen")).alias(
+            "avg_len"
+        ),
     )
 
 
@@ -577,9 +595,15 @@ def scrub_pii(df: DataFrame, col: str = "text",
     after_email = F.regexp_replace(F.col(col), PII_EMAIL, replacement)
     # phones are counted on the email-redacted text, so a phone-looking
     # span INSIDE an email local-part is not double-counted — n_pii
-    # always equals the number of redacted spans
-    n = F.size(F.regexp_extract_all(F.col(col), F.lit(PII_EMAIL), 0)) + F.size(
-        F.regexp_extract_all(after_email, F.lit(PII_PHONE), 0)
+    # always equals the number of redacted spans. NULL text must yield
+    # n_pii = 0, not NULL: a downstream keep-clean gate like
+    # ``where(n_pii == 0)`` would otherwise silently drop NULL-text rows
+    # (NULL == 0 is not true) and PII accounting would stop summing to
+    # the corpus size.
+    n = F.coalesce(
+        F.size(F.regexp_extract_all(F.col(col), F.lit(PII_EMAIL), 0))
+        + F.size(F.regexp_extract_all(after_email, F.lit(PII_PHONE), 0)),
+        F.lit(0),
     )
     scrubbed = F.regexp_replace(after_email, PII_PHONE, replacement)
     return df.withColumn("n_pii", n.cast("int")).withColumn(col, scrubbed)
@@ -630,8 +654,15 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # into bigrams_expr would re-split the text once per element_at
     # (no subexpression elimination inside lambdas; measured 12.7s → 0.6s
     # at sf0.1, same trap shingle_sets documents)
-    bg = docs.select("doc_id", tokens_expr().alias("toks")).select(
-        "doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bg")
+    # cached: bg feeds BOTH the LM-count aggregation subtree and the
+    # probe side of the scoring join — Spark reuses exchanges, not
+    # scans, so without the cache the dominant tokenize+explode pass
+    # over the corpus runs twice (the same reuse q110 documents for its
+    # words frame and q123 for dwc)
+    bg = scoped_cache(
+        docs.select("doc_id", tokens_expr().alias("toks")).select(
+            "doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bg")
+        )
     )
     c_bg = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
     c_w1 = c_bg.groupBy(

@@ -129,7 +129,20 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
             # the rebuilt ts column is a session-tz TIMESTAMP; pin UTC so
             # window alignment and pandas conversion match the oracle's
-            # naive timestamps regardless of the host session's timezone
+            # naive timestamps regardless of the host session's timezone.
+            # Session confs have no reader-scoped form (they apply at
+            # ACTION time, not read time, so a scoped set-and-restore
+            # would race the lazy plan) — but a retune of the caller's
+            # session must not be SILENT: their unrelated timestamp
+            # queries change meaning from here on.
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "load_table('events'): pinning spark.sql.session.timeZone "
+                "to UTC for the whole session (was %s) — required for "
+                "oracle-stable event-time semantics",
+                spark.conf.get("spark.sql.session.timeZone", None),
+            )
             spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")

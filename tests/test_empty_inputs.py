@@ -256,3 +256,59 @@ def test_kmeans_empty_embeddings(spark, tmp_path):
     }).to_parquet(sf / "embeddings.parquet")
     assigned, trace, centroids = kmeans(spark, str(sf))
     assert assigned.count() == 0 and trace == [] and centroids == []
+
+
+def test_text_queries_survive_empty_text_docs(spark, tmp_path):
+    """ANSI mode (Spark 4 default) aborts the whole job on x/0, and
+    empty/whitespace-only documents produce zero-token and zero-length
+    denominators in q31/q32/q124 — those must yield NULL (DuckDB's /0
+    semantics, via try_divide), not a SparkArithmeticException, or one
+    bad crawl record kills the whole corpus pass."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators.sampling import (
+        q124_weighted_sample,
+    )
+    from mapreduce_framework_simple_spark.operators.text import (
+        q31_token_stats,
+        q32_quality_score,
+    )
+
+    rows = [
+        {"doc_id": 0, "text": "", "lang": "en", "source": "web", "n_chars": 0},
+        {"doc_id": 1, "text": "   ", "lang": "en", "source": "web", "n_chars": 3},
+        {"doc_id": 2, "text": "the quick fox", "lang": "en", "source": "web",
+         "n_chars": 13},
+    ]
+    sf = tmp_path / "emptydocs"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
+
+    stats = q31_token_stats(spark, str(sf)).toPandas().set_index("doc_id")
+    assert stats.loc[0, "n_tokens"] == 0 and pd.isna(stats.loc[0, "avg_token_len"])
+    assert pd.isna(stats.loc[1, "avg_token_len"])
+    assert stats.loc[2, "n_tokens"] == 3
+
+    q = q32_quality_score(spark, str(sf)).toPandas().set_index("lang")
+    # NULL ratios are skipped by the null-skipping fixed average: the
+    # en row averages over the one real doc only
+    assert q.loc["en", "n_docs"] == 3
+    assert abs(q.loc["en", "avg_stopword_ratio"] - 1.0 / 3.0) < 1e-11
+
+    samp = q124_weighted_sample(spark, str(sf)).toPandas()
+    # the zero-weight doc sorts after every real key (NULL last) but the
+    # query completes; all docs emitted at this tiny size
+    assert len(samp) == 3
+
+
+def test_scrub_pii_null_text_counts_zero(spark):
+    """scrub_pii's n_pii contract is 'count of redacted spans' — a
+    NULL-text row has zero spans, and emitting NULL instead would make a
+    keep-clean gate (where n_pii == 0) silently drop the row."""
+    from mapreduce_framework_simple_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(0, None), (1, "mail me a@b.com")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_pii"] for r in scrub_pii(df).collect()}
+    assert got == {0: 0, 1: 1}
