@@ -69,6 +69,22 @@ def scoped_release(df: DataFrame) -> DataFrame:
     return df
 
 
+_SCOPED_BCAST: list = []
+
+
+def scoped_broadcast(bc):
+    """Register an ``sc.broadcast`` handle for executor-side release at
+    the next :func:`release_caches` boundary. ``unpersist`` (not
+    ``destroy``): it drops the executor copies but keeps the driver
+    value, so a plan that re-executes after the boundary transparently
+    re-ships it — without this, each kernel invocation leaks one
+    torrent-distributed copy until a JVM GC lets the ContextCleaner
+    notice the dead reference (the same nondeterministic-release mode
+    release_local_checkpoint exists to avoid)."""
+    _SCOPED_BCAST.append(bc)
+    return bc
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Deterministically free the executor blocks of a
     ``localCheckpoint()``-ed frame.
@@ -231,5 +247,12 @@ def release_caches() -> int:
             _release(df)
             n += 1
         except Exception:  # session already stopped — nothing to release
+            pass
+    while _SCOPED_BCAST:
+        bc = _SCOPED_BCAST.pop()
+        try:
+            bc.unpersist(blocking=False)
+            n += 1
+        except Exception:
             pass
     return n

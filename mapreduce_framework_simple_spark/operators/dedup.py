@@ -33,6 +33,7 @@ logger = logging.getLogger(__name__)
 
 from mapreduce_framework_simple_spark.ephemeral import (
     release_local_checkpoint,
+    scoped_broadcast,
     scoped_cache,
     scoped_release,
 )
@@ -48,10 +49,20 @@ from mapreduce_framework_simple_spark.sources.io import load_table
 # Normalization shared by exact-dedup: collapse whitespace runs, trim, lower.
 # (Python-API regexp_replace, NOT F.expr — Spark SQL string literals treat
 # backslash as an escape, silently turning '\s+' into 's+'.)
-def norm_expr() -> "F.Column":
-    return F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+# EXPLICIT whitespace class, not \s: Java's \s is [ \t\n\x0B\f\r] but
+# DuckDB's RE2 \s omits vertical tab U+000B, so a document containing one
+# would normalize differently across engines and split its exact-dedup
+# group (same fix as text.tokens_expr/DUCK_TOKS). The class below IS
+# Java's \s, so Spark-side behavior is unchanged.
+_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
 
-DUCK_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+def norm_expr() -> "F.Column":
+    return F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+", " "
+    )
+
+DUCK_NORM = f"regexp_replace(lower(trim(text)), '{_WS_CLASS}', ' ', 'g')"
 
 
 @query(
@@ -688,6 +699,13 @@ def write_lsh_index(docs: DataFrame, path: str) -> None:
     sized.write.mode("overwrite").partitionBy("band").parquet(path)
 
 
+# Probe-side broadcast bound for incremental_lsh_candidates: band rows of
+# the incoming batch (4 bands/doc, 3 longs/row) — 2M rows ~ 50 MB, a
+# comfortable broadcast; backfill batches beyond it dispatch to unhinted
+# joins.
+INCREMENTAL_BROADCAST_BANDS = 2_000_000
+
+
 def incremental_lsh_candidates(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -696,9 +714,13 @@ def incremental_lsh_candidates(
 ) -> DataFrame:
     """Near-dup candidates between a NEW document batch and an indexed
     corpus: compute band signatures for the batch only, broadcast them
-    (a batch is small next to the corpus by definition), and probe the
-    persisted index with a map-side hash join on (band, band_sig).
-    Returns (new_doc_id, corpus_doc_id) distinct pairs.
+    (size-dispatched: batches under ``INCREMENTAL_BROADCAST_BANDS`` band
+    rows are hinted for a map-side hash join against the index scan;
+    corpus-scale backfill batches run unhinted so the planner/AQE pick
+    the strategy instead of an unconditional hint forcing an
+    over-threshold broadcast), and probe the persisted index on
+    (band, band_sig). Returns (new_doc_id, corpus_doc_id) distinct
+    pairs.
 
     Fan-out guard — UNION-bucket semantics, exactly mirroring
     :func:`lsh_candidate_pairs` on the combined corpus: a bucket is
@@ -726,11 +748,23 @@ def incremental_lsh_candidates(
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
-        nb = scoped_cache(
-            nb.withColumn(
-                "nb_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
-            )
+        nb = nb.withColumn(
+            "nb_n", F.count("*").over(Window.partitionBy("band", "band_sig"))
         )
+    nb = scoped_cache(nb)
+    # q120-style size dispatch on the probe side: a routine ingest batch
+    # broadcasts (map-side hash join against the index scan), but an
+    # explicit hint is UNCONDITIONAL — AQE cannot demote it — so a
+    # corpus-scale backfill batch would force an over-threshold broadcast
+    # build and kill the driver. Beyond the bound every batch-side join
+    # runs unhinted and the planner/AQE pick the strategy. The bounded
+    # count doubles as the batch signature materialization the probe
+    # join needs anyway (nb is cached).
+    small_batch = (
+        nb.limit(INCREMENTAL_BROADCAST_BANDS + 1).count()
+        <= INCREMENTAL_BROADCAST_BANDS
+    )
+    hint = F.broadcast if small_batch else (lambda df: df)
     try:
         idx = spark.read.parquet(index_path)
     except AnalysisException as e:
@@ -789,7 +823,7 @@ def incremental_lsh_candidates(
         # evaluations for one 1M-doc boilerplate bucket — while dropping
         # the bucket pre-join skips that work entirely
         drop_buckets = scoped_cache(
-            guard_src.join(F.broadcast(batch_buckets), ["band", "band_sig"])
+            guard_src.join(hint(batch_buckets), ["band", "band_sig"])
             .where(F.col("bucket_n") + F.col("nb_n") > max_bucket_size)
             .select("band", "band_sig")
             .distinct()
@@ -805,12 +839,12 @@ def incremental_lsh_candidates(
                 n_dropped, max_bucket_size,
             )
             nb = nb.join(
-                F.broadcast(drop_buckets), ["band", "band_sig"], "left_anti"
+                hint(drop_buckets), ["band", "band_sig"], "left_anti"
             )
     return (
         idx.alias("c")
         .join(
-            F.broadcast(nb.select("band", "band_sig", "doc_id").alias("n")),
+            hint(nb.select("band", "band_sig", "doc_id").alias("n")),
             (F.col("c.band") == F.col("n.band"))
             & (F.col("c.band_sig") == F.col("n.band_sig")),
         )
@@ -1422,7 +1456,9 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     bits[[r["p"] for r in pos_rows]] = True
-    b_bits = spark.sparkContext.broadcast(np.packbits(bits))
+    # boundary-released (see ephemeral.scoped_broadcast): the bitmap
+    # would otherwise pin its executor copies until a JVM GC
+    b_bits = scoped_broadcast(spark.sparkContext.broadcast(np.packbits(bits)))
 
     # no type hints: `from __future__ import annotations` stringifies them
     # and pandas_udf's hint inference then fails to resolve `pd` — the

@@ -25,7 +25,10 @@ from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from mapreduce_framework_simple_spark.ephemeral import scoped_cache
+from mapreduce_framework_simple_spark.ephemeral import (
+    scoped_broadcast,
+    scoped_cache,
+)
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
@@ -81,6 +84,10 @@ def _duck_norm(a: str) -> str:
 
 
 MAX_BROADCAST_QUERIES = 100_000  # documented bound: Q·dim·8B ≈ 50 MB at 64 dims
+# per-task float64 budget for the scan kernel's (batch × ref-chunk) score
+# matrix: 16M elements ≈ 134 MB — the same scale the block kernel's
+# BLOCK_CHUNK_ROWS enforces
+_SCAN_CHUNK_ELEMS = 16_777_216
 
 
 def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
@@ -130,7 +137,12 @@ def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
         )
     ref_ids_l = ref["vec_id"].to_numpy(dtype="int64")
     ref_mat_l = np.stack([np.asarray(v, dtype="float64") for v in ref["embedding"]])
-    bc = spark.sparkContext.broadcast((ref_ids_l, ref_mat_l))
+    # registered for the query-boundary release: unpersisted (executor
+    # copies dropped, re-shippable) once the consumer has materialized,
+    # instead of leaking one ~50 MB torrent copy per invocation
+    bc = scoped_broadcast(
+        spark.sparkContext.broadcast((ref_ids_l, ref_mat_l))
+    )
     top_k = emit_top_k
 
     def score(batches):
@@ -148,27 +160,40 @@ def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
             nacc = np.zeros(len(mat))
-            dots = np.zeros((len(mat), len(ref_mat)))
             for d in range(dim):  # sequential over dims == the SQL fold
                 nacc += mat[:, d] * mat[:, d]
-                dots += mat[:, d:d + 1] * ref_mat[:, d][None, :]
             bnorm = np.sqrt(nacc)
-            sims = dots / (rnorm[None, :] * bnorm[:, None])
             out_q, out_n, out_c = [], [], []
-            for j in range(sims.shape[1]):
-                col = sims[:, j]
-                mask = ids != ref_ids[j]
-                idx = np.nonzero(mask)[0]
-                if top_k is not None and len(idx) > top_k:
-                    r6 = np.round(col[idx], 6)
-                    kth = -np.partition(-r6, top_k - 1)[top_k - 1]
-                    # keep everything within one rounding quantum of the
-                    # batch's k-th ROUNDED score: superset of any rounded-
-                    # order top-k regardless of HALF_UP/half-even edge rows
-                    idx = idx[r6 >= kth - 1e-6]
-                out_q.append(np.full(len(idx), ref_ids[j]))
-                out_n.append(ids[idx])
-                out_c.append(col[idx])
+            # chunk the (batch × Q) score matrix over the REFERENCE axis:
+            # unchunked it is batch_rows × Q doubles — 8 GB per task at a
+            # 10k-row batch against the 100k-query bound, far past any
+            # executor budget (MAX_BROADCAST_QUERIES only sizes the 50 MB
+            # broadcast). ~134 MB per temporary, the block kernel's
+            # budget; per-pair dot products still fold dim-sequentially,
+            # and the top-k prune is per-reference-column, so chunking
+            # changes no emitted bit.
+            step = max(1, _SCAN_CHUNK_ELEMS // max(1, len(mat)))
+            for c0 in range(0, len(ref_mat), step):
+                rchunk = ref_mat[c0:c0 + step]
+                dots = np.zeros((len(mat), len(rchunk)))
+                for d in range(dim):
+                    dots += mat[:, d:d + 1] * rchunk[:, d][None, :]
+                sims = dots / (rnorm[c0:c0 + step][None, :] * bnorm[:, None])
+                for j in range(sims.shape[1]):
+                    col = sims[:, j]
+                    mask = ids != ref_ids[c0 + j]
+                    idx = np.nonzero(mask)[0]
+                    if top_k is not None and len(idx) > top_k:
+                        r6 = np.round(col[idx], 6)
+                        kth = -np.partition(-r6, top_k - 1)[top_k - 1]
+                        # keep everything within one rounding quantum of
+                        # the batch's k-th ROUNDED score: superset of any
+                        # rounded-order top-k regardless of HALF_UP/
+                        # half-even edge rows
+                        idx = idx[r6 >= kth - 1e-6]
+                    out_q.append(np.full(len(idx), ref_ids[c0 + j]))
+                    out_n.append(ids[idx])
+                    out_c.append(col[idx])
             yield pd.DataFrame({
                 "query_id": np.concatenate(out_q) if out_q else np.array([], dtype="int64"),
                 "neighbor_id": np.concatenate(out_n) if out_n else np.array([], dtype="int64"),
@@ -325,9 +350,13 @@ def _ivf_probes(
     )
 
 
-def _score_and_rank_candidates(cand: DataFrame) -> DataFrame:
+def _score_and_rank_candidates(cand: DataFrame, k: int = TOP_K) -> DataFrame:
     """Exact-cosine score + per-query top-k over (query_id, q_emb,
-    vec_id, embedding) candidate rows — shared tail of both IVF paths."""
+    vec_id, embedding) candidate rows — shared tail of both IVF paths.
+    ``k`` is explicit because consumers truncate at DIFFERENT depths
+    (TOP_K for the q41 surface, KNN_K for the vote audit): a fixed
+    TOP_K here would silently pre-truncate the kNN vote whenever
+    KNN_K were retuned above it."""
     scored = cand.where(F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
@@ -342,7 +371,7 @@ def _score_and_rank_candidates(cand: DataFrame) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .where(F.col("rnk") <= TOP_K)
+        .where(F.col("rnk") <= k)
     )
 
 
@@ -706,7 +735,10 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
             for d in range(mat.shape[1]):  # sequential over dims == SQL fold
                 acc += mat[:, d:d + 1] * H[d][None, :]
             bits = acc > 0  # (n × n_bits), bit-identical to the oracle's
-            out = {"vec_id": pdf[id_col].to_numpy(dtype="int64")}
+            # the id column is ALIASED to vec_id in the select feeding
+            # mapInPandas, so index the batch by that name — pdf[id_col]
+            # raised KeyError for any non-default id_col
+            out = {"vec_id": pdf["vec_id"].to_numpy(dtype="int64")}
             for b in range(n_bands):
                 chunk = bits[:, b * bits_per_band:(b + 1) * bits_per_band]
                 out[f"band{b}"] = chunk.dot(1 << np.arange(chunk.shape[1])).astype("int64")
@@ -728,21 +760,19 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
         bands = _drop_oversized_buckets(
             bands, max_bucket_size, "hyperplane_lsh_pairs"
         )
-    a = bands.alias("a")
-    c = bands.alias("b")
-    cand_ids = (
-        a.join(
-            c,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-        )
-        .dropDuplicates(["vec_a", "vec_b"])
+    # the banded candidate self-join is THE single candidate-rule
+    # definition in dedup.lsh_candidate_pairs — reuse it (cap disabled:
+    # already applied above under this function's own log label) so a
+    # future change to the rule cannot silently diverge the vector-LSH
+    # path from the document-LSH path it mirrors
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        lsh_candidate_pairs,
     )
+
+    cand_ids = lsh_candidate_pairs(
+        bands.select(F.col("vec_id").alias("doc_id"), "band", "band_sig"),
+        max_bucket_size=None,
+    ).select(F.col("doc_a").alias("vec_a"), F.col("doc_b").alias("vec_b"))
     emb = df.select(F.col(id_col).alias("vec_id"), F.col(vec_col))
     cand = cand_ids.join(
         emb.select(
@@ -769,6 +799,14 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
 
 
 _LSH_BANDS_SQL = _lsh_band_exprs_sql("embedding")
+# generated from LSH_N_BANDS so a band-count retune cannot strand a
+# frozen 2-band oracle against an n-band kernel
+_LSH_BAND_COLS_SQL = ",\n               ".join(
+    f"{expr} AS band{b}" for b, expr in enumerate(_LSH_BANDS_SQL)
+)
+_LSH_BAND_MATCH_SQL = " OR ".join(
+    f"a.band{b} = b.band{b}" for b in range(len(_LSH_BANDS_SQL))
+)
 # Lower cut than q42: LSH band recall at cos≈0.45 on this weakly-clustered
 # synthetic corpus keeps ~0 pairs; 0.30 keeps the operator observable
 # (≈30 verified pairs at sf0.01) while exercising the identical pipeline.
@@ -780,8 +818,7 @@ NEARDUP_LSH_THRESHOLD = 0.3
     oracle=f"""
     WITH sig AS (
         SELECT vec_id, embedding,
-               {_LSH_BANDS_SQL[0]} AS band0,
-               {_LSH_BANDS_SQL[1]} AS band1
+               {_LSH_BAND_COLS_SQL}
         FROM embeddings
     ),
     cand AS (
@@ -789,7 +826,7 @@ NEARDUP_LSH_THRESHOLD = 0.3
                a.embedding AS emb_a, b.embedding AS emb_b
         FROM sig a JOIN sig b
           ON a.vec_id < b.vec_id
-         AND (a.band0 = b.band0 OR a.band1 = b.band1)
+         AND ({_LSH_BAND_MATCH_SQL})
     ),
     scored AS (
         SELECT vec_a, vec_b,
@@ -1030,8 +1067,10 @@ def ivf_knn_predictions(
     cents = _index_centroids(spark, index_path)
     probes = _ivf_probes(spark, sf_dir, queries=all_q, centroids=cents)
     idx = spark.read.parquet(index_path)
-    top = _score_and_rank_candidates(probes.join(idx, "cell_id")).where(
-        F.col("rnk") <= KNN_K
+    # rank explicitly at KNN_K depth — the default TOP_K truncation
+    # would silently clip the vote set if KNN_K were ever raised past it
+    top = _score_and_rank_candidates(
+        probes.join(idx, "cell_id"), k=KNN_K
     )
     labels = em.select(
         F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nlabel")

@@ -1195,3 +1195,81 @@ def test_q112_oracle_matches_when_cap_fires(spark, tmp_path, monkeypatch):
     # truth includes the boilerplate clique; capped candidates exclude it
     assert row["n_truth"] > row["n_candidates"] > 0
     assert row["recall"] < 1.0 and row["precision"] == 1.0
+
+
+def test_whitespace_class_parity_on_vertical_tab(spark, tmp_path):
+    """Java's \\s includes vertical tab U+000B; DuckDB's RE2 \\s does not
+    — with a bare \\s in the normalizer/tokenizer the two engines would
+    normalize 'a\\x0bb' differently and q35's dedup groups (and every
+    tokenized oracle) would hash-mismatch. The explicit whitespace class
+    must keep both engines identical on a corpus containing one."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators.dedup import q35_dedup_exact
+    from mapreduce_framework_simple_spark.operators.text import q30_word_count
+    from mapreduce_framework_simple_spark.registry import ORACLES, load_all
+    from tests.oracle_harness import compare_frames, duck_connection
+
+    rows = [
+        {"doc_id": 0, "text": "alpha\x0bbeta gamma", "lang": "en",
+         "source": "web", "n_chars": 16},
+        {"doc_id": 1, "text": "alpha \x0b beta gamma", "lang": "en",
+         "source": "web", "n_chars": 18},
+        {"doc_id": 2, "text": "alpha beta gamma", "lang": "en",
+         "source": "web", "n_chars": 16},
+    ]
+    sf = tmp_path / "vtab"
+    sf.mkdir()
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
+    load_all()
+    con = duck_connection(str(sf))
+    for fn, name in [(q35_dedup_exact, "q35_dedup_exact"),
+                     (q30_word_count, "q30_word_count")]:
+        sdf = fn(spark, str(sf)).toPandas()
+        ddf = con.execute(ORACLES[name]).fetchdf()
+        problems = compare_frames(sdf, ddf)
+        assert not problems, f"{name}: {problems[:3]}"
+    # all three docs normalize to ONE dedup group under the shared class
+    assert len(q35_dedup_exact(spark, str(sf)).collect()) == 1
+
+
+def test_hyperplane_lsh_pairs_custom_id_col(spark, sf_dir):
+    """The id_col parameter must actually work: the batch fed to the
+    signature kernel is aliased to vec_id, and indexing it by the
+    caller's column name raised KeyError for any non-default id_col."""
+    from pyspark.sql import functions as F
+
+    import mapreduce_framework_simple_spark.operators.similarity as S
+
+    em = S.load_table(spark, "embeddings", sf_dir)
+    want = sorted(
+        tuple(r) for r in S.hyperplane_lsh_pairs(
+            em, threshold=S.NEARDUP_LSH_THRESHOLD
+        ).collect()
+    )
+    renamed = em.select(
+        F.col("vec_id").alias("doc_id"), F.col("embedding").alias("emb")
+    )
+    got = sorted(
+        tuple(r) for r in S.hyperplane_lsh_pairs(
+            renamed, threshold=S.NEARDUP_LSH_THRESHOLD,
+            id_col="doc_id", vec_col="emb",
+        ).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_scoped_broadcast_released_at_boundary(spark):
+    """sc.broadcast handles registered via scoped_broadcast are
+    unpersisted (executor copies dropped, value re-shippable) by the
+    next release_caches boundary — one kernel invocation must not pin a
+    torrent copy for the rest of the session."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.release_caches()
+    bc = ephemeral.scoped_broadcast(spark.sparkContext.broadcast([1, 2, 3]))
+    assert ephemeral._SCOPED_BCAST == [bc]
+    ephemeral.release_caches()
+    assert ephemeral._SCOPED_BCAST == []
+    # unpersist (not destroy): the value must still be usable afterwards
+    assert bc.value == [1, 2, 3]
