@@ -73,15 +73,18 @@ def _assign(df: DataFrame, centroids) -> DataFrame:
 
 
 def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
-           n_iter: int = N_ITER) -> tuple[DataFrame, list[float], list[list[float]]]:
+           n_iter: int = N_ITER) -> tuple[DataFrame, list[float], list[list[float]], "object"]:
     """Lloyd's k-means (cosine flavor) with deterministic seeding (every
     (N/k)-th vector). ``k=None`` means ⌈√N⌉ — the IVF sizing — computed
     here from the count this function needs anyway, so callers don't pay
     a second corpus scan just to size k. Returns (final assignments
     DataFrame, per-iteration mean-similarity trace — monotone
-    non-decreasing up to fp noise, and the final centroid list — K × dim
+    non-decreasing up to fp noise, the final centroid list — K × dim
     floats, driver-sized; the IVF index builder consumes these as its
-    cell centroids)."""
+    cell centroids — and the final iteration's per-cluster stats pandas
+    frame (cluster, mean_sim, n_members): the loop computes it anyway
+    for the trace, and q68 reads its answer from it instead of paying a
+    second full assignment pass + shuffle over the corpus)."""
     import math
 
     from mapreduce_framework_simple_spark.ephemeral import scoped_cache
@@ -93,7 +96,14 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
     if n == 0:
         # empty-input contract: empty assignments, empty trace — not a
         # numpy AxisError from zero seeds
-        return _assign(em, [[0.0]]).limit(0), [], []
+        import pandas as pd
+
+        empty_stats = pd.DataFrame(
+            {"cluster": pd.Series(dtype="int64"),
+             "mean_sim": pd.Series(dtype="float64"),
+             "n_members": pd.Series(dtype="int64")}
+        )
+        return _assign(em, [[0.0]]).limit(0), [], [], empty_stats
     if k is None:
         k = max(1, math.isqrt(n))
     stride = max(n // k, 1)
@@ -132,7 +142,7 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
     # no unpersist here: the returned frame is lazy over em — the scoped
     # cache is released at the next query boundary (ephemeral protocol),
     # after the caller has materialized the result
-    return assigned, trace, centroids
+    return assigned, trace, centroids, agg[["cluster", "mean_sim", "n_members"]]
 
 
 @query("q68_kmeans")  # rows-only: iterative, not SQL-expressible (SURVEY §2.3)
@@ -140,11 +150,16 @@ def q68_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means cluster sizes + cohesion after 5 iterations (deterministic
     seeding ⇒ deterministic output; the oracle-less rows-only check is
     backed by the convergence test in tests/test_iterative.py)."""
-    assigned, _, _ = kmeans(spark, sf_dir)
-    return (
-        assigned.groupBy("cluster")
-        .agg(F.count("*").alias("n_members"), F.round(F.avg("sim"), 6).alias("mean_sim"))
-        .orderBy("cluster")
+    _, _, _, stats = kmeans(spark, sf_dir)
+    # the loop's final per-cluster aggregate IS this query's answer —
+    # re-aggregating `assigned` would pay one more full corpus
+    # assignment pass plus a shuffle for numbers already on the driver
+    rows = [
+        (int(r.cluster), int(r.n_members), float(round(r.mean_sim, 6)))
+        for r in stats.itertuples()
+    ]
+    return spark.createDataFrame(
+        sorted(rows), "cluster int, n_members long, mean_sim double"
     )
 
 
@@ -170,15 +185,22 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     shuffle of the edge list — the same shape GraphX/Pregel executes.
     Dangling nodes keep the teleport mass only (standard simplification,
     documented)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct().cache()
-    nodes = (
+    from mapreduce_framework_simple_spark.ephemeral import scoped_cache
+
+    # scoped_cache, not bare .cache(): an exception mid-loop (executor
+    # OOM, retry exhaustion in the delta collect) would skip the explicit
+    # unpersists below and pin all four frames for the session — the
+    # scoped registry frees them at the next query boundary regardless
+    e = scoped_cache(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    )
+    nodes = scoped_cache(
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
     )
-    deg = e.groupBy("src").agg(F.count("*").alias("out_deg")).cache()
-    ranks = nodes.withColumn("rank", F.lit(1.0)).cache()
+    deg = scoped_cache(e.groupBy("src").agg(F.count("*").alias("out_deg")))
+    ranks = scoped_cache(nodes.withColumn("rank", F.lit(1.0)))
     deltas: list[float] = []
     for _ in range(n_iter):
         contribs = (

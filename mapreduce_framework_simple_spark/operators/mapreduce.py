@@ -142,9 +142,18 @@ class MapReduceEngine:
         """
         chunks: list[list[Any]]
         if pre_chunked:
-            chunks = [list(c) for c in data]
+            # strip empties here too: the never-empty-chunk contract
+            # (create_assigned_data and map_reduce_iter both enforce it)
+            # must hold for caller-chunked input as well — a
+            # t/01_basic.t-style avg mapper divides by len(chunk)
+            chunks = [c for c in (list(c) for c in data) if c]
         else:
-            chunks = create_assigned_data(data, chunk_num or max_proc, method)
+            # explicit None test: `chunk_num or max_proc` would silently
+            # rewrite an (invalid) chunk_num=0 to max_proc instead of
+            # letting create_assigned_data raise its documented ValueError
+            chunks = create_assigned_data(
+                data, max_proc if chunk_num is None else chunk_num, method
+            )
         if not chunks:
             return reducer([])
         sc = self.spark.sparkContext

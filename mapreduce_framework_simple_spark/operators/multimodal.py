@@ -45,7 +45,14 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """Deterministic pseudo-decoder: md5(payload) → (width, height, ch).
 
     Stands in for PIL.Image.open(); same bytes → same "image shape" on
-    every executor, which is what the plumbing tests need."""
+    every executor, which is what the plumbing tests need.
+
+    NOTE: this is the REFERENCE implementation; the copy that actually
+    runs lives inside decode_image_meta's closure (which must be
+    self-contained for cloudpickle — it cannot reference this module's
+    globals). test_fake_decode_is_deterministic_and_typed asserts the
+    two stay output-identical, so editing one without the other fails
+    fast instead of drifting silently."""
     h = hashlib.md5(payload).hexdigest()
     return (1 + int(h[0:2], 16) % 64, 1 + int(h[2:4], 16) % 64, 3)
 

@@ -276,7 +276,7 @@ def kmeans_centroid_frame(spark: SparkSession, sf_dir: str,
     sizing scan here."""
     from mapreduce_framework_simple_spark.operators.iterative import kmeans
 
-    _, _, cents = kmeans(spark, sf_dir, k=k)
+    _, _, cents, _ = kmeans(spark, sf_dir, k=k)
     rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     return spark.createDataFrame(rows, "cell_id long, c_emb array<double>")
 

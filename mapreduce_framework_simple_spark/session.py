@@ -58,9 +58,20 @@ def builder(app_name: str = "mapreduce-framework-simple-spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # master resolution, most-specific wins: explicit argument, then the
+    # SPARK_MASTER env var's VALUE (previously only its presence was
+    # checked — `SPARK_MASTER=local[4]` skipped the .master() call but
+    # never applied the value, so getOrCreate raised "A master URL must
+    # be set"), then spark-submit's --master (spark.master already in
+    # the builder's conf), then the local default. The conf probe keeps
+    # a `spark-submit --master yarn` cluster job from being silently
+    # rewritten to local[*].
+    env_master = os.environ.get("SPARK_MASTER")
     if master is not None:
         b = b.master(master)
-    elif "SPARK_MASTER" not in os.environ:
+    elif env_master:
+        b = b.master(env_master)
+    elif "spark.master" not in b._options:
         b = b.master(f"local[{DEFAULT_CPUS}]")
     return b
 

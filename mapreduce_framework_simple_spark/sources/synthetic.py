@@ -44,15 +44,21 @@ SCHEMA_DDL = (
 def _gen_rows(seed: int, start: int, end: int, n_users: int):
     """THE row generator — shared by the batch and stream readers so the
     streaming twin cannot drift from the batch source the
-    stream-vs-batch equivalence tests compare against. Seeded by
-    (seed, start): identical (global-row-range → rows) mapping however
-    the range is partitioned into batches/splits."""
+    stream-vs-batch equivalence tests compare against. Row content is a
+    pure function of (seed, GLOBAL row index) — each row re-seeds its
+    own tiny RNG — so the (global-row-range → rows) mapping really is
+    identical however the range is partitioned into batches/splits. A
+    per-SPLIT sequential stream (the earlier form) silently violated
+    that: row i's values depended on the split boundary it landed
+    behind, so the same options with a different ``partitions`` value,
+    or the stream reader's different batch boundaries, generated a
+    different table for the same seed."""
     import random
     from datetime import datetime, timedelta
 
-    rng = random.Random(seed * 1_000_003 + start)
     base = datetime(2024, 1, 1)
     for i in range(start, end):
+        rng = random.Random(seed * 1_000_003 + i)
         etype = EVENT_TYPES[rng.randrange(len(EVENT_TYPES))]
         ts = base + timedelta(seconds=rng.randrange(30 * 24 * 3600))
         user = rng.randrange(n_users)
@@ -77,7 +83,11 @@ class SyntheticEventsReader(DataSourceReader):
         # validated like partitions: users=0 would surface as an opaque
         # randrange(0) ValueError inside executor tasks at read time
         self.n_users = _positive(options, "users", 100)
-        self.type_filter: str | None = None
+        # ALL pushed equality values (the pushFilters contract is the AND
+        # of the accepted filters — keeping only the last one would
+        # silently drop earlier pushed-and-trusted predicates; two
+        # different values make the conjunction unsatisfiable → 0 rows)
+        self.type_filters: set[str] | None = None
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         from pyspark.sql.datasource import EqualTo
@@ -85,7 +95,9 @@ class SyntheticEventsReader(DataSourceReader):
         remaining = []
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("event_type",):
-                self.type_filter = f.value
+                if self.type_filters is None:
+                    self.type_filters = set()
+                self.type_filters.add(f.value)
             else:
                 remaining.append(f)
         return remaining
@@ -104,8 +116,10 @@ class SyntheticEventsReader(DataSourceReader):
 
     def read(self, partition):
         start, end = partition.value
+        if self.type_filters is not None and len(self.type_filters) > 1:
+            return  # contradictory equality conjunction: no row matches
         for row in _gen_rows(self.seed, start, end, self.n_users):
-            if self.type_filter is not None and row[3] != self.type_filter:
+            if self.type_filters is not None and row[3] not in self.type_filters:
                 continue  # pushdown: skip at the source
             yield row
 

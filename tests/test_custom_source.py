@@ -101,3 +101,40 @@ def test_validate_schema_checks_types(spark, sf_dir):
         validate_schema(ev, "events")
     with pytest.raises(ValueError, match="missing columns"):
         validate_schema(ev.drop("props"), "events")
+
+
+def test_pushdown_conjunction_of_equalities(spark):
+    """pushFilters' contract is the AND of the accepted filters: two
+    different pushed event_type equalities are unsatisfiable and must
+    yield 0 rows — keeping only the last one silently dropped the
+    earlier pushed-and-trusted predicate."""
+    from pyspark.sql import functions as F
+
+    synthetic.register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 500).option("seed", 7).load()
+        .where(F.col("event_type") == "view")
+        .where(F.col("event_type") == "click")
+    )
+    assert df.count() == 0
+
+
+def test_row_content_independent_of_partitioning(spark):
+    """The generator's documented invariant: the (global-row-range →
+    rows) mapping is identical however the range is split. The same
+    (rows, seed) with different partition counts must produce the
+    IDENTICAL table — the property every stream-vs-batch content
+    comparison rests on."""
+    synthetic.register(spark)
+
+    def table(parts):
+        return (
+            spark.read.format("synthetic_events")
+            .option("rows", 300).option("seed", 11)
+            .option("partitions", parts).load()
+            .toPandas().sort_values("event_id").reset_index(drop=True)
+        )
+
+    assert table(1).equals(table(4))
+    assert table(4).equals(table(7))

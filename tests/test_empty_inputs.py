@@ -254,8 +254,9 @@ def test_kmeans_empty_embeddings(spark, tmp_path):
         "embedding": pd.Series(dtype="object"),
         "label": pd.Series(dtype="int32"),
     }).to_parquet(sf / "embeddings.parquet")
-    assigned, trace, centroids = kmeans(spark, str(sf))
+    assigned, trace, centroids, stats = kmeans(spark, str(sf))
     assert assigned.count() == 0 and trace == [] and centroids == []
+    assert len(stats) == 0
 
 
 def test_text_queries_survive_empty_text_docs(spark, tmp_path):

@@ -6,7 +6,7 @@ from mapreduce_framework_simple_spark.operators.iterative import K, kmeans, q68_
 
 
 def test_kmeans_converges_and_is_deterministic(spark, sf_dir):
-    assigned, trace, centroids = kmeans(spark, sf_dir)
+    assigned, trace, centroids, stats = kmeans(spark, sf_dir)
     # objective (mean cosine to assigned centroid) must improve overall
     assert trace[-1] >= trace[0] - 1e-9, f"objective regressed: {trace}"
     # final centroids come back driver-sized: K vectors of the data dim

@@ -34,6 +34,20 @@ def test_fake_decode_is_deterministic_and_typed(spark, sf_dir):
     assert a.width.between(1, 64).all() and a.height.between(1, 64).all()
     assert (a.channels == 3).all()
     assert (a.n_bytes > 0).all()
+    # the executor closure duplicates _fake_decode by necessity (it must
+    # be cloudpickle-self-contained); pin the two copies output-identical
+    # so editing one without the other fails here instead of drifting
+    from mapreduce_framework_simple_spark.operators.multimodal import (
+        _fake_decode,
+    )
+
+    payloads = {
+        r["doc_id"]: bytes(r["payload"])
+        for r in docs.select("doc_id", "payload").collect()
+    }
+    for row in a.itertuples():
+        w, h, c = _fake_decode(payloads[row.doc_id])
+        assert (row.width, row.height, row.channels) == (w, h, c)
 
 
 def test_binary_payload_is_binary(spark, sf_dir):
