@@ -23,11 +23,13 @@ from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
 # Canonical tokenization: lower, trim, split on whitespace runs, drop
-# empties. DuckDB twin:
-#   list_filter(string_split_regex(lower(trim(text)), '\s+'), t -> t <> '')
+# empties. DuckDB twin: DUCK_TOKS below (same explicit class).
 def tokens_expr(col: str = "text") -> Column:
+    # explicit whitespace class == Java's \s ([ \t\n\x0B\f\r]); DuckDB's
+    # RE2 \s omits vertical tab U+000B, so the class keeps the two
+    # engines' tokenizations identical on documents containing one
     return F.filter(
-        F.split(F.lower(F.trim(F.col(col))), r"\s+"),
+        F.split(F.lower(F.trim(F.col(col))), r"[ \t\n\x0B\f\r]+"),
         lambda t: t != "",
     )
 
@@ -47,7 +49,10 @@ def shingles_expr(toks: Column) -> Column:
     )
 
 
-DUCK_TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), t -> t <> '')"
+DUCK_TOKS = (
+    "list_filter(string_split_regex(lower(trim(text)), "
+    "'[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')"
+)
 DUCK_SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN "
     "list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) "
