@@ -437,3 +437,32 @@ def test_clean_stale_batches_scoped_to_batch_dirs(spark, tmp_path):
     _clean_stale_batches(spark, f"file://{out}", f"file://{ckpt}")
     assert not (out / "batch=4").exists()
     assert (out / "notes.txt").exists()
+
+
+def test_stage_stream_source_repairs_broken_stage(spark, sf_dir):
+    """A stage directory that exists WITHOUT its _SUCCESS marker (e.g.
+    /tmp aged out files inside it) must be REPLACED on the next staging
+    call, not trusted: the old rename-failure handler assumed 'a
+    concurrent process won' and returned the truncated stage forever,
+    silently streaming missing rows."""
+    import os
+
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        _stage_stream_source,
+    )
+
+    zone = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    marker = os.path.join(zone, "_SUCCESS")
+    assert os.path.exists(marker)
+    n_good = spark.read.parquet(zone).count()
+    assert n_good > 0
+
+    # simulate the broken stage: marker gone, a data file gone too
+    os.remove(marker)
+    parts = [f for f in os.listdir(zone) if f.endswith(".parquet")]
+    os.remove(os.path.join(zone, parts[0]))
+
+    zone2 = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    assert zone2 == zone
+    assert os.path.exists(marker)  # re-staged, marker restored
+    assert spark.read.parquet(zone2).count() == n_good  # full data back
