@@ -41,6 +41,7 @@ def cache_scope():
     not leave their internal caches behind, without touching caches an
     enclosing consumer registered earlier."""
     mark = len(_SCOPED)
+    bc_mark = len(_SCOPED_BCAST)
     try:
         yield
     finally:
@@ -48,6 +49,16 @@ def cache_scope():
             df = _SCOPED.pop()
             try:
                 _release(df)
+            except Exception:
+                pass
+        # broadcasts registered inside the block drain with it too — a
+        # cache_scope consumer that never reaches a global
+        # release_caches() must not accumulate one torrent copy per
+        # kernel invocation
+        while len(_SCOPED_BCAST) > bc_mark:
+            bc = _SCOPED_BCAST.pop()
+            try:
+                bc.unpersist(blocking=False)
             except Exception:
                 pass
 
@@ -109,10 +120,17 @@ def release_local_checkpoint(df: DataFrame) -> bool:
 
 
 def _release(df: DataFrame) -> None:
-    """Free a scoped frame whichever way it was materialized: CacheManager
-    entry (scoped_cache) or localCheckpoint blocks (scoped_release)."""
-    if not release_local_checkpoint(df):
-        df.unpersist(blocking=False)
+    """Free a scoped frame whichever way it was materialized: BOTH the
+    CacheManager entry (scoped_cache) and any localCheckpoint blocks
+    (scoped_release). Unconditionally doing both is what makes the
+    routing safe: a scoped_cache'd frame whose analyzed plan root
+    happens to be LogicalRDD (e.g. a cached bare createDataFrame result)
+    would otherwise take the checkpoint branch only and leave its
+    CacheManager entry pinned; unpersist() on an uncached frame and
+    RDD.unpersist() on a never-persisted RDD are both no-ops, so the
+    double call costs nothing."""
+    df.unpersist(blocking=False)
+    release_local_checkpoint(df)
 
 
 # --------------------------------------------------------------------------

@@ -1108,6 +1108,12 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # otherwise recompute every propagation round from scratch. One
     # bounded DF — registered for the query-boundary release (which is
     # localCheckpoint-aware), so it cannot outlive its query either.
+    # LIFETIME CONTRACT: the returned frame is QUERY-SCOPED. A
+    # localCheckpoint has no lineage to recompute from, so an action on
+    # this frame AFTER the next release_caches() boundary fails loudly
+    # ("checkpoint block not found") instead of silently recomputing the
+    # fixpoint — materialize (collect/write) before the boundary, which
+    # is what the queries() protocol already guarantees.
     scoped_release(cached)
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
 

@@ -251,7 +251,10 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     deg.unpersist()
     # the returned frame is a materialized checkpoint — register it for
     # the (localCheckpoint-aware) query-boundary release so its blocks
-    # cannot outlive the query that built them
+    # cannot outlive the query that built them. LIFETIME CONTRACT: the
+    # frame is QUERY-SCOPED — a checkpoint cannot recompute once its
+    # blocks are released, so act on it before the next release_caches()
+    # boundary (the queries() protocol's materialize-then-release order)
     scoped_release(ranks)
     return ranks, deltas
 

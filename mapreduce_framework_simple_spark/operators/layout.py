@@ -37,7 +37,8 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
     return spark.table(left_table).join(spark.table(right_table), on, how)
 
 
-def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16) -> DataFrame:
+def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16,
+               salt_cols: list[str] | None = None) -> DataFrame:
     """Two-phase skew-proof aggregation: partial-agg on (key, salt), then
     final-agg on key. Correct for decomposable aggregates (sum/count/min/
     max); the partial pass bounds any single task's share of a hot key to
@@ -54,10 +55,12 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16) -> Da
     while re-run ones see the new assignment, double-counting or
     dropping hot-key rows (the determinism rule sampling.py documents;
     dedup.py salts the same way). Exact-duplicate rows share a salt —
-    acceptable: dedup runs upstream, and duplicates of a hot key
-    collapse in the partial agg anyway.
+    acceptable here: duplicates of a hot key collapse in the partial agg
+    anyway. ``salt_cols`` restricts the hash to named columns (unique id
+    spreading, or frames with xxhash64-unhashable map columns).
     """
-    salt = F.pmod(F.xxhash64(*df.columns), F.lit(salt_n)).alias("_salt")
+    salt_src = salt_cols if salt_cols is not None else df.columns
+    salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_n)).alias("_salt")
     partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(
         *[pf(expr).alias(f"_p_{name}") for expr, pf, _, name in agg_exprs]
     )
@@ -67,15 +70,24 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16) -> Da
 
 
 def salted_join(skewed: DataFrame, skew_key: str, small: DataFrame,
-                small_key: str, salt_n: int = 16) -> DataFrame:
+                small_key: str, salt_n: int = 16,
+                salt_cols: list[str] | None = None) -> DataFrame:
     """Skew-proof equi-join: salt the skewed side with a shard id,
     explode the small side across all shard ids, join on (key, salt).
     Output rows identical to the plain join; the hot key's rows spread
     over ``salt_n`` tasks instead of one. The shard id is a row-content
     hash, not rand() — see salted_agg for why a seeded rand is not
-    retry-safe."""
+    retry-safe.
+
+    Content-hash caveats: EXACT-duplicate rows share a salt, so a hot
+    key made of identical repeated rows still lands in one shard — pass
+    ``salt_cols`` naming a unique (or high-cardinality) column to spread
+    those, and dedupe truly-identical rows upstream if they are
+    semantically one row. ``salt_cols`` is also the escape hatch for
+    frames with unhashable column types (xxhash64 rejects maps)."""
+    salt_src = salt_cols if salt_cols is not None else skewed.columns
     salted_big = skewed.withColumn(
-        "_salt", F.pmod(F.xxhash64(*skewed.columns), F.lit(salt_n))
+        "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_n))
     )
     exploded_small = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))

@@ -62,16 +62,18 @@ def builder(app_name: str = "mapreduce-framework-simple-spark",
     # SPARK_MASTER env var's VALUE (previously only its presence was
     # checked — `SPARK_MASTER=local[4]` skipped the .master() call but
     # never applied the value, so getOrCreate raised "A master URL must
-    # be set"), then spark-submit's --master (spark.master already in
-    # the builder's conf), then the local default. The conf probe keeps
-    # a `spark-submit --master yarn` cluster job from being silently
-    # rewritten to local[*].
+    # be set"), then spark-submit's --master, then the local default.
+    # spark-submit conveys its master through the pre-launched JVM
+    # gateway (never through this builder's options), so the probe is
+    # the gateway env marker PYSPARK_GATEWAY_PORT — when the Python
+    # driver was launched BY spark-submit, setting .master() here would
+    # silently rewrite a `--master yarn` cluster job to local[*].
     env_master = os.environ.get("SPARK_MASTER")
     if master is not None:
         b = b.master(master)
     elif env_master:
         b = b.master(env_master)
-    elif "spark.master" not in b._options:
+    elif "PYSPARK_GATEWAY_PORT" not in os.environ:
         b = b.master(f"local[{DEFAULT_CPUS}]")
     return b
 

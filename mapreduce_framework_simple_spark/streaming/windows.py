@@ -248,12 +248,27 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
                 # stage (exists but no _SUCCESS — e.g. /tmp aged out files
                 # inside it) is blocking the slot. Distinguish by
                 # re-probing the marker: trusting "a winner exists" here
-                # would silently stream a truncated stage forever.
-                if os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
-                    shutil.rmtree(tmp, ignore_errors=True)
-                else:
+                # would silently stream a truncated stage forever. The
+                # probe/remove/rename sequence is retried a few times —
+                # two processes repairing concurrently can interleave so
+                # one's remove races the other's rename; each retry
+                # re-probes, so a completed peer stage is adopted rather
+                # than deleted-and-raced again.
+                for _ in range(4):
+                    if os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        break
                     shutil.rmtree(drop_zone, ignore_errors=True)
-                    os.rename(tmp, drop_zone)
+                    try:
+                        os.rename(tmp, drop_zone)
+                        break
+                    except OSError:
+                        continue
+                else:
+                    raise RuntimeError(
+                        f"could not stage {drop_zone}: repeated rename "
+                        "contention without a completed stage appearing"
+                    )
         except BaseException:
             # a failed write (or failed repair-rename) must not strand a
             # table-sized partial copy under the shared temp dir
@@ -433,12 +448,20 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     def update(key, pdfs, state):
+        import numpy as np
         import pandas as pd
 
         cnt, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             cnt += int(len(pdf))
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # HALF_UP (away from zero) like Spark's F.round in the batch
+            # twin — pandas .round() is half-even and would disagree on
+            # exactly-representable ties (e.g. 20.625*100 == 2062.5);
+            # NULL values contribute 0, matching F.sum's null-skipping
+            # (a bare astype would raise on NaN and kill the stream)
+            c = (pdf["value"].to_numpy(dtype="float64") * 100.0)
+            c = np.where(np.isnan(c), 0.0, np.sign(c) * np.floor(np.abs(c) + 0.5))
+            cents += int(c.sum())
         state.update((cnt, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "total_events": [cnt],
@@ -528,7 +551,14 @@ def stream_tws_user_totals(events: DataFrame) -> DataFrame:
             cnt, cents = self._totals.get() if self._totals.exists() else (0, 0)
             for pdf in rows:
                 cnt += int(len(pdf))
-                cents += int((pdf["value"] * 100).round().astype("int64").sum())
+                # HALF_UP + null-as-zero — see stream_stateful_user_totals
+                import numpy as np
+
+                c = (pdf["value"].to_numpy(dtype="float64") * 100.0)
+                c = np.where(
+                    np.isnan(c), 0.0, np.sign(c) * np.floor(np.abs(c) + 0.5)
+                )
+                cents += int(c.sum())
             self._totals.update((cnt, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "total_events": [cnt],

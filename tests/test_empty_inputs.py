@@ -313,3 +313,36 @@ def test_scrub_pii_null_text_counts_zero(spark):
     )
     got = {r["doc_id"]: r["n_pii"] for r in scrub_pii(df).collect()}
     assert got == {0: 0, 1: 1}
+
+
+def test_cache_scope_drains_broadcasts(spark):
+    """Broadcasts registered inside a cache_scope block drain with the
+    scope — a self-contained multi-query pass (pipeline.curate) must not
+    leave torrent copies queued for a global release that may never
+    come. Handles registered BEFORE the block stay."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.release_caches()
+    outer = ephemeral.scoped_broadcast(spark.sparkContext.broadcast([0]))
+    with ephemeral.cache_scope():
+        ephemeral.scoped_broadcast(spark.sparkContext.broadcast([1, 2]))
+        assert len(ephemeral._SCOPED_BCAST) == 2
+    assert ephemeral._SCOPED_BCAST == [outer]
+    ephemeral.release_caches()
+    assert ephemeral._SCOPED_BCAST == []
+
+
+def test_release_frees_cached_logicalrdd_frame(spark):
+    """_release must clear the CacheManager entry even when the frame's
+    analyzed plan root is LogicalRDD (a cached bare createDataFrame
+    result): routing such a frame to the checkpoint branch alone would
+    skip unpersist() and pin the cache for the session."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.release_caches()
+    df = ephemeral.scoped_cache(spark.createDataFrame([(1,), (2,)], "x int"))
+    df.count()
+    assert df.storageLevel.useMemory
+    ephemeral.release_caches()
+    lvl = df.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk)
