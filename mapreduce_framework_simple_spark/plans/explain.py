@@ -34,8 +34,22 @@ def has_pushed_filters(df: DataFrame) -> bool:
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
+    """True only for BroadcastHASHJoin. Deliberately NOT
+    BroadcastNestedLoopJoin: BNLJ is the quadratic-per-partition plan an
+    equi-join regresses to when its condition stops being an equality —
+    counting it as "broadcast works" would let exactly that regression
+    pass the plan tests this helper exists for. Queries with a
+    LEGITIMATE BNLJ (a crossJoin against a 1-row aggregate) assert
+    :func:`has_broadcast_nlj` separately."""
     plan = formatted_plan(df)  # once — each call re-runs physical planning
-    return "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    return "BroadcastHashJoin" in plan
+
+
+def has_broadcast_nlj(df: DataFrame) -> bool:
+    """True when the plan contains a BroadcastNestedLoopJoin — for
+    asserting a 1-row-aggregate crossJoin planned as expected, or (negated)
+    that an equi-join did NOT regress to the quadratic form."""
+    return "BroadcastNestedLoopJoin" in formatted_plan(df)
 
 
 def codegen_stage_count(df: DataFrame) -> int:

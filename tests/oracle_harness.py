@@ -5,7 +5,6 @@ by name, canonical-sort rows, round floats, compare.
 
 from __future__ import annotations
 
-import math
 import os
 
 import duckdb
@@ -107,6 +106,3 @@ def compare_frames(
                 problems.append(f"col {c}: row {i}: spark={av[i]!r} duck={bv[i]!r}")
     return problems
 
-
-def is_float(x) -> bool:
-    return isinstance(x, float) and not math.isnan(x)

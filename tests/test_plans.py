@@ -18,6 +18,7 @@ from mapreduce_framework_simple_spark.plans.explain import (
     codegen_stage_count,
     formatted_plan,
     has_broadcast_join,
+    has_broadcast_nlj,
     has_pushed_filters,
 )
 
@@ -38,7 +39,11 @@ def test_column_pruning(spark, sf_dir):
 
 def test_dim_joins_broadcast(spark, sf_dir):
     for q in (q03_top_revenue, q05_join_chain, q07_broadcast_brand):
-        assert has_broadcast_join(q(spark, sf_dir)), f"{q.__name__} lost its broadcast"
+        df = q(spark, sf_dir)
+        assert has_broadcast_join(df), f"{q.__name__} lost its broadcast"
+        # and none of these equi-joins may regress to the quadratic
+        # BroadcastNestedLoopJoin form (a lost equality condition)
+        assert not has_broadcast_nlj(df), f"{q.__name__} planned a BNLJ"
 
 
 def test_no_cartesian_in_star_join(spark, sf_dir):
@@ -144,7 +149,7 @@ def test_gopher_gate_single_logical_shuffle(spark, sf_dir):
 
     plan = formatted_plan(q98_gopher_rules(spark, sf_dir))
     n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
-    assert n_exchanges <= 3, f"q98 shuffles {n_exchanges}×"
+    assert n_exchanges <= 2, f"q98 shuffles {n_exchanges}×"
     assert "CartesianProduct" not in plan
 
 
@@ -228,7 +233,10 @@ def test_centroid_assign_broadcasts_and_single_corpus_shuffle(spark, sf_dir):
     )
 
     df = q109_centroid_assign(spark, sf_dir)
-    assert has_broadcast_join(df)
+    # the centroid join is condition-less (every vector scores every
+    # centroid), so its CORRECT broadcast form is BroadcastNestedLoopJoin
+    # over the tiny centroid side — never an unbroadcast CartesianProduct
+    assert has_broadcast_nlj(df)
     plan = formatted_plan(df)
     assert "CartesianProduct" not in plan
 

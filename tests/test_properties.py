@@ -53,8 +53,10 @@ def test_volume_uniform_beats_sequential_on_skew(data):
 @given(st.text(max_size=40), st.text(max_size=40))
 def test_minhash_permutation_is_injective_enough(a, b):
     """The md5→60-bit shingle id used by q36-q38 collides only when the
-    md5 prefixes collide — equal inputs map equal, and the Python/md5
-    semantics match what both engines compute."""
+    md5 prefixes collide — equal inputs map equal, ids stay 60-bit
+    bounded. (Cross-engine parity of the REAL expressions is pinned by
+    test_shingle_id_parity_across_engines below — this hypothesis case
+    checks only the pure-Python reference semantics.)"""
     import hashlib
 
     def sid(s: str) -> int:
@@ -66,6 +68,44 @@ def test_minhash_permutation_is_injective_enough(a, b):
         # not a guarantee of inequality (collisions allowed), but the ids
         # must be stable and 60-bit bounded
         assert 0 <= sid(a) < 2**60 and 0 <= sid(b) < 2**60
+
+
+def test_shingle_id_parity_across_engines(spark):
+    """The ACTUAL shipped expressions — Spark's shingle_id_expr and
+    DuckDB's DUCK_SHINGLE_ID — must agree with the Python md5-prefix
+    reference on real strings. A width change in one (e.g. 16 nibbles,
+    which overflows signed BIGINT) would break q36-q38 oracle parity;
+    this pins all three to the same 60-bit value."""
+    import hashlib
+
+    import duckdb
+
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        DUCK_SHINGLE_ID,
+        shingle_id_expr,
+    )
+
+    shingles = [
+        "the quick fox", "fox jumps over", "a b c", "", " ",
+        "münchen straße ß", "日本 語 テスト", "x" * 120,
+    ]
+    want = {
+        s: int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles
+    }
+    sdf = spark.createDataFrame([(s,) for s in shingles], "shingle string")
+    got_spark = {
+        r["shingle"]: r["sid"]
+        for r in sdf.select("shingle", shingle_id_expr().alias("sid")).collect()
+    }
+    assert got_spark == want
+    con = duckdb.connect()
+    got_duck = dict(
+        con.execute(
+            f"SELECT shingle, {DUCK_SHINGLE_ID} FROM (SELECT unnest(?) AS shingle)",
+            [shingles],
+        ).fetchall()
+    )
+    assert got_duck == want
 
 
 def test_block_pair_kernel_matches_bruteforce_property(spark, monkeypatch, tmp_path):
@@ -144,13 +184,14 @@ def test_heavy_hitters_exact_under_adversarial_layouts(spark):
     for k, cap in ((10, 16), (30, 64)):
         for i, corpus in enumerate(cases):
             df = spark.createDataFrame([(w,) for w in corpus], ["word"])
+            want = exact(df, k)  # partition-independent: computed once
             for parts in (1, 7, 32):
                 words = df.repartition(parts)
                 got = {
                     (r["word"], r["cnt"])
                     for r in heavy_hitters(words, k=k, cap=cap).collect()
                 }
-                assert got == exact(df, k), (
+                assert got == want, (
                     f"case {i}, k={k}, cap={cap}, partitions={parts}"
                 )
 

@@ -68,6 +68,8 @@ def test_recursive_and_window_chain_depth_agree(spark, sf_dir):
         q93_chain_depth_window,
     )
 
-    a = {tuple(r) for r in q92_recursive_chain(spark, sf_dir).collect()}
-    b = {tuple(r) for r in q93_chain_depth_window(spark, sf_dir).collect()}
+    # sorted multisets, not sets: a fan-out bug that duplicates a row in
+    # one plan must fail, and set() would silently collapse it
+    a = sorted(tuple(r) for r in q92_recursive_chain(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in q93_chain_depth_window(spark, sf_dir).collect())
     assert a == b
