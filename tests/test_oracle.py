@@ -18,7 +18,7 @@ ORACLES = entrymod.oracle_sql()
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
-    assert len(rows) >= 0
+    assert len(rows) > 0  # >= 0 could never fail; the flagship query has rows
     assert df.columns
 
 
@@ -40,15 +40,24 @@ def test_every_query_has_runnable_spark_impl():
     assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
 
 
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    """One DuckDB connection (+ parquet views) for all ~125 oracle cases —
+    a per-test duck_connection would leak a live connection per case."""
+    con = duck_connection(sf_dir)
+    yield con
+    con.close()
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
-def test_query_matches_oracle(spark, sf_dir, name):
+def test_query_matches_oracle(spark, sf_dir, duck, name):
     sdf = QUERIES[name](spark, sf_dir).toPandas()
     if name not in ORACLES:
-        # rows-only check for non-SQL-expressible operators
-        assert sdf is not None
+        # rows-only check for non-SQL-expressible operators — toPandas()
+        # never returns None, so assert something that CAN fail
+        assert len(sdf.columns) > 0 and len(sdf) > 0
         return
-    con = duck_connection(sf_dir)
-    ddf = con.execute(ORACLES[name]).fetchdf()
+    ddf = duck.execute(ORACLES[name]).fetchdf()
     problems = compare_frames(sdf, ddf)
     assert not problems, f"{name}: {problems[:5]} (spark rows={len(sdf)}, duck rows={len(ddf)})"
 
@@ -61,8 +70,6 @@ def test_strict_compare_flags_hugeint_dtype_drift():
     must be too."""
     import duckdb
     import pandas as pd
-
-    from oracle_harness import compare_frames
 
     spark_like = pd.DataFrame({"g": ["a", "b"], "n": pd.array([1, 2], dtype="int64")})
     # deliberately uncast: DuckDB sum() over INTEGER yields HUGEINT
@@ -82,8 +89,6 @@ def test_strict_compare_flags_ulp_float_drift():
     """1-ULP float differences (the q22 ln() class) must fail strict
     comparison but pass the legacy 4-dp tolerance."""
     import pandas as pd
-
-    from oracle_harness import compare_frames
 
     a = pd.DataFrame({"x": [10.81438556982772]})
     b = pd.DataFrame({"x": [10.814385569827719]})

@@ -124,49 +124,66 @@ def test_query_broadcast_bound_enforced(spark, sf_dir, monkeypatch):
         S._pairwise_cosine_scan(spark, sf_dir, em, emit_top_k=5)
 
 
-def test_q38_oracle_matches_when_cap_fires(spark, tmp_path):
-    """The DuckDB oracle mirrors the Spark-side hot-bucket cap, so query
-    and oracle stay hash-equal on the very corpora the guard targets
-    (boilerplate buckets above LSH_MAX_BUCKET) — the core contract must
-    hold when the cap FIRES, not only when it's dormant."""
+CAP_FIRE_N_BOILER = 30
+
+
+def _plant_cap_fire_corpus(tmp_path, name: str):
+    """THE planted cap-fire corpus, shared by the q38 and q112 cap-fire
+    oracle tests: CAP_FIRE_N_BOILER exact boilerplate copies (one LSH
+    bucket oversized under a cap of 10) plus two near-dup twin pairs in
+    small, uncapped buckets. Returns (sf_dir str, duckdb connection with
+    the documents view). One definition — a change to the planted shape
+    cannot silently diverge the two tests."""
     import duckdb
     import pandas as pd
 
-    import __spark_entry__ as entrymod
-    from mapreduce_framework_simple_spark.operators import dedup as D
-    from tests.oracle_harness import compare_frames
-
-    # make the planted bucket exceed a (monkeypatch-free) tiny corpus cap:
-    # temporarily lower the module cap AND rebuild the oracle SQL with it
-    n_boiler = 30
     boiler_text = ("subscribe to our newsletter terms apply all rights "
                    "reserved contact us privacy policy cookie settings")
     rows = [
         {"doc_id": i, "text": boiler_text, "lang": "en", "source": "web",
          "n_chars": len(boiler_text)}
-        for i in range(n_boiler)
+        for i in range(CAP_FIRE_N_BOILER)
     ] + [
         {"doc_id": 100 + i,
          "text": f"twin document shared words alpha beta gamma {i % 2}",
          "lang": "en", "source": "web", "n_chars": 40}
         for i in range(4)  # two near-dup pairs in small (uncapped) buckets
     ]
-    pdf = pd.DataFrame(rows)
-    sf = tmp_path / "planted"
+    sf = tmp_path / name
     sf.mkdir()
-    pdf.to_parquet(sf / "documents.parquet")
-
-    oracle = entrymod.oracle_sql()["q38_minhash_lsh_pairs"].replace(
-        f"count(*) <= {D.LSH_MAX_BUCKET}", "count(*) <= 10"
-    )
-    assert oracle != entrymod.oracle_sql()["q38_minhash_lsh_pairs"]
+    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
     )
-    ddf = con.execute(oracle).fetchdf()
+    return str(sf), con
 
-    bands = D.band_signatures_from(D.load_table(spark, "documents", str(sf)))
+
+def _cap10_oracle(query_name: str) -> str:
+    """The declared oracle with its hot-bucket cap rewritten to 10 — the
+    one rewrite convention both cap-fire tests must share."""
+    import __spark_entry__ as entrymod
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    oracle = entrymod.oracle_sql()[query_name].replace(
+        f"count(*) <= {D.LSH_MAX_BUCKET}", "count(*) <= 10"
+    )
+    assert oracle != entrymod.oracle_sql()[query_name]
+    return oracle
+
+
+def test_q38_oracle_matches_when_cap_fires(spark, tmp_path):
+    """The DuckDB oracle mirrors the Spark-side hot-bucket cap, so query
+    and oracle stay hash-equal on the very corpora the guard targets
+    (boilerplate buckets above LSH_MAX_BUCKET) — the core contract must
+    hold when the cap FIRES, not only when it's dormant."""
+    from mapreduce_framework_simple_spark.operators import dedup as D
+    from tests.oracle_harness import compare_frames
+
+    sf, con = _plant_cap_fire_corpus(tmp_path, "planted")
+    ddf = con.execute(_cap10_oracle("q38_minhash_lsh_pairs")).fetchdf()
+
+    bands = D.band_signatures_from(D.load_table(spark, "documents", sf))
     sdf = (
         D.lsh_candidate_pairs(bands, max_bucket_size=10)
         .toPandas()
@@ -174,7 +191,7 @@ def test_q38_oracle_matches_when_cap_fires(spark, tmp_path):
     )
     assert compare_frames(sdf, ddf) == []
     # the cap actually fired: boilerplate pairs absent, twin pairs present
-    assert len(sdf) > 0 and not (sdf["doc_a"] < n_boiler).any()
+    assert len(sdf) > 0 and not (sdf["doc_a"] < CAP_FIRE_N_BOILER).any()
 
 
 def test_lsh_quality_full_referee_matches_oracle(spark, sf_dir):
@@ -1145,39 +1162,11 @@ def test_q112_oracle_matches_when_cap_fires(spark, tmp_path, monkeypatch):
     capped corpus bands) and the oracle's bok/kept mirror must drop the
     same boilerplate bucket, while the anchored truth side still sees
     those pairs — precision/recall genuinely exercised by the cap."""
-    import duckdb
-    import pandas as pd
-
-    import __spark_entry__ as entrymod
     from mapreduce_framework_simple_spark.operators import dedup as D
     from tests.oracle_harness import compare_frames
 
-    n_boiler = 30
-    boiler_text = ("subscribe to our newsletter terms apply all rights "
-                   "reserved contact us privacy policy cookie settings")
-    rows = [
-        {"doc_id": i, "text": boiler_text, "lang": "en", "source": "web",
-         "n_chars": len(boiler_text)}
-        for i in range(n_boiler)
-    ] + [
-        {"doc_id": 100 + i,
-         "text": f"twin document shared words alpha beta gamma {i % 2}",
-         "lang": "en", "source": "web", "n_chars": 40}
-        for i in range(4)
-    ]
-    sf = tmp_path / "planted112"
-    sf.mkdir()
-    pd.DataFrame(rows).to_parquet(sf / "documents.parquet")
-
-    oracle = entrymod.oracle_sql()["q112_lsh_quality"].replace(
-        f"count(*) <= {D.LSH_MAX_BUCKET}", "count(*) <= 10"
-    )
-    assert oracle != entrymod.oracle_sql()["q112_lsh_quality"]
-    con = duckdb.connect()
-    con.execute(
-        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
-    )
-    ddf = con.execute(oracle).fetchdf()
+    sf, con = _plant_cap_fire_corpus(tmp_path, "planted112")
+    ddf = con.execute(_cap10_oracle("q112_lsh_quality")).fetchdf()
 
     # the memo key includes the cap value, so the patched cap gets its
     # own fresh entry — no stale-frame hazard; released in the finally
@@ -1187,7 +1176,7 @@ def test_q112_oracle_matches_when_cap_fires(spark, tmp_path, monkeypatch):
 
     monkeypatch.setattr(D, "LSH_MAX_BUCKET", 10)
     try:
-        sdf = D.q112_lsh_quality(spark, str(sf)).toPandas()
+        sdf = D.q112_lsh_quality(spark, sf).toPandas()
     finally:
         ephemeral.clear_memo()
     assert compare_frames(sdf, ddf) == []

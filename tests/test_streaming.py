@@ -31,6 +31,9 @@ def test_stream_tumbling_equals_batch(spark, sf_dir):
     got = got.sort_values(key).reset_index(drop=True)
     want = want.sort_values(key).reset_index(drop=True)
     assert len(got) == len(want)
+    # keys compared too: a uniform window shift (tz/offset bug) keeps the
+    # sorted value sequences identical while every window key is wrong
+    assert (got[key].values == want[key].values).all()
     assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
     assert abs(got["sum_value"].to_numpy() - want["sum_value"].to_numpy()).max() < 1e-6
 
@@ -145,7 +148,8 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
         stream_user_counts(read_events_stream(spark, sf_dir)), out, ckpt
     )
     q.awaitTermination()
-    batches = sorted(os.listdir(out))
+    # numeric sort: lexicographic picks batch=9 over batch=10
+    batches = sorted(os.listdir(out), key=lambda n: int(n.split("=")[1]))
     assert batches, "no batches written"
     final = spark.read.parquet(f"{out}/{batches[-1]}").toPandas()
     want = (
@@ -267,14 +271,14 @@ def test_foreach_batch_checkpoint_idempotent(spark, sf_dir, tmp_path):
         stream_user_counts(read_events_stream(spark, sf_dir)), out, ckpt, "t_idem1"
     )
     q1.awaitTermination()
-    batches_before = sorted(os.listdir(out))
+    batches_before = sorted(os.listdir(out), key=lambda n: int(n.split("=")[1]))
     first = spark.read.parquet(f"{out}/{batches_before[-1]}").toPandas()
     # second run, same checkpoint: no new batches may appear
     q2 = stream_to_parquet(
         stream_user_counts(read_events_stream(spark, sf_dir)), out, ckpt, "t_idem2"
     )
     q2.awaitTermination()
-    batches_after = sorted(os.listdir(out))
+    batches_after = sorted(os.listdir(out), key=lambda n: int(n.split("=")[1]))
     assert batches_after == batches_before, "restart re-fired committed batches"
     second = spark.read.parquet(f"{out}/{batches_after[-1]}").toPandas()
     assert first.sort_values("user_id").reset_index(drop=True).equals(
