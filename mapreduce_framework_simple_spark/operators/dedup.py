@@ -244,8 +244,13 @@ JACCARD_FANOUT_DISPATCH = 16.0
 
 # The fan-out probe measures a 1-in-8 deterministic ROW-hash sample
 # (hash of (sid, doc_id)): the per-sid groupBy would otherwise shuffle
-# nearly the whole shingle frame (sids are mostly unique), making the
-# dispatch cost ~20 % of the kernel it is choosing. Sampling by ROW —
+# nearly the whole shingle frame (sids are mostly unique). Measured at
+# sf0.1 (warm): ~0.65–0.8 s, ≈30–40 % of the naive kernel — fixed
+# per-job overhead dominates at bench scale (the unsampled aggregate
+# times the same there; the sample pays off where shuffle volume
+# dominates) — paid once per (session, input) via _FANOUT_MEMO, and
+# ~1.5–2 % of the 43–66 s kernels in the dup-heavy regime the dispatch
+# exists for (docs/SCALE.md). Sampling by ROW —
 # not by sid — is what makes the probe skew-robust: a single ultra-hot
 # boilerplate shingle (df = 100k) lands ~df/8 rows in every sample, so
 # it can never be missed the way an all-or-nothing per-sid sample would
@@ -345,7 +350,7 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     memo_key = (
         spark.sparkContext.applicationId,
         sf_dir,
-        _input_fingerprint(os.path.join(sf_dir, "documents.parquet")),
+        _input_fingerprint(os.path.join(sf_dir, "documents.parquet"), spark),
     )
     if _jaccard_join_fanout(sh, memo_key) > JACCARD_FANOUT_DISPATCH:
         pairs = _jaccard_prefix_pairs(sh)
@@ -579,17 +584,30 @@ def lsh_candidate_pairs(
     )
 
 
-def _input_fingerprint(path: str) -> str:
-    """Cheap snapshot of a local input path — sorted (relpath, size,
+def _input_fingerprint(path: str, spark: SparkSession | None = None) -> str:
+    """Cheap snapshot of an input path — sorted (relpath, size,
     mtime_ns) of every data file, md5-folded. Folding this into the
     session-memo key means a consumer that REWRITES the dataset at the
     same path mid-session gets a fresh memo entry instead of stale capped
     bands (the memo's immutable-parquet premise, now enforced rather than
-    assumed). Non-local paths (object stores) fall back to ``"nostat"``
-    — for those the key degrades to path-only, the prior behavior."""
+    assumed). Non-local schemes (s3a/hdfs/...) never hit os.stat: with a
+    ``spark`` handle they fingerprint the sorted ``inputFiles()`` list —
+    committed parquet part-files carry fresh UUID names, so a rewrite
+    changes the list — else fall back to ``"nostat"`` (path-only key)."""
     import hashlib
+    from urllib.parse import urlsplit
 
     h = hashlib.md5()
+    scheme = urlsplit(path).scheme
+    if scheme and scheme != "file" and len(scheme) > 1:  # len>1: not a drive letter
+        if spark is None:
+            return "nostat"
+        try:
+            files = spark.read.parquet(path).inputFiles()
+        except Exception:  # unreadable/remote-down: degrade, don't fail the memo
+            return "nostat"
+        h.update(";".join(sorted(files)).encode())
+        return h.hexdigest()
     try:
         if os.path.isdir(path):
             for root, dirs, files in os.walk(path):
@@ -633,7 +651,7 @@ def capped_corpus_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the input fingerprint is part of the key, so a same-path dataset
     # REWRITE mid-session can never serve stale bands.
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    fp = _input_fingerprint(docs_path)
+    fp = _input_fingerprint(docs_path, spark)
     key = (
         "capped_corpus_bands",
         spark.sparkContext.applicationId,
@@ -991,6 +1009,14 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     """Connected components by min-label propagation — the canonical
     dedup post-step: near-dup PAIRS (q38) become dedup GROUPS, and
     "keep one doc per component" falls out as min(doc_id) == label.
+
+    .. warning:: The returned frame is QUERY-SCOPED (KNOWN_LIMITS §17):
+       on the distributed path it is localCheckpoint-backed, and a
+       checkpoint cannot recompute once its blocks are freed at the next
+       ``ephemeral.release_caches()`` boundary. Materialize it
+       (collect / write) within the same query scope; consuming it later
+       fails LOUDLY ("checkpoint block not found") rather than silently
+       recomputing — chosen over pinning a node-sized frame per call.
 
     Kernel choice is a size-based planner `if`, mirroring q120's
     dispatch: a single ``limit(bound+1)`` Arrow collect both measures

@@ -184,7 +184,15 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     Scale: state is one (node, rank) row per node; per-round cost is one
     shuffle of the edge list — the same shape GraphX/Pregel executes.
     Dangling nodes keep the teleport mass only (standard simplification,
-    documented)."""
+    documented).
+
+    .. warning:: The returned frame is QUERY-SCOPED (KNOWN_LIMITS §17):
+       it is localCheckpoint-backed, and a checkpoint cannot recompute
+       once its blocks are freed at the next
+       ``ephemeral.release_caches()`` boundary. Materialize it
+       (collect / write) within the same query scope; consuming it later
+       fails LOUDLY ("checkpoint block not found") rather than silently
+       recomputing — chosen over pinning a node-sized frame per call."""
     from mapreduce_framework_simple_spark.ephemeral import scoped_cache
 
     # scoped_cache, not bare .cache(): an exception mid-loop (executor

@@ -56,6 +56,17 @@ def duck_cents_l(col: str) -> str:
     return f"CAST(round({col} * 100) AS BIGINT)"
 
 
+# q07's explicit-hint demo is size-dispatched (q120's planner-`if`
+# pattern): an `F.broadcast` hint is unconditional — Spark honors it at
+# any size and AQE never demotes it — so the hint is attached only when
+# a limit-bounded probe count proves the filtered dim is under this row
+# bound. Pruned q07 part rows are ~30 B (key + brand + size), so 1M rows
+# ≈ 30 MB — comfortably under the session's 64 MB broadcast threshold.
+# The probe short-circuits at bound+1 rows, so at 100 TB it costs one
+# cheap dim scan, never a full count of an over-bound table.
+DIM_BROADCAST_ROW_BOUND = 1_000_000
+
+
 
 # --------------------------------------------------------------------------
 # Aggregation (partial+final is Catalyst-automatic; ≙ reference's
@@ -332,7 +343,12 @@ def q45_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q3-style: filter + 3-way join + agg + deterministic top-10.
 
-    Scale: customer (filtered to 1 segment) broadcasts against orders;
+    Scale: customer (filtered to 1 segment) is deliberately UNHINTED —
+    it is ~1/5 of an SF-proportional table, and an `F.broadcast` hint is
+    unconditional (Spark honors it at any size; AQE never demotes a
+    hinted broadcast). Unhinted, the planner broadcasts it while it fits
+    the threshold and AQE picks a shuffle join at runtime when it does
+    not — the same policy q05's dim side and the text-LM joins follow.
     orders⋈lineitem shuffles on orderkey — the one unavoidable shuffle.
     The ORDER BY + LIMIT becomes TakeOrderedAndProject (no global sort)."""
     c = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
@@ -344,7 +360,7 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(li.l_orderkey.alias("orderkey"), o.o_orderdate.alias("orderdate"))
         .agg(
             (F.sum(cents("l_extendedprice") * (100 - cents_l("l_discount")))
@@ -423,11 +439,19 @@ def q05_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q07_broadcast_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact⋈dim with an explicit broadcast hint — the canonical shape for
     dimension joins at 100 TB (ships MBs to every executor instead of
-    shuffling TBs of fact rows)."""
+    shuffling TBs of fact rows).
+
+    The hint is SIZE-DISPATCHED (q120's pattern): filtered `part` is
+    SF-proportional, and a hint is unconditional — AQE cannot demote it —
+    so it is attached only when a short-circuiting limit-probe proves the
+    dim is under ``DIM_BROADCAST_ROW_BOUND``. Beyond the bound the join
+    is left unhinted and AQE picks the strategy at runtime."""
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir).where(F.col("p_size") <= 25)
+    n_dim = p.limit(DIM_BROADCAST_ROW_BOUND + 1).count()
+    dim = F.broadcast(p) if n_dim <= DIM_BROADCAST_ROW_BOUND else p
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(dim, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.sum("l_quantity").alias("sum_qty"),

@@ -77,7 +77,11 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str,
     written parquet — a metadata-only footer scan — so the report
     describes what was durably persisted, not the plan. All internal
     caches (including the LSH stage's band signatures) are released on
-    exit via ``cache_scope``."""
+    exit via ``cache_scope``. The near-dup stage's
+    :func:`connected_components` result is QUERY-SCOPED
+    (checkpoint-backed — see its docstring / KNOWN_LIMITS §17); this
+    pipeline satisfies the contract by materializing the drop list and
+    writing survivors before the scope exit frees the blocks."""
     from mapreduce_framework_simple_spark.ephemeral import cache_scope, scoped_cache
 
     with cache_scope():

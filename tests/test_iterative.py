@@ -40,3 +40,27 @@ def test_q104_pagerank_deterministic(spark, sf_dir):
     b = q104_pagerank(spark, sf_dir).toPandas()
     assert 1 <= len(a) <= 10  # top-10 cap; small SFs have <10 suppliers
     assert a.equals(b), "fixpoint must be run-to-run deterministic"
+
+
+def test_fixpoint_result_is_query_scoped_and_fails_loudly(spark):
+    """KNOWN_LIMITS §17 contract: the checkpoint-backed frame a fixpoint
+    returns is QUERY-SCOPED. Within the scope it is fully usable; once
+    release_caches() (the harness's per-query boundary) frees the
+    checkpoint blocks, consuming it must fail LOUDLY with a
+    block-not-found error — never silently recompute the fixpoint."""
+    import pytest
+
+    from mapreduce_framework_simple_spark import ephemeral
+    from mapreduce_framework_simple_spark.operators.iterative import pagerank
+
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks, _ = pagerank(e, n_iter=2)
+    assert ranks.count() == 5  # in-scope: fully usable
+    ephemeral.release_caches()  # the query boundary frees the blocks
+    with pytest.raises(Exception) as exc:
+        ranks.collect()
+    msg = str(exc.value).lower()
+    assert "checkpoint" in msg or "block" in msg, (
+        f"expected a loud checkpoint-block error, got: {msg[:400]}"
+    )

@@ -38,6 +38,10 @@ def test_column_pruning(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
+    # Hint policy (round 6): q03's dim is UNHINTED (planner broadcasts
+    # under threshold, AQE demotes beyond), q05 hints only fixed-size
+    # nation/region, q07's demo hint is size-dispatched. At bench SF all
+    # three must still plan a broadcast join.
     for q in (q03_top_revenue, q05_join_chain, q07_broadcast_brand):
         df = q(spark, sf_dir)
         assert has_broadcast_join(df), f"{q.__name__} lost its broadcast"

@@ -600,6 +600,21 @@ def test_memo_rebuilds_after_dataset_rewrite(spark, tmp_path):
         ephemeral.clear_memo()
 
 
+def test_fingerprint_remote_scheme_never_stats(spark):
+    """On object-store/remote schemes the fingerprint must not hit
+    os.stat: without a session it degrades to the documented "nostat"
+    sentinel, and with one it degrades the same way when the path is
+    unreadable (no s3a filesystem in this container) — never raising
+    into the memo path."""
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    assert D._input_fingerprint("s3a://bucket/corpus.parquet") == "nostat"
+    assert D._input_fingerprint("s3a://bucket/corpus.parquet", spark) == "nostat"
+    assert D._input_fingerprint("hdfs://nn:8020/corpus.parquet") == "nostat"
+    # a relative/bare local path is NOT mistaken for a scheme
+    assert D._input_fingerprint("/nonexistent/local/path") == "nostat"
+
+
 def test_memo_lru_cap_and_stale_app_eviction(spark):
     """The session memo is bounded: (a) inserting more than
     MEMO_MAX_ENTRIES distinct keys evicts the least-recently-used entry
