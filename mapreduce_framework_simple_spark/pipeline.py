@@ -108,16 +108,19 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str,
         exact = scoped_cache(gated.join(exact_keep, "doc_id"))
 
         # 3. near-dup collapse on the thinned corpus: LSH pairs →
-        #    components → drop non-representatives (tiny drop list)
+        #    components → drop non-representatives. The drop list is
+        #    id-only but DUP-PROPORTIONAL (grows with the corpus), so it
+        #    is deliberately UNHINTED — a hint is unconditional and AQE
+        #    cannot demote it; unhinted, the planner broadcasts the
+        #    cached tiny frame under threshold and AQE shuffles beyond
+        #    (the q03/q05 policy).
         pairs = _lsh_pairs_from(exact, lsh_max_bucket)
         comp = connected_components(pairs)
         drop = scoped_cache(
             comp.where(F.col("doc_id") != F.col("component")).select("doc_id")
         )
         n_neardup = n_exact - drop.count()  # drop ⊆ exact ids, disjoint keeps
-        neardup_free = scoped_cache(
-            exact.join(F.broadcast(drop), "doc_id", "left_anti")
-        )
+        neardup_free = scoped_cache(exact.join(drop, "doc_id", "left_anti"))
 
         # 4. decontamination: probe = benchmark stand-in (doc_id % 97 == 0
         #    over the ORIGINAL corpus — the benchmark is external, curation
@@ -138,7 +141,9 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str,
             .select("doc_id")
         )
         n_contaminated = contaminated.count()  # contaminated ⊆ survivor ids
-        curated = neardup_free.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        # contaminated is contamination-rate-proportional — unhinted for
+        # the same reason as the drop list above
+        curated = neardup_free.join(contaminated, "doc_id", "left_anti")
         curated.write.mode("overwrite").parquet(out_dir)
 
         n_curated = (
