@@ -50,6 +50,19 @@ def test_dim_joins_broadcast(spark, sf_dir):
         assert not has_broadcast_nlj(df), f"{q.__name__} planned a BNLJ"
 
 
+def test_q07_hint_dispatch_over_bound_equal(spark, sf_dir, monkeypatch):
+    """q07's broadcast hint is size-dispatched: force the over-bound
+    branch (bound=0 → dim left unhinted for AQE) and assert the result
+    is row-identical to the hinted under-bound plan — the dispatch may
+    only ever change strategy, never the answer."""
+    from mapreduce_framework_simple_spark.operators import relational as R
+
+    hinted = q07_broadcast_brand(spark, sf_dir).toPandas().sort_values("brand")
+    monkeypatch.setattr(R, "DIM_BROADCAST_ROW_BOUND", 0)
+    unhinted = q07_broadcast_brand(spark, sf_dir).toPandas().sort_values("brand")
+    assert hinted.reset_index(drop=True).equals(unhinted.reset_index(drop=True))
+
+
 def test_no_cartesian_in_star_join(spark, sf_dir):
     plan = formatted_plan(q05_join_chain(spark, sf_dir))
     assert "CartesianProduct" not in plan
