@@ -60,6 +60,13 @@ def main() -> None:
     from mapreduce_framework_simple_spark.session import get_session
     from mapreduce_framework_simple_spark.registry import QUERIES, load_all
 
+    # True quietness signal: sampled BEFORE session creation and the
+    # 32-thread warm-up pass. loadavg_start (kept for round-over-round
+    # comparability) is stamped after warm-up, so its 1-min figure
+    # includes the bench's own ramp — reading it as external contention
+    # is exactly the round-4/5 adjudication confusion.
+    load_launch = os.getloadavg()
+
     load_all()
     spark = get_session("mfss-bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -120,6 +127,9 @@ def main() -> None:
         # noise context: 1/5/15-min load averages around the timed section
         # (32-cpu box — loads well above ~4 mean external contention and
         # per-query numbers should be read with BENCH noise caveats)
+        # pre-launch sample: the only field uncontaminated by the
+        # bench's own load — judge quietness by THIS one
+        "loadavg_launch": [round(x, 2) for x in load_launch],
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
         "runs_per_query": 3,
