@@ -585,29 +585,46 @@ def lsh_candidate_pairs(
 
 
 def _input_fingerprint(path: str, spark: SparkSession | None = None) -> str:
-    """Cheap snapshot of an input path — sorted (relpath, size,
-    mtime_ns) of every data file, md5-folded. Folding this into the
-    session-memo key means a consumer that REWRITES the dataset at the
-    same path mid-session gets a fresh memo entry instead of stale capped
-    bands (the memo's immutable-parquet premise, now enforced rather than
-    assumed). Non-local schemes (s3a/hdfs/...) never hit os.stat: with a
-    ``spark`` handle they fingerprint the sorted ``inputFiles()`` list —
-    committed parquet part-files carry fresh UUID names, so a rewrite
-    changes the list — else fall back to ``"nostat"`` (path-only key)."""
+    """Cheap snapshot of an input path — sorted (path, size, mtime) of
+    every data file, md5-folded. Folding this into the session-memo key
+    means a consumer that REWRITES the dataset at the same path
+    mid-session gets a fresh memo entry instead of stale capped bands
+    (the memo's immutable-parquet premise, now enforced rather than
+    assumed). Only a ``://`` URI is treated as non-local (a bare local
+    path with ``:`` inside a segment still stats locally); ``file://``
+    strips to the local branch; other schemes (s3a/hdfs/...) never hit
+    os.stat — with a ``spark`` handle they fold (path, length,
+    modificationTime) from the Hadoop FileSystem listing, preserving
+    the same rewrite-detection signal as the local branch even when a
+    rewriter keeps part-file names (distcp -overwrite) — else fall back
+    to ``"nostat"`` (path-only key)."""
     import hashlib
-    from urllib.parse import urlsplit
 
     h = hashlib.md5()
-    scheme = urlsplit(path).scheme
-    if scheme and scheme != "file" and len(scheme) > 1:  # len>1: not a drive letter
-        if spark is None:
-            return "nostat"
-        try:
-            files = spark.read.parquet(path).inputFiles()
-        except Exception:  # unreadable/remote-down: degrade, don't fail the memo
-            return "nostat"
-        h.update(";".join(sorted(files)).encode())
-        return h.hexdigest()
+    if "://" in path:
+        scheme, _, rest = path.partition("://")
+        if scheme == "file":
+            from urllib.parse import urlsplit
+
+            path = urlsplit(f"{scheme}://{rest}").path
+        else:
+            if spark is None:
+                return "nostat"
+            try:
+                jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+                it = fs.listFiles(jpath, True)
+                entries = []
+                while it.hasNext():
+                    st = it.next()
+                    entries.append(
+                        f"{st.getPath()}:{st.getLen()}:{st.getModificationTime()}"
+                    )
+            except Exception:  # no FS impl / unreadable: degrade, don't fail the memo
+                return "nostat"
+            for e in sorted(entries):
+                h.update(e.encode() + b";")
+            return h.hexdigest()
     try:
         if os.path.isdir(path):
             for root, dirs, files in os.walk(path):
@@ -1225,10 +1242,10 @@ def q89_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the drop list is small when near-dup rates are low but
     SF-PROPORTIONAL on a dup-heavy corpus, so it carries no broadcast
-    hint (a hint is unconditional and AQE cannot demote it): the planner
-    broadcasts it under the threshold — one map-side filter over the
-    corpus scan, no corpus shuffle — and falls back to a shuffled
-    anti-join when a dup-heavy corpus outgrows it."""
+    hint (a hint is unconditional): the strategy is planned from the
+    frame's actual size — broadcast while tiny (one map-side filter over
+    the corpus scan, no corpus shuffle), a shuffled anti-join when a
+    dup-heavy corpus outgrows it."""
     docs = load_table(spark, "documents", sf_dir)
     comp = q79_dedup_components(spark, sf_dir)
     drop = comp.where(F.col("doc_id") != F.col("component")).select("doc_id")

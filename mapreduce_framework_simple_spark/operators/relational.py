@@ -58,13 +58,32 @@ def duck_cents_l(col: str) -> str:
 
 # q07's explicit-hint demo is size-dispatched (q120's planner-`if`
 # pattern): an `F.broadcast` hint is unconditional — Spark honors it at
-# any size and AQE never demotes it — so the hint is attached only when
-# a limit-bounded probe count proves the filtered dim is under this row
-# bound. Pruned q07 part rows are ~30 B (key + brand + size), so 1M rows
-# ≈ 30 MB — comfortably under the session's 64 MB broadcast threshold.
-# The probe short-circuits at bound+1 rows, so at 100 TB it costs one
-# cheap dim scan, never a full count of an over-bound table.
+# any size — so the hint is attached only when a limit-bounded probe
+# count proves the filtered dim is under this row bound. Pruned q07
+# part rows are ~30 B (key + brand + size), so 1M rows ≈ 30 MB —
+# comfortably under the session's 64 MB broadcast threshold. Probe
+# cost, precisely: LocalLimit caps each scan partition at bound+1 rows
+# before a single-partition exchange of zero-column rows — bounded by
+# partitions × bound markers, not the table, but NOT free at 100 TB;
+# it is therefore memoized per (session, sf_dir, bound) below, so a
+# session pays it once per input, and staleness can only ever affect
+# join STRATEGY, never results.
 DIM_BROADCAST_ROW_BOUND = 1_000_000
+
+_DIM_PROBE_MEMO: dict[tuple, int] = {}
+_DIM_PROBE_MEMO_MAX = 32
+
+
+def _dim_probe_count(p: DataFrame, sf_dir: str, bound: int) -> int:
+    """Memoized ``limit(bound+1).count()`` of the q07 dim (see above)."""
+    key = (p.sparkSession.sparkContext.applicationId, sf_dir, bound)
+    n = _DIM_PROBE_MEMO.get(key)
+    if n is None:
+        n = p.limit(bound + 1).count()
+        if len(_DIM_PROBE_MEMO) >= _DIM_PROBE_MEMO_MAX:  # FIFO, matches _FANOUT_MEMO
+            _DIM_PROBE_MEMO.pop(next(iter(_DIM_PROBE_MEMO)))
+        _DIM_PROBE_MEMO[key] = n
+    return n
 
 
 
@@ -345,10 +364,13 @@ def q03_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: customer (filtered to 1 segment) is deliberately UNHINTED —
     it is ~1/5 of an SF-proportional table, and an `F.broadcast` hint is
-    unconditional (Spark honors it at any size; AQE never demotes a
-    hinted broadcast). Unhinted, the planner broadcasts it while it fits
-    the threshold and AQE picks a shuffle join at runtime when it does
-    not — the same policy q05's dim side and the text-LM joins follow.
+    unconditional (Spark honors it at any size). Unhinted, the strategy
+    is the planner's call from its size estimate — conservatively the
+    FULL file size for a filtered scan, so an SF-grown customer falls
+    back to a shuffle join rather than being force-shipped to every
+    executor (the same policy q05's dim side and the text-LM joins
+    follow; for agg-derived sides AQE additionally re-plans from true
+    runtime sizes at the stage boundary).
     orders⋈lineitem shuffles on orderkey — the one unavoidable shuffle.
     The ORDER BY + LIMIT becomes TakeOrderedAndProject (no global sort)."""
     c = load_table(spark, "customer", sf_dir).where(F.col("c_mktsegment") == "BUILDING")
@@ -395,9 +417,10 @@ def q05_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: region/nation carry explicit broadcast hints (tiny by
     construction — 5/25 rows at every SF); the customer-sized dim side is
     deliberately UNHINTED, because a hint is unconditional — Spark honors
-    it at any size and AQE never demotes a hinted broadcast. Unhinted,
-    the planner broadcasts while the dim fits the threshold and AQE picks
-    shuffle join at runtime when it does not. The fact-fact
+    it at any size. Unhinted, the planner broadcasts only while its size
+    estimate (conservatively the full file size) fits the threshold, and
+    falls back to a shuffle join beyond it — the safe direction for an
+    SF-grown dim. The fact-fact
     lineitem⋈orders shuffle on orderkey dominates and is unavoidable
     without co-bucketing both facts on orderkey (the storage-layout answer
     at 100 TB — see docs/SCALE.md)."""
@@ -442,13 +465,15 @@ def q07_broadcast_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffling TBs of fact rows).
 
     The hint is SIZE-DISPATCHED (q120's pattern): filtered `part` is
-    SF-proportional, and a hint is unconditional — AQE cannot demote it —
-    so it is attached only when a short-circuiting limit-probe proves the
-    dim is under ``DIM_BROADCAST_ROW_BOUND``. Beyond the bound the join
-    is left unhinted and AQE picks the strategy at runtime."""
+    SF-proportional, and a hint is unconditional — Spark honors it at
+    any size — so it is attached only when a memoized limit-probe proves
+    the dim is under ``DIM_BROADCAST_ROW_BOUND``. Beyond the bound the
+    join is left unhinted, leaving the decision to the planner's size
+    estimate (conservatively the full file size for a filtered scan, so
+    it errs toward NOT broadcasting an over-bound dim)."""
     li = load_table(spark, "lineitem", sf_dir)
     p = load_table(spark, "part", sf_dir).where(F.col("p_size") <= 25)
-    n_dim = p.limit(DIM_BROADCAST_ROW_BOUND + 1).count()
+    n_dim = _dim_probe_count(p, sf_dir, DIM_BROADCAST_ROW_BOUND)
     dim = F.broadcast(p) if n_dim <= DIM_BROADCAST_ROW_BOUND else p
     return (
         li.join(dim, li.l_partkey == p.p_partkey)
@@ -2073,9 +2098,10 @@ def q115_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
     return (
         # freq is one row per distinct partkey (SF-proportional) — no
-        # broadcast hint: a hint is unconditional and AQE cannot demote
-        # it; unhinted, the planner broadcasts under the threshold and
-        # AQE switches to shuffle join when the table outgrows it
+        # broadcast hint: a hint is unconditional. Unhinted, freq is
+        # agg-derived (its build sits atop the groupBy exchange), so AQE
+        # picks the strategy from the agg's TRUE output size at the
+        # stage boundary — broadcast exactly when actually small
         pairs.join(
             freq.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("na")),
             "part_a",

@@ -648,10 +648,11 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the counts), so P(w2|w1) = C(w1 w2) / C(w1·) is always positive.
 
     Scale: the LM tables are vocabulary-bounded (Zipf), orders of
-    magnitude smaller than the corpus, so the planner broadcasts both
-    count joins at realistic vocabulary sizes and AQE demotes them to
-    shuffle hash joins past the threshold (no unconditional hint — see
-    the in-body note); the only corpus-sized shuffle is the final
+    magnitude smaller than the corpus, and AGG-DERIVED — they sit atop
+    their groupBy exchanges, so AQE plans both count joins from the
+    aggs' TRUE output sizes at the stage boundary: broadcast at
+    realistic vocabulary sizes, shuffle hash join past the threshold
+    (no unconditional hint — see the in-body note); the only corpus-sized shuffle is the final
     per-doc aggregation on doc_id. ln() output is averaged then rounded to 6 dp before hashing
     (raw libm transcendentals differ by 1 ULP across engines)."""
     docs = load_table(spark, "documents", sf_dir)
@@ -674,11 +675,12 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring_index("bg", " ", 1).alias("w1")
     ).agg(F.sum("c_bg").alias("c_w1"))
     # the LM-table joins are deliberately UNHINTED: an explicit
-    # F.broadcast is unconditional (AQE cannot demote it), which would
-    # force an over-threshold broadcast on a tera-scale vocabulary. The
-    # planner broadcasts them under the threshold (asserted at bench SF
-    # in docs/PLANS.md) and AQE falls back to shuffle hash joins beyond
-    # it — the same policy q05 documents for its SF-proportional dims.
+    # F.broadcast is unconditional, which would force an over-threshold
+    # broadcast on a tera-scale vocabulary. Both tables are agg-derived,
+    # so AQE plans the joins from their TRUE output sizes at the stage
+    # boundary — broadcast under the threshold (asserted at bench SF in
+    # docs/PLANS.md), shuffle hash joins beyond — the same policy q05
+    # documents for its SF-proportional dims.
     scored = (
         bg.join(c_bg, "bg")
         .join(
@@ -890,10 +892,11 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     order in both engines); the argmax ranks the 9-dp-rounded score with
     a class tiebreak.
 
-    Scale: class-conditional count tables are vocabulary-bounded — the
-    planner broadcasts them at bench SF and AQE demotes past the
-    threshold (unhinted; only the class-bounded/1-row tables carry
-    hints); the doc×class expansion is a map-side multiply of the
+    Scale: class-conditional count tables are vocabulary-bounded and
+    agg-derived — AQE plans their joins from the aggs' true output
+    sizes at the stage boundary: broadcast at bench SF, shuffle hash
+    join past the threshold (unhinted; only the class-bounded/1-row
+    tables carry hints); the doc×class expansion is a map-side multiply of the
     (doc, word) stream by L classes; per-doc folds run over tiny arrays.
     Two corpus shuffles total — the (doc, word) counting aggregation and
     ONE hash(doc_id) repartition that serves both the score aggregation
@@ -952,12 +955,13 @@ def q123_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = (
         dwc.crossJoin(F.broadcast(ct))
         .crossJoin(F.broadcast(consts.select("v")))
-        # cw is vocabulary-bounded but NOT hinted: the planner broadcasts
-        # it under the threshold (asserted in docs/PLANS.md) and AQE can
-        # demote to a shuffle hash join at tera-vocabulary — an explicit
-        # hint is unconditional and would force the broadcast. ct / prior
-        # / consts stay hinted: they are CLASS-bounded (L rows) or 1-row,
-        # sizes that cannot grow with the corpus.
+        # cw is vocabulary-bounded but NOT hinted: it is agg-derived, so
+        # AQE plans the join from its TRUE output size at the stage
+        # boundary — broadcast under the threshold (asserted in
+        # docs/PLANS.md), shuffle hash join at tera-vocabulary. An
+        # explicit hint is unconditional and would force the broadcast.
+        # ct / prior / consts stay hinted: they are CLASS-bounded
+        # (L rows) or 1-row, sizes that cannot grow with the corpus.
         .join(cw, ["clang", "word"], "left")
         .select(
             "doc_id",

@@ -110,10 +110,10 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str,
         # 3. near-dup collapse on the thinned corpus: LSH pairs →
         #    components → drop non-representatives. The drop list is
         #    id-only but DUP-PROPORTIONAL (grows with the corpus), so it
-        #    is deliberately UNHINTED — a hint is unconditional and AQE
-        #    cannot demote it; unhinted, the planner broadcasts the
-        #    cached tiny frame under threshold and AQE shuffles beyond
-        #    (the q03/q05 policy).
+        #    is deliberately UNHINTED — a hint is unconditional; unhinted
+        #    the strategy is planned from the frame's actual (cached /
+        #    stage-boundary) size: broadcast while it is genuinely tiny,
+        #    shuffled anti-join beyond (the q03/q05 policy).
         pairs = _lsh_pairs_from(exact, lsh_max_bucket)
         comp = connected_components(pairs)
         drop = scoped_cache(

@@ -38,10 +38,11 @@ def test_column_pruning(spark, sf_dir):
 
 
 def test_dim_joins_broadcast(spark, sf_dir):
-    # Hint policy (round 6): q03's dim is UNHINTED (planner broadcasts
-    # under threshold, AQE demotes beyond), q05 hints only fixed-size
-    # nation/region, q07's demo hint is size-dispatched. At bench SF all
-    # three must still plan a broadcast join.
+    # Hint policy (round 6): q03's dim is UNHINTED (the planner's size
+    # estimate decides — broadcast under threshold, shuffle join beyond),
+    # q05 hints only fixed-size nation/region, q07's demo hint is
+    # size-dispatched. At bench SF all three must still plan a broadcast
+    # join.
     for q in (q03_top_revenue, q05_join_chain, q07_broadcast_brand):
         df = q(spark, sf_dir)
         assert has_broadcast_join(df), f"{q.__name__} lost its broadcast"
@@ -52,14 +53,23 @@ def test_dim_joins_broadcast(spark, sf_dir):
 
 def test_q07_hint_dispatch_over_bound_equal(spark, sf_dir, monkeypatch):
     """q07's broadcast hint is size-dispatched: force the over-bound
-    branch (bound=0 → dim left unhinted for AQE) and assert the result
-    is row-identical to the hinted under-bound plan — the dispatch may
-    only ever change strategy, never the answer."""
+    branch (bound=0 → dim left unhinted for the planner) and assert BOTH
+    that the hint node is actually gone from the analyzed plan (an
+    inverted dispatch condition must fail here, not just swap strategies)
+    and that the result is row-identical — the dispatch may only ever
+    change strategy, never the answer."""
     from mapreduce_framework_simple_spark.operators import relational as R
 
-    hinted = q07_broadcast_brand(spark, sf_dir).toPandas().sort_values("brand")
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    under = q07_broadcast_brand(spark, sf_dir)
+    assert "ResolvedHint" in analyzed(under), "under-bound branch lost its hint"
+    hinted = under.toPandas().sort_values("brand")
     monkeypatch.setattr(R, "DIM_BROADCAST_ROW_BOUND", 0)
-    unhinted = q07_broadcast_brand(spark, sf_dir).toPandas().sort_values("brand")
+    over = q07_broadcast_brand(spark, sf_dir)
+    assert "ResolvedHint" not in analyzed(over), "over-bound branch kept the hint"
+    unhinted = over.toPandas().sort_values("brand")
     assert hinted.reset_index(drop=True).equals(unhinted.reset_index(drop=True))
 
 

@@ -600,19 +600,29 @@ def test_memo_rebuilds_after_dataset_rewrite(spark, tmp_path):
         ephemeral.clear_memo()
 
 
-def test_fingerprint_remote_scheme_never_stats(spark):
-    """On object-store/remote schemes the fingerprint must not hit
+def test_fingerprint_remote_scheme_never_stats(spark, sf_dir):
+    """On object-store/remote URIs the fingerprint must not hit
     os.stat: without a session it degrades to the documented "nostat"
-    sentinel, and with one it degrades the same way when the path is
-    unreadable (no s3a filesystem in this container) — never raising
-    into the memo path."""
+    sentinel, and with one an unresolvable filesystem degrades the same
+    way — never raising into the memo path. Local paths (including ones
+    with ':' inside a segment, and file:// URIs) keep the full
+    stat-based signal."""
+    import os as _os
+
     from mapreduce_framework_simple_spark.operators import dedup as D
 
     assert D._input_fingerprint("s3a://bucket/corpus.parquet") == "nostat"
-    assert D._input_fingerprint("s3a://bucket/corpus.parquet", spark) == "nostat"
+    # scheme no Hadoop build can resolve — deterministic even on images
+    # that bundle hadoop-aws (a real s3a call would retry for minutes)
+    assert D._input_fingerprint("xtest://bucket/corpus.parquet", spark) == "nostat"
     assert D._input_fingerprint("hdfs://nn:8020/corpus.parquet") == "nostat"
-    # a relative/bare local path is NOT mistaken for a scheme
     assert D._input_fingerprint("/nonexistent/local/path") == "nostat"
+    # bare local path with ':' inside a segment is NOT mistaken for a URI
+    assert D._input_fingerprint("data:v2/nonexistent") == "nostat"
+    # file:// URIs strip to the local branch: same digest as the bare path
+    docs = _os.path.join(sf_dir, "documents.parquet")
+    assert D._input_fingerprint(f"file://{docs}") == D._input_fingerprint(docs)
+    assert D._input_fingerprint(docs) != "nostat"
 
 
 def test_memo_lru_cap_and_stale_app_eviction(spark):
