@@ -584,6 +584,22 @@ def lsh_candidate_pairs(
     )
 
 
+def _hadoop_listing(spark: SparkSession, path: str) -> list[str]:
+    """``path:length:modificationTime`` for every file under ``path``,
+    recursively, via the session's Hadoop FileSystem — the same
+    rewrite-detection signal the local os.stat branch folds. Raises on
+    schemes with no FS implementation (callers degrade to ``nostat``);
+    testable against ``file:///`` directly."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    it = fs.listFiles(jpath, True)
+    entries = []
+    while it.hasNext():
+        st = it.next()
+        entries.append(f"{st.getPath()}:{st.getLen()}:{st.getModificationTime()}")
+    return entries
+
+
 def _input_fingerprint(path: str, spark: SparkSession | None = None) -> str:
     """Cheap snapshot of an input path — sorted (path, size, mtime) of
     every data file, md5-folded. Folding this into the session-memo key
@@ -611,15 +627,7 @@ def _input_fingerprint(path: str, spark: SparkSession | None = None) -> str:
             if spark is None:
                 return "nostat"
             try:
-                jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
-                fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-                it = fs.listFiles(jpath, True)
-                entries = []
-                while it.hasNext():
-                    st = it.next()
-                    entries.append(
-                        f"{st.getPath()}:{st.getLen()}:{st.getModificationTime()}"
-                    )
+                entries = _hadoop_listing(spark, path)
             except Exception:  # no FS impl / unreadable: degrade, don't fail the memo
                 return "nostat"
             for e in sorted(entries):

@@ -625,6 +625,24 @@ def test_fingerprint_remote_scheme_never_stats(spark, sf_dir):
     assert D._input_fingerprint(docs) != "nostat"
 
 
+def test_fingerprint_hadoop_listing_happy_path(spark, tmp_path):
+    """The remote branch's Hadoop listing, exercised for real against
+    file:/// (the one scheme every Hadoop build resolves): it must see
+    every file with a size, and a rewrite must change the listing — the
+    same signal the local branch gets from os.stat."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    d = tmp_path / "ds.parquet"
+    pd.DataFrame({"x": [1, 2, 3]}).to_parquet(d)
+    first = D._hadoop_listing(spark, f"file://{d}")
+    assert first and all(len(e.rsplit(":", 2)) == 3 for e in first)
+    assert sum(int(e.rsplit(":", 2)[1]) for e in first) > 0
+    pd.DataFrame({"x": list(range(50))}).to_parquet(d)  # rewrite, same path
+    assert sorted(D._hadoop_listing(spark, f"file://{d}")) != sorted(first)
+
+
 def test_memo_lru_cap_and_stale_app_eviction(spark):
     """The session memo is bounded: (a) inserting more than
     MEMO_MAX_ENTRIES distinct keys evicts the least-recently-used entry
