@@ -23,8 +23,13 @@ from pyspark.sql import functions as F
 
 def write_bucketed(df: DataFrame, table: str, bucket_col: str, n_buckets: int = 32,
                    sort_col: str | None = None) -> None:
-    """Persist as a bucketed (+sorted) managed table; joins/aggregations
-    keyed on ``bucket_col`` between same-bucketed tables need no exchange."""
+    """Persist as a bucketed + sorted managed table; joins/aggregations
+    keyed on ``bucket_col`` between same-bucketed tables need no exchange.
+
+    Buckets are ALWAYS sorted — ``sort_col=None`` means "sort by
+    ``bucket_col``", not "unsorted": sorted buckets are what let the
+    bucketed sort-merge join skip its per-task Sort as well as the
+    exchange (asserted in tests/test_layout.py)."""
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     w = w.sortBy(sort_col or bucket_col)
     w.saveAsTable(table)
@@ -59,6 +64,9 @@ def salted_agg(df: DataFrame, key: str, agg_exprs: list, salt_n: int = 16,
     anyway. ``salt_cols`` restricts the hash to named columns (unique id
     spreading, or frames with xxhash64-unhashable map columns).
     """
+    if "_salt" in df.columns:  # withColumn would silently overwrite it
+        raise ValueError("salted_agg: input already has a '_salt' column "
+                         "(reserved); rename it before salting")
     salt_src = salt_cols if salt_cols is not None else df.columns
     salt = F.pmod(F.xxhash64(*salt_src), F.lit(salt_n)).alias("_salt")
     partial = df.withColumn("_salt", salt).groupBy(key, "_salt").agg(
@@ -85,6 +93,10 @@ def salted_join(skewed: DataFrame, skew_key: str, small: DataFrame,
     those, and dedupe truly-identical rows upstream if they are
     semantically one row. ``salt_cols`` is also the escape hatch for
     frames with unhashable column types (xxhash64 rejects maps)."""
+    if "_salt" in skewed.columns or "_salt" in small.columns:
+        raise ValueError("salted_join: an input already has a '_salt' column "
+                         "(reserved); rename it before salting — withColumn "
+                         "would overwrite it and the final drop would eat it")
     salt_src = salt_cols if salt_cols is not None else skewed.columns
     salted_big = skewed.withColumn(
         "_salt", F.pmod(F.xxhash64(*salt_src), F.lit(salt_n))
@@ -160,6 +172,16 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
             f"upsert: updates batch has multiple rows for {key}="
             f"{dup[0][key]!r}; deduplicate the batch before merging"
         )
+    # NULL keys can never MERGE: the anti-join's NULL = NULL comparison
+    # never matches, so a NULL-key target row would be RETAINED and the
+    # NULL-key update row inserted BESIDE it — silent key duplication.
+    # Fail loudly instead (Delta MERGE conditions reject NULL the same
+    # way, by never matching).
+    if updates.where(F.col(key).isNull()).limit(1).count():
+        raise ValueError(
+            f"upsert: updates batch has a NULL {key}; NULL join keys "
+            "never match — assign real keys before merging"
+        )
     remaining = current.join(
         F.broadcast(updates.select(key).distinct()), key, "left_anti"
     )
@@ -171,9 +193,17 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
     if not fs.rename(_p(target), _p(backup)):
         raise IOError(f"upsert swap: cannot move {target} aside")
     if not fs.rename(_p(staging), _p(target)):
-        # put the original back rather than leaving no dataset
-        fs.rename(_p(backup), _p(target))
-        raise IOError(f"upsert swap: cannot promote {staging}; original restored")
+        # put the original back rather than leaving no dataset — and
+        # report what ACTUALLY happened if that rename fails too (the
+        # next call's recovery branch restores the backup then)
+        restored = fs.rename(_p(backup), _p(target))
+        raise IOError(
+            f"upsert swap: cannot promote {staging}; "
+            + ("original restored"
+               if restored
+               else f"RESTORE ALSO FAILED — data is intact at {backup} "
+                    "and the next upsert call restores it")
+        )
     fs.delete(_p(backup), True)
 
 

@@ -199,7 +199,12 @@ def map_reduce(data: Sequence[Any],
                reducer: Callable[[list[Any]], Any],
                max_proc: int = 8,
                spark: SparkSession | None = None,
+               skip_none: bool = True,
                **kw: Any) -> Any:
     """Module-level convenience ≙ the reference's synopsis usage
-    (README.md:14-41)."""
-    return MapReduceEngine(spark).map_reduce(data, mapper, reducer, max_proc, **kw)
+    (README.md:14-41). ``skip_none`` ≙ ``skip_undef_result`` — it is an
+    engine-constructor option, routed there rather than forwarded to
+    ``engine.map_reduce`` (which would TypeError on it)."""
+    return MapReduceEngine(spark, skip_none=skip_none).map_reduce(
+        data, mapper, reducer, max_proc, **kw
+    )

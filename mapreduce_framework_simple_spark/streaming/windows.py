@@ -216,23 +216,45 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
 
     src = os.path.join(sf_dir, f"{table}.parquet")
     if os.path.isdir(src):
-        parts = sorted(
-            f for f in os.listdir(src) if not f.startswith(("_", "."))
-        )
-
-        def _part_sig(f: str) -> str:
-            st = os.stat(os.path.join(src, f))
-            return f"{f}:{st.st_mtime_ns}:{st.st_size}"
-
-        sig = ";".join(_part_sig(f) for f in parts)
+        # RECURSIVE walk: a partitioned dataset nests files in subdirs,
+        # and a rewrite inside a partition leaves the top-level entry's
+        # name (and often its stat) unchanged — a one-level listing
+        # would key the stale corpus as current.
+        sigs = []
+        for root, dirs, files in os.walk(src):
+            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, f))
+                rel = os.path.relpath(os.path.join(root, f), src)
+                sigs.append(f"{rel}:{st.st_mtime_ns}:{st.st_size}")
+        sig = ";".join(sigs)
     else:
         st = os.stat(src)
         sig = f"{st.st_mtime_ns}:{st.st_size}"
     key = hashlib.md5(f"{src}:{n_files}:{sig}".encode()).hexdigest()[:12]
     uid = getattr(os, "getuid", lambda: 0)()
-    drop_zone = os.path.join(
-        tempfile.gettempdir(), f"mfss_stream_{uid}_{table}_{key}"
-    )
+    # src-scoped prefix: GC must only reap superseded stages of THIS
+    # source path — a table staged from a DIFFERENT sf_dir may be
+    # mid-stream in a concurrent process (driver bench vs builder tests)
+    # and deleting it would fail that stream with missing files.
+    srch = hashlib.md5(src.encode()).hexdigest()[:8]
+    stage_prefix = f"mfss_stream_{uid}_{table}_{srch}_"
+    drop_zone = os.path.join(tempfile.gettempdir(), stage_prefix + key)
+    # GC superseded stages: every in-place regeneration of THIS source
+    # mints a new content key, and without cleanup each one orphans a
+    # full table copy in /tmp until the disk fills. A different-keyed
+    # same-source sibling stages a corpus that no longer exists on disk
+    # — any process still reading it is already consuming stale data, so
+    # removing it is the lesser harm. (.tmp.* dirs are skipped: they
+    # belong to a possibly-live peer's in-flight write; the rename-loser
+    # path removes its own.)
+    for d in os.listdir(tempfile.gettempdir()):
+        if d.startswith(stage_prefix) and ".tmp." not in d \
+                and d != stage_prefix + key:
+            shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
+                          ignore_errors=True)
     # the _SUCCESS probe rejects a partially-written stage from a crashed
     # prior run (the atomic rename makes that near-impossible, but cheap)
     if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
@@ -400,7 +422,13 @@ def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
     (enrichment/filter pipelines), where complete mode is rejected.
     ``out_dir`` is owned by this query: a fresh run (new checkpoint)
     clears it first so stale ``batch=N`` dirs from prior runs cannot
-    leak into reads."""
+    leak into reads.
+
+    CONSUMPTION CONTRACT: in complete mode every ``batch=N`` dir is a
+    FULL snapshot, so ``spark.read.parquet(out_dir)`` would union all
+    snapshots and multiply-count every row — read only the LAST batch
+    (:func:`read_latest_batch`). In append mode the dirs are disjoint
+    deltas and the union-read is the correct one."""
     _clean_stale_batches(stream_df.sparkSession, out_dir, checkpoint_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -414,6 +442,21 @@ def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
         .queryName(query_name)
         .start()
     )
+
+
+def read_latest_batch(spark: SparkSession, out_dir: str) -> DataFrame:
+    """The final snapshot of a complete-mode :func:`stream_to_parquet`
+    sink: the highest ``batch=N`` dir, sorted NUMERICALLY (lexicographic
+    picks batch=9 over batch=10). Raises if no batch was written."""
+    import re
+
+    batches = sorted(
+        (d for d in os.listdir(out_dir) if re.fullmatch(r"batch=\d+", d)),
+        key=lambda n: int(n.split("=")[1]),
+    )
+    if not batches:
+        raise FileNotFoundError(f"no batch=N dirs under {out_dir}")
+    return spark.read.parquet(os.path.join(out_dir, batches[-1]))
 
 
 def stream_enrich_static(

@@ -162,3 +162,42 @@ def test_upsert_rejects_duplicate_update_keys(spark, tmp_path):
     assert sorted(
         (r["k"], r["v"]) for r in spark.read.parquet(target).collect()
     ) == [(1, "a"), (2, "b")]
+
+
+def test_upsert_rejects_null_update_keys(spark, tmp_path):
+    """NULL keys can never MERGE (NULL = NULL never matches the
+    anti-join), so a NULL-key update would silently land BESIDE a
+    NULL-key target row — the guard fails loudly instead."""
+    import pytest
+
+    from mapreduce_framework_simple_spark.operators.layout import upsert_parquet
+
+    target = str(tmp_path / "upsert_null")
+    spark.createDataFrame([(None, "a"), (2, "b")], "k long, v string").write.parquet(
+        target
+    )
+    null_updates = spark.createDataFrame([(None, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="NULL"):
+        upsert_parquet(spark, target, null_updates, key="k")
+    assert spark.read.parquet(target).count() == 2  # target untouched
+
+
+def test_salted_ops_reject_reserved_salt_column(spark):
+    """'_salt' is reserved working space: withColumn would silently
+    overwrite a caller's column of that name and the final drop would
+    eat it — both operators must refuse instead."""
+    import pytest
+
+    from mapreduce_framework_simple_spark.operators.layout import (
+        salted_agg,
+        salted_join,
+    )
+
+    df = spark.createDataFrame([(1, 5)], "k long, _salt long")
+    clean = spark.createDataFrame([(1, 7)], "k long, w long")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_agg(df, "k", [(F.col("_salt"), F.sum, F.sum, "s")])
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(df, "k", clean, "k")
+    with pytest.raises(ValueError, match="_salt"):
+        salted_join(clean, "k", df, "k")  # small side reserved too

@@ -73,6 +73,17 @@ def test_skip_none_filter(spark):
     collected = eng.map_reduce(data, mapper, lambda m: m, 4, pre_chunked=True)
     assert None in collected
 
+    # the module-level wrapper must route skip_none to the CONSTRUCTOR
+    # (forwarding it to engine.map_reduce would TypeError)
+    from mapreduce_framework_simple_spark.operators.mapreduce import (
+        map_reduce as mr_fn,
+    )
+
+    kept = mr_fn(data, mapper, lambda m: m, 4, spark=spark,
+                 skip_none=False, pre_chunked=True)
+    assert None in kept
+    assert mr_fn(data, mapper, sum, 4, spark=spark, pre_chunked=True) == 4
+
 
 def test_word_count_showcase(spark):
     """The reference's motivating use case (Simple.pm:612): word count as

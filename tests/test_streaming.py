@@ -148,10 +148,11 @@ def test_foreach_batch_parquet_sink(spark, sf_dir, tmp_path):
         stream_user_counts(read_events_stream(spark, sf_dir)), out, ckpt
     )
     q.awaitTermination()
-    # numeric sort: lexicographic picks batch=9 over batch=10
-    batches = sorted(os.listdir(out), key=lambda n: int(n.split("=")[1]))
-    assert batches, "no batches written"
-    final = spark.read.parquet(f"{out}/{batches[-1]}").toPandas()
+    # complete-mode consumption contract: only the LAST batch dir is the
+    # answer (every batch=N is a full snapshot) — via the public helper
+    from mapreduce_framework_simple_spark.streaming.windows import read_latest_batch
+
+    final = read_latest_batch(spark, out).toPandas()
     want = (
         load_table(spark, "events", sf_dir)
         .groupBy("user_id")
@@ -470,3 +471,40 @@ def test_stage_stream_source_repairs_broken_stage(spark, sf_dir):
     assert zone2 == zone
     assert os.path.exists(marker)  # re-staged, marker restored
     assert spark.read.parquet(zone2).count() == n_good  # full data back
+
+
+def test_stage_stream_source_gcs_superseded_and_keys_recursively(
+    spark, tmp_path, monkeypatch
+):
+    """Two contracts of the content key: (a) a rewrite INSIDE a
+    partition subdir (top-level names unchanged) must mint a NEW key —
+    a one-level listing would stream the stale corpus; (b) the
+    superseded stage must be GARBAGE-COLLECTED, not orphaned in /tmp
+    forever (one full table copy per testdata regeneration)."""
+    import os
+
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        _stage_stream_source,
+    )
+
+    sf = tmp_path / "sf"
+    part = sf / "events.parquet" / "day=1"
+    part.mkdir(parents=True)
+
+    def write(values):
+        pd.DataFrame(
+            {"event_id": range(len(values)), "user_id": [1] * len(values),
+             "event_type": ["view"] * len(values),
+             "ts": pd.Timestamp("2024-01-01"), "value": values}
+        ).to_parquet(part / "data.parquet")
+
+    write([1.0, 2.0])
+    zone1 = _stage_stream_source(spark, "events", str(sf), n_files=1)
+    assert os.path.isdir(zone1)
+    write([1.0, 2.0, 3.0])  # rewrite nested file; top-level entry unchanged
+    zone2 = _stage_stream_source(spark, "events", str(sf), n_files=1)
+    assert zone2 != zone1, "nested rewrite did not change the content key"
+    assert spark.read.parquet(zone2).count() == 3
+    assert not os.path.exists(zone1), "superseded stage was not GC'd"
