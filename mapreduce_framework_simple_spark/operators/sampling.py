@@ -37,6 +37,25 @@ def _duck_bucket(expr: str, buckets: int) -> str:
     return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4))::BIGINT % {buckets}"
 
 
+def md5_rank_window(partition_col: str, id_col: str) -> Window:
+    """The ONE definition of the "top-K per stratum by hash permutation"
+    ordering (q84 strata, q106 quotas): row_number over
+    ``ORDER BY md5(CAST(id AS string)), id`` within the stratum — the
+    md5 hex string is the shared pseudo-random permutation, the id the
+    total tie-break. Centralized (like :func:`hash_bucket` for the
+    bucket idiom) so a retune can never silently diverge one query from
+    its oracle; the SQL twin is :func:`_duck_md5_rank`."""
+    return Window.partitionBy(partition_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+
+
+def _duck_md5_rank(partition_col: str, id_col: str) -> str:
+    """DuckDB twin of :func:`md5_rank_window` (the OVER(...) body)."""
+    return (f"PARTITION BY {partition_col} "
+            f"ORDER BY md5(CAST({id_col} AS VARCHAR)), {id_col}")
+
+
 @query(
     "q83_hash_sample",
     oracle=f"""
@@ -61,13 +80,11 @@ def q83_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q84_stratified_sample",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
     FROM (
       SELECT doc_id, lang,
-             row_number() OVER (
-               PARTITION BY lang
-               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+             row_number() OVER ({_duck_md5_rank("lang", "doc_id")}) AS rnk
       FROM documents)
     WHERE rnk <= 5
     """,
@@ -82,9 +99,7 @@ def q84_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes the k=5 cut below the sort so each partition keeps a 5-row
     heap instead of materializing the stratum."""
     docs = load_table(spark, "documents", sf_dir)
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
+    w = md5_rank_window("lang", "doc_id")
     return (
         docs.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 5)
@@ -125,10 +140,7 @@ def q85_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ranked AS (
         SELECT doc_id, source, n_chars,
-               row_number() OVER (
-                   PARTITION BY source
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ) AS rk
+               row_number() OVER ({_duck_md5_rank("source", "doc_id")}) AS rk
         FROM documents
     )
     SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk
@@ -149,10 +161,7 @@ def q106_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k-per-group rewrite keeps at most K rows per source per map task
     before the shuffle)."""
     docs = load_table(spark, "documents", sf_dir)
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
-    )
+    w = md5_rank_window("source", "doc_id")
     return (
         docs.select("doc_id", "source", "n_chars")
         .withColumn("rk", F.row_number().over(w))

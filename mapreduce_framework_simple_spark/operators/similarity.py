@@ -228,10 +228,12 @@ def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
 )
 def q40_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k for a deterministic query subset,
-    on the vectorized matmul kernel (queries ship inside the closure;
-    corpus scan is embarrassingly parallel; per-batch top-k pruning keeps
-    the final window shuffle at O(batches × k) rows per query). This
-    exact kernel is also the recall referee for q41's IVF path."""
+    on the vectorized matmul kernel (queries ship via ONE torrent
+    ``sc.broadcast`` — deliberately NOT the per-task closure, see
+    :func:`_pairwise_cosine_scan`; corpus scan is embarrassingly
+    parallel; per-batch top-k pruning keeps the final window shuffle at
+    O(batches × k) rows per query). This exact kernel is also the recall
+    referee for q41's IVF path."""
     em = load_table(spark, "embeddings", sf_dir)
     q = em.where(F.col("vec_id") % QUERY_STRIDE == 0).select("vec_id", "embedding")
     scored = _pairwise_cosine_scan(spark, sf_dir, q, emit_top_k=TOP_K).select(
@@ -293,6 +295,95 @@ def _stride_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _nearest_cells(df: DataFrame, id_col: str, emb_col: str,
+                   cents: DataFrame, top_n: int) -> DataFrame:
+    """Vectorized top-``top_n`` centroid cells per vector — the shared
+    kernel under :func:`ivf_assignments` (top_n=1) and
+    :func:`_ivf_probes` (top_n=N_PROBE).
+
+    Same shape as :func:`_pairwise_cosine_scan`: the BOUNDED centroid
+    set (K ≈ √N by the IVF sizing; guarded by the same
+    ``MAX_BROADCAST_QUERIES`` bound) collects once and ships via one
+    torrent ``sc.broadcast``; the corpus streams through ``mapInPandas``
+    Arrow batches. Replaces the earlier JVM higher-order-function fold,
+    which Spark evaluates interpreted — ~50 boxed ops per element, the
+    same ~20-50× constant the scan kernel's docstring measures — an
+    N·K cost on every index build.
+
+    Exact rule parity with the replaced expression pipeline: dot/norm
+    fold SEQUENTIALLY over dims, scores round to 6 dp HALF_UP
+    (``F.round``'s mode — NOT numpy's half-even default), ranking is
+    (rounded sim DESC, cell_id ASC); equality-tested against the
+    expression formulation on both centroid sources."""
+    import numpy as np
+
+    spark = df.sparkSession
+    if cents.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
+        raise ValueError(
+            f"centroid set exceeds {MAX_BROADCAST_QUERIES}; IVF sizing is "
+            "K ≈ √N — rebuild with kmeans_centroid_frame"
+        )
+    cp = cents.select("cell_id", "c_emb").toPandas()
+    cell_ids_l = cp["cell_id"].to_numpy(dtype="int64")
+    cmat_l = np.stack([np.asarray(v, dtype="float64") for v in cp["c_emb"]])
+    bc = scoped_broadcast(spark.sparkContext.broadcast((cell_ids_l, cmat_l)))
+    n_keep = top_n
+
+    def nearest(batches):
+        import numpy as np
+        import pandas as pd
+
+        cell_ids, cmat = bc.value
+        dim = cmat.shape[1]
+        cacc = np.zeros(len(cmat))
+        for d in range(dim):  # sequential over dims == the SQL fold
+            cacc += cmat[:, d] * cmat[:, d]
+        cnorm = np.sqrt(cacc)
+        for pdf in batches:
+            if len(pdf) == 0:  # np.stack on an empty batch would raise
+                continue
+            ids = pdf[id_col].to_numpy(dtype="int64")
+            mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[emb_col]])
+            nacc = np.zeros(len(mat))
+            for d in range(dim):
+                nacc += mat[:, d] * mat[:, d]
+            bnorm = np.sqrt(nacc)
+            best_r = best_c = None  # carried (rows × ≤n_keep) top lists
+            step = max(1, _SCAN_CHUNK_ELEMS // max(1, len(mat)))
+            for c0 in range(0, len(cmat), step):
+                cch = cmat[c0:c0 + step]
+                dots = np.zeros((len(mat), len(cch)))
+                for d in range(dim):
+                    dots += mat[:, d:d + 1] * cch[:, d][None, :]
+                sims = dots / (bnorm[:, None] * cnorm[c0:c0 + step][None, :])
+                # HALF_UP micro-units (F.round's mode; np.round is
+                # half-even), kept integer so ranking ties are exact
+                ri = (np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)).astype("int64")
+                ci = np.broadcast_to(cell_ids[c0:c0 + step], ri.shape)
+                cand_r = ri if best_r is None else np.concatenate([best_r, ri], 1)
+                cand_c = ci if best_c is None else np.concatenate([best_c, ci], 1)
+                # per-row lexicographic (-sim, cell_id): stable sort by
+                # cell, then stable sort by -sim — ties land on the
+                # smaller cell, the window ordering of the old pipeline
+                o1 = np.argsort(cand_c, axis=1, kind="stable")
+                r1 = np.take_along_axis(cand_r, o1, 1)
+                o2 = np.argsort(-r1, axis=1, kind="stable")
+                sel = np.take_along_axis(o1, o2, 1)[:, :n_keep]
+                best_r = np.take_along_axis(cand_r, sel, 1)
+                best_c = np.take_along_axis(cand_c, sel, 1)
+            k_out = best_c.shape[1]  # ≤ n_keep (fewer cells than probes)
+            yield pd.DataFrame({
+                id_col: np.repeat(ids, k_out),
+                emb_col: [v for v in pdf[emb_col] for _ in range(k_out)],
+                "cell_id": best_c.reshape(-1),
+            })
+
+    emb_t = df.schema[emb_col].dataType.simpleString()
+    return df.select(id_col, emb_col).mapInPandas(
+        nearest, f"{id_col} long, {emb_col} {emb_t}, cell_id long"
+    )
+
+
 def ivf_assignments(spark: SparkSession, sf_dir: str,
                     centroids: DataFrame | None = None) -> DataFrame:
     """Assign every vector to its nearest centroid cell (IVF build side).
@@ -300,23 +391,11 @@ def ivf_assignments(spark: SparkSession, sf_dir: str,
     ``centroids`` is any (cell_id, c_emb) frame — production passes
     :func:`kmeans_centroid_frame` (K ≈ √N); None falls back to the
     deterministic stride sample. Assignment is argmax cosine over the
-    broadcast centroid set, computed JVM-side."""
+    broadcast centroid set on the vectorized :func:`_nearest_cells`
+    kernel (6-dp HALF_UP rounding, ties to the smaller cell_id)."""
     em = load_table(spark, "embeddings", sf_dir)
     cents = centroids if centroids is not None else _stride_centroids(spark, sf_dir)
-    scored = em.join(F.broadcast(cents)).select(
-        "vec_id",
-        "embedding",
-        "cell_id",
-        F.round(cosine_expr("embedding", "c_emb"), 6).alias("cell_sim"),
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "embedding", "cell_id")
-    )
+    return _nearest_cells(em, "vec_id", "embedding", cents, top_n=1)
 
 
 def _ivf_probes(
@@ -336,18 +415,7 @@ def _ivf_probes(
     q = queries if queries is not None else em.where(
         F.col("vec_id") % QUERY_STRIDE == 0
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
-    qc = q.join(F.broadcast(cents)).select(
-        "query_id", "q_emb", "cell_id",
-        F.round(cosine_expr("q_emb", "c_emb"), 6).alias("cell_sim"),
-    )
-    from pyspark.sql import Window
-
-    wq = Window.partitionBy("query_id").orderBy(F.desc("cell_sim"), F.asc("cell_id"))
-    return (
-        qc.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") <= N_PROBE)
-        .select("query_id", "q_emb", "cell_id")
-    )
+    return _nearest_cells(q, "query_id", "q_emb", cents, top_n=N_PROBE)
 
 
 def _score_and_rank_candidates(cand: DataFrame, k: int = TOP_K) -> DataFrame:

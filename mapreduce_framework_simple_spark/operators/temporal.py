@@ -15,8 +15,11 @@ union-and-window formulation, which is the only formulation that survives
   whole-stage-codegens.
 
 DuckDB's native ``ASOF JOIN`` implements the same semantics; the oracle
-uses the portable ``last_value IGNORE NULLS`` window identity so both
-engines execute bit-identical logic.
+uses the portable ``last_value IGNORE NULLS`` window identity, which is
+equivalent to the operator whenever ``carry`` and ``ts`` are non-NULL
+(true of the oracle tables). For NULL carries/timestamps the operator
+pins its own explicit semantics (see :func:`asof_backward`) rather than
+inheriting either engine's NULL-sort default.
 """
 
 from __future__ import annotations
@@ -41,8 +44,16 @@ def asof_backward(
     and ``right.ts <= left.ts`` (NULL when none precedes).
 
     Semantics pinned for determinism: "at-or-before" is inclusive (a
-    right row at exactly ``left.ts`` matches), and ties among right rows
-    at the same timestamp resolve to the greatest ``carry`` value.
+    right row at exactly ``left.ts`` matches); ties among right rows at
+    the same timestamp resolve to the greatest non-NULL ``carry`` value
+    (a NULL carry loses ties). NULL handling is explicit, never left to
+    an engine's NULL-sort default (Spark sorts NULLS FIRST, DuckDB
+    NULLS LAST): a right row with NULL ``ts`` can never satisfy
+    ``ts <= left.ts`` and is excluded; a left row with NULL ``ts`` gets
+    NULL. A matched right row whose ``carry`` IS NULL yields NULL — the
+    latest row's value, not a stale older carry (the match marker is a
+    struct wrapper, so "no right row yet" and "right row carrying NULL"
+    stay distinguishable).
 
     Implementation: tag both sides, union, and run ONE window per key
     ordered by (ts, side, carry) carrying the last right-side value
@@ -66,7 +77,7 @@ def asof_backward(
         F.lit(None).cast(carry_type).alias("__carry"),
         row_struct.alias("__row"),
     )
-    rsel = right.select(
+    rsel = right.where(F.col(ts).isNotNull()).select(
         F.col(on).alias("__on"),
         F.col(ts).alias("__ts"),
         F.lit(0).alias("__kind"),
@@ -78,9 +89,26 @@ def asof_backward(
         .orderBy("__ts", "__kind", "__carry")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    matched = rsel.unionByName(lsel).withColumn(
-        alias,
-        F.last(F.when(F.col("__kind") == 0, F.col("__carry")), ignorenulls=True).over(w),
+    matched = (
+        rsel.unionByName(lsel)
+        .withColumn(
+            "__m",
+            # the struct wrapper is the match MARKER: it is non-NULL for
+            # every right row even when __carry itself is NULL, so
+            # ignorenulls skips only left rows — a NULL carry on the
+            # latest right row comes through as NULL instead of being
+            # skipped over to a stale older carry
+            F.last(
+                F.when(F.col("__kind") == 0, F.struct(F.col("__carry"))),
+                ignorenulls=True,
+            ).over(w),
+        )
+        .withColumn(
+            # a left row with NULL ts has no defined "at-or-before" —
+            # masked explicitly, not left to NULL-sort order
+            alias,
+            F.when(F.col("__ts").isNotNull(), F.col("__m.__carry")),
+        )
     )
     return matched.where(F.col("__kind") == 1).select("__row.*", alias)
 

@@ -19,6 +19,47 @@ from mapreduce_framework_simple_spark.operators.similarity import (
 )
 
 
+def test_nearest_cells_kernel_matches_expression_pipeline(spark, sf_dir):
+    """The vectorized _nearest_cells kernel (mapInPandas, HALF_UP micro
+    rounding, ties to smaller cell) must emit EXACTLY the cells of the
+    JVM-expression formulation it replaced (broadcast join + cosine_expr
+    + 6-dp round + row_number window) — for argmax (top_n=1) AND the
+    top-N_PROBE probe depth, on both centroid sources."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators import similarity as S
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    em = load_table(spark, "embeddings", sf_dir)
+
+    def expression_cells(cents, top_n):
+        scored = em.join(F.broadcast(cents)).select(
+            "vec_id", "cell_id",
+            F.round(S.cosine_expr("embedding", "c_emb"), 6).alias("s"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cell_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= top_n)
+            .select("vec_id", "cell_id")
+        )
+
+    for cents in (S._stride_centroids(spark, sf_dir),
+                  S.kmeans_centroid_frame(spark, sf_dir)):
+        for top_n in (1, S.N_PROBE):
+            got = sorted(
+                map(tuple, S._nearest_cells(em, "vec_id", "embedding",
+                                            cents, top_n)
+                    .select("vec_id", "cell_id").collect())
+            )
+            want = sorted(map(tuple, expression_cells(cents, top_n).collect()))
+            assert got == want, (
+                f"kernel diverged from expression pipeline "
+                f"(top_n={top_n}, K={cents.count()})"
+            )
+
+
 def test_ivf_recall_against_exact(spark, sf_dir):
     """IVF ANN must find ≥60% of the true top-5 neighbors (4 of 16 cells
     probed — recall is bounded by probe coverage, not by bugs)."""

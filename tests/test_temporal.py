@@ -60,6 +60,43 @@ def test_asof_backward_keeps_all_left_columns_and_rows(spark):
     assert out.count() == left.count()
 
 
+def test_asof_backward_null_semantics(spark):
+    """Explicit NULL contract: the latest right row's NULL carry comes
+    through as NULL (not skipped over to a stale older carry); a right
+    row with NULL ts can never match; a left row with NULL ts gets NULL
+    — none of it inherited from an engine's NULL-sort default."""
+    left = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(12), lid=200),  # latest right row carries NULL
+            Row(k=2, ts=_t(12), lid=201),  # only right row has NULL ts
+            Row(k=1, ts=None, lid=202),    # left NULL ts → no match
+        ]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(k=1, ts=_t(5), rid=700),
+            Row(k=1, ts=_t(10), rid=None),  # latest at-or-before 12: NULL
+            Row(k=2, ts=None, rid=701),     # NULL ts: excluded entirely
+        ]
+    )
+    out = {
+        r["lid"]: r["matched"]
+        for r in asof_backward(
+            left, right, on="k", ts="ts", carry="rid", alias="matched"
+        ).collect()
+    }
+    assert out == {200: None, 201: None, 202: None}
+    # and a NULL carry LOSES an equal-ts tie to a real value
+    right2 = spark.createDataFrame(
+        [Row(k=1, ts=_t(10), rid=None), Row(k=1, ts=_t(10), rid=800)]
+    )
+    (row,) = asof_backward(
+        left.where("lid = 200"), right2, on="k", ts="ts", carry="rid",
+        alias="matched",
+    ).collect()
+    assert row["matched"] == 800
+
+
 def test_recursive_and_window_chain_depth_agree(spark, sf_dir):
     """q92 (WITH RECURSIVE) and q93 (gaps-and-islands windows) are two
     plans for the same relation; their outputs must be identical."""
