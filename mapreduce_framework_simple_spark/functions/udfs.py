@@ -193,9 +193,16 @@ def q62_matrix_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise AssertionError(
                 "q62: LU inverse disagrees with the adjugate closed form"
             )
+        def half_up6(x):
+            # HALF_UP at 6 dp, matching DuckDB round() (half away from
+            # zero) and Spark F.round — np.round is half-to-even, which
+            # would hash a det landing exactly on a .5 micro boundary
+            # apart from the oracle
+            return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
         return pd.DataFrame({
-            "det": np.round(dets, 6),
-            "inv00": np.round(inv00, 6),
+            "det": half_up6(dets),
+            "inv00": half_up6(inv00),
         })
 
     em = load_table(spark, "embeddings", sf_dir)

@@ -26,6 +26,8 @@ calls with the model shipped inside the mapper source each round
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -35,6 +37,8 @@ from mapreduce_framework_simple_spark.ephemeral import (
 )
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
+
+logger = logging.getLogger(__name__)
 
 K = 8
 N_ITER = 5
@@ -104,6 +108,11 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
              "n_members": pd.Series(dtype="int64")}
         )
         return _assign(em, [[0.0]]).limit(0), [], [], empty_stats
+    if n_iter < 1:
+        # the return contract is (assigned DataFrame, trace, centroids,
+        # stats) — zero iterations has no assignment to return; fail
+        # loudly instead of UnboundLocalError deep in the tail
+        raise ValueError(f"kmeans: n_iter must be >= 1, got {n_iter}")
     if k is None:
         k = max(1, math.isqrt(n))
     stride = max(n // k, 1)
@@ -114,6 +123,20 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
         .toPandas()["embedding"]
         .tolist()
     )
+    if not seeds:
+        # stride seeding assumes reasonably dense vec_ids; sparse/offset
+        # id spaces (all-odd ids with an even stride, large offsets) can
+        # miss every row — fail with the remedy, not an IndexError
+        raise ValueError(
+            "kmeans: stride seeding found no vectors with "
+            f"vec_id % {stride} == 0 — the id space is too sparse for "
+            "modulo seeding; densify ids or pass explicit k"
+        )
+    if len(seeds) < k:
+        logger.warning(
+            "kmeans: stride seeding yielded %d seeds for k=%d — "
+            "proceeding with the smaller k", len(seeds), k,
+        )
     centroids = [list(map(float, s)) for s in seeds]
     trace: list[float] = []
     assigned = None

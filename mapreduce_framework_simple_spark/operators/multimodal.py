@@ -73,18 +73,28 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
         # package on PYTHONPATH nor an addPyFile
         import hashlib as _hashlib
 
-        def _decode(payload: bytes) -> tuple[int, int, int]:
-            h = _hashlib.md5(payload).hexdigest()
+        def _decode(payload) -> tuple:
+            # NULL payload (e.g. NULL-text document, a class production
+            # crawls contain) decodes to NULL metadata, not a TypeError
+            # that fails the whole query — matching the oracle's NULL
+            # propagation
+            if payload is None:
+                return (None, None, None)
+            h = _hashlib.md5(bytes(payload)).hexdigest()
             return (1 + int(h[0:2], 16) % 64, 1 + int(h[2:4], 16) % 64, 3)
 
         for pdf in batches:
-            metas = [_decode(bytes(p)) for p in pdf[payload_col]]
+            metas = [_decode(p) for p in pdf[payload_col]]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "n_bytes": pdf[payload_col].map(len).astype("int32"),
-                "width": pd.Series([m[0] for m in metas], dtype="int32"),
-                "height": pd.Series([m[1] for m in metas], dtype="int32"),
-                "channels": pd.Series([m[2] for m in metas], dtype="int32"),
+                "n_bytes": pd.array(
+                    [len(bytes(p)) if p is not None else None
+                     for p in pdf[payload_col]],
+                    dtype="Int32",
+                ),
+                "width": pd.array([m[0] for m in metas], dtype="Int32"),
+                "height": pd.array([m[1] for m in metas], dtype="Int32"),
+                "channels": pd.array([m[2] for m in metas], dtype="Int32"),
             })
 
     return df.mapInPandas(run, IMAGE_META_SCHEMA)
@@ -104,7 +114,7 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            CAST(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INT) AS width,
            CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INT) AS height,
-           CAST(3 AS INT) AS channels
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 3 END AS INT) AS channels
     FROM documents
     """,
 )
@@ -181,14 +191,23 @@ def resize_images(df: DataFrame, width: int, height: int,
 
         for pdf in batches:
             out = [
+                None if p is None else
                 _hashlib.md5(bytes(p)).digest() + width.to_bytes(2, "big")
                 + height.to_bytes(2, "big")
                 for p in pdf[payload_col]
             ]
             yield pd.DataFrame({
                 "doc_id": pdf[id_col].astype("int64"),
-                "width": pd.Series([width] * len(pdf), dtype="int32"),
-                "height": pd.Series([height] * len(pdf), dtype="int32"),
+                # NULL payload → NULL resize, dims included: the target
+                # dims describe the emitted image, and none was emitted
+                "width": pd.array(
+                    [None if p is None else width for p in pdf[payload_col]],
+                    dtype="Int32",
+                ),
+                "height": pd.array(
+                    [None if p is None else height for p in pdf[payload_col]],
+                    dtype="Int32",
+                ),
                 "payload": out,
             })
 
@@ -221,6 +240,9 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
         for pdf in batches:
             dur, rms, mfcc = [], [], []
             for p in pdf[payload_col]:
+                if p is None:  # NULL payload → NULL features, not a crash
+                    dur.append(None); rms.append(None); mfcc.append(None)
+                    continue
                 h = _hashlib.md5(bytes(p)).digest()
                 dur.append(len(bytes(p)) / 16000.0)
                 rms.append(h[0] / 255.0)

@@ -313,17 +313,24 @@ def q33_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q34_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style document fingerprint: minimum hash over all char
     8-grams (md5 hex compared lexicographically — a deterministic "rolling
-    hash" both engines share). Texts shorter than 8 chars hash whole."""
+    hash" both engines share). Texts shorter than 8 chars hash whole.
+
+    The minimum is an ``F.aggregate`` fold of ``least(acc, md5(gram))``
+    — O(1) extra memory per row. The earlier transform+array_min
+    materialized the full per-row md5 ARRAY first (~32 bytes per text
+    character — 32 MB transient for a 1 MB document) just to take its
+    min; ``least`` skips the NULL init, so the fold needs no sentinel.
+    ``txt`` is projected BEFORE the lambda (no subexpression elimination
+    inside lambdas — the q105 discipline), so lower(trim()) runs once
+    per row, not once per gram."""
     docs = load_table(spark, "documents", sf_dir)
-    txt = F.lower(F.trim(F.col("text")))
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(txt) - 7, F.lit(1))),
-        lambda i: txt.substr(i, F.lit(8)),
+    t = docs.select("doc_id", F.lower(F.trim(F.col("text"))).alias("txt"))
+    fp = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length("txt") - 7, F.lit(1))),
+        F.lit(None).cast("string"),
+        lambda acc, i: F.least(acc, F.md5(F.col("txt").substr(i, F.lit(8)))),
     )
-    return docs.select(
-        "doc_id",
-        F.array_min(F.transform(grams, F.md5)).alias("fingerprint"),
-    )
+    return t.select("doc_id", fp.alias("fingerprint"))
 
 
 @query(
@@ -480,7 +487,9 @@ GOPHER_TOP_WORD_DENOM = 5
 @query(
     "q98_gopher_rules",
     oracle=f"""
-    WITH t AS (SELECT doc_id, {DUCK_TOKS} AS toks FROM documents),
+    WITH t AS (SELECT doc_id,
+                      coalesce({DUCK_TOKS}, CAST([] AS VARCHAR[])) AS toks
+               FROM documents),
     w AS (SELECT doc_id, unnest(toks) AS word FROM t),
     topw AS (SELECT doc_id, max(cnt) AS top_cnt
              FROM (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2)
@@ -494,12 +503,12 @@ GOPHER_TOP_WORD_DENOM = 5
                       AS stop_hits
              FROM t)
     SELECT base.doc_id, n_tokens, sum_token_len, stop_hits,
-           CAST(top_cnt AS BIGINT) AS top_word_cnt,
+           CAST(coalesce(top_cnt, 0) AS BIGINT) AS top_word_cnt,
            (sum_token_len >= {GOPHER_MIN_MWL} * n_tokens AND
             sum_token_len <= {GOPHER_MAX_MWL} * n_tokens AND
             stop_hits >= {GOPHER_MIN_STOP_HITS} AND
-            {GOPHER_TOP_WORD_DENOM} * top_cnt <= n_tokens) AS keep
-    FROM base JOIN topw ON base.doc_id = topw.doc_id
+            {GOPHER_TOP_WORD_DENOM} * coalesce(top_cnt, 0) <= n_tokens) AS keep
+    FROM base LEFT JOIN topw ON base.doc_id = topw.doc_id
     """,
 )
 def q98_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -511,9 +520,17 @@ def q98_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the per-doc stats are map-side array ops; the only shuffle is
     the (doc, word) count feeding the top-word cap — partial-aggregated,
     keyed by doc_id, trivially parallel. This is the shape of every
-    production quality gate: one corpus pass, one bounded shuffle."""
+    production quality gate: one corpus pass, one bounded shuffle.
+
+    Contract: ONE keep row per document, including empty/whitespace/NULL
+    text (zero tokens ⇒ keep=false via the stopword floor) — the
+    top-word side is a LEFT join, so zero-token docs are gated, never
+    silently dropped from both buckets."""
     docs = load_table(spark, "documents", sf_dir)
-    t = docs.select("doc_id", tokens_expr().alias("toks"))
+    t = docs.select(
+        "doc_id",
+        F.coalesce(tokens_expr(), F.array().cast("array<string>")).alias("toks"),
+    )
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     base = t.select(
         "doc_id",
@@ -531,7 +548,9 @@ def q98_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("cnt").alias("top_word_cnt"))
     )
-    j = base.join(topw, "doc_id")
+    j = base.join(topw, "doc_id", "left").withColumn(
+        "top_word_cnt", F.coalesce(F.col("top_word_cnt"), F.lit(0))
+    )
     keep = (
         (F.col("sum_token_len") >= GOPHER_MIN_MWL * F.col("n_tokens"))
         & (F.col("sum_token_len") <= GOPHER_MAX_MWL * F.col("n_tokens"))
@@ -584,7 +603,14 @@ def q99_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # not the operator. Verified by tests on planted PII.)
 # ---------------------------------------------------------------------------
 
-PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+# Domain = dotted labels; the final TLD label must be uniformly-cased
+# ([a-z]{2,} or [A-Z]{2,}) and not run into another letter. A mixed-case
+# token after a no-space sentence period ("a@b.com.Thanks for...") thus
+# fails the TLD and the match backtracks to "a@b.com" instead of eating
+# the following prose (which the old [A-Za-z0-9.-]+ domain did, silently
+# corrupting non-PII text).
+PII_EMAIL = (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*"
+             r"\.(?:[a-z]{2,}|[A-Z]{2,})(?![A-Za-z])")
 PII_PHONE = r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"
 PII_REPLACEMENT = "[PII]"
 

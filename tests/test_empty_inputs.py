@@ -346,3 +346,37 @@ def test_release_frees_cached_logicalrdd_frame(spark):
     ephemeral.release_caches()
     lvl = df.storageLevel
     assert not (lvl.useMemory or lvl.useDisk)
+
+
+def test_gopher_gate_emits_row_for_zero_token_docs(spark, monkeypatch):
+    """q98's contract is ONE keep row per document: empty, whitespace,
+    and NULL-text docs must surface as keep=false rows (top-word side is
+    a LEFT join), never vanish from both keep buckets."""
+    import mapreduce_framework_simple_spark.sources.io as io_mod
+    from mapreduce_framework_simple_spark.operators.text import q98_gopher_rules
+
+    docs = spark.createDataFrame(
+        [(1, "the and is of real words repeated the and is"),
+         (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    monkeypatch.setattr(
+        "mapreduce_framework_simple_spark.operators.text.load_table",
+        lambda spark, table, sf_dir: docs,
+    )
+    rows = {r["doc_id"]: r for r in q98_gopher_rules(spark, "unused").collect()}
+    assert set(rows) == {1, 2, 3, 4}, "zero-token docs dropped from the gate"
+    for d in (2, 3, 4):
+        assert rows[d]["keep"] is False
+        assert rows[d]["n_tokens"] == 0 and rows[d]["top_word_cnt"] == 0
+
+
+def test_kmeans_guards(spark):
+    """kmeans fails loudly on n_iter=0 (no assignment exists to return)
+    and on an id space too sparse for stride seeding."""
+    import pytest
+
+    from mapreduce_framework_simple_spark.operators.iterative import kmeans
+
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans(spark, "/root/testdata/sf0.001", n_iter=0)

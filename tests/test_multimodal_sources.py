@@ -115,3 +115,33 @@ def test_audio_features_stub(spark, sf_dir):
     assert pdf.mfcc.map(len).eq(13).all()
     assert pdf.duration_s.gt(0).all()
     assert pdf.rms.between(0, 1).all()
+
+
+def test_null_payload_propagates_as_null(spark):
+    """NULL-text documents (a class production crawls contain —
+    test_properties pins the same contract for the text operators) must
+    decode to NULL metadata/features in every kernel, never TypeError
+    the whole query; the q70 oracle NULL-propagates identically."""
+    from mapreduce_framework_simple_spark.operators.multimodal import (
+        decode_image_meta,
+        extract_audio_features,
+        resize_images,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "real text"), (2, None)], "doc_id long, text string"
+    )
+    payload = with_binary_payload(docs)
+
+    meta = {r["doc_id"]: r for r in decode_image_meta(payload, fake=True).collect()}
+    assert meta[1]["width"] is not None and meta[1]["channels"] == 3
+    assert all(meta[2][c] is None for c in ("n_bytes", "width", "height", "channels"))
+
+    rz = {r["doc_id"]: r for r in resize_images(payload, 32, 32, fake=True).collect()}
+    assert rz[1]["payload"] is not None and rz[1]["width"] == 32
+    assert rz[2]["payload"] is None and rz[2]["width"] is None
+
+    au = {r["doc_id"]: r
+          for r in extract_audio_features(payload, fake=True).collect()}
+    assert au[1]["mfcc"] is not None
+    assert au[2]["duration_s"] is None and au[2]["mfcc"] is None

@@ -311,6 +311,25 @@ def test_scrub_pii_redacts_planted_pii(spark):
     assert out[3]["n_pii"] == 3 and out[3]["text"].count("[PII]") == 3
 
 
+def test_scrub_pii_email_stops_at_sentence_period(spark):
+    """A no-space sentence period after an email must not drag the
+    following prose into the redaction: the mixed-case token fails the
+    uniformly-cased TLD rule and the match backtracks to the email."""
+    from mapreduce_framework_simple_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact a@b.com.Thanks for reading"),
+            (2, "shout to USER@EXAMPLE.COM.Goodbye now"),
+        ],
+        "id long, text string",
+    )
+    out = {r["id"]: r for r in scrub_pii(df).collect()}
+    assert out[1]["text"] == "contact [PII].Thanks for reading"
+    assert out[1]["n_pii"] == 1
+    assert out[2]["text"] == "shout to [PII].Goodbye now"
+
+
 def test_scrub_pii_overlap_counts_spans_not_patterns(spark):
     """A phone-shaped span inside an email local-part must count once:
     n_pii equals redacted spans, not pattern hits."""
