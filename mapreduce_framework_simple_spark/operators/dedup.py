@@ -58,11 +58,15 @@ _WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
 
 
 def norm_expr() -> "F.Column":
-    return F.regexp_replace(
-        F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+", " "
-    )
+    # COLLAPSE before TRIM: trim() strips only ' ' (both engines), so a
+    # leading "\thello" must first collapse to " hello" for the trim to
+    # remove it — trimming first left a stray leading/trailing space that
+    # split true duplicate groups (same wrong value in both engines, so
+    # the oracle could not catch it). _WS_CLASS reused verbatim: a second
+    # literal copy here once let the class drift from DUCK_NORM's.
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), _WS_CLASS, " "))
 
-DUCK_NORM = f"regexp_replace(lower(trim(text)), '{_WS_CLASS}', ' ', 'g')"
+DUCK_NORM = f"trim(regexp_replace(lower(text), '{_WS_CLASS}', ' ', 'g'))"
 
 
 @query(
@@ -212,9 +216,12 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact verification on packed shingle arrays
+    # exact verification on packed shingle arrays; the threshold/union
+    # rule itself routes through _jaccard_filter — THE single definition
+    # shared with the naive kernel, the q112 truth side, and the referee,
+    # so a rule change can never make q36 dispatch-dependent
     packed = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("sid")).alias("sids"))
-    verified = (
+    inter = (
         cand.join(
             packed.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a")),
             "doc_a",
@@ -223,15 +230,13 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
             packed.select(F.col("doc_id").alias("doc_b"), F.col("sids").alias("sids_b")),
             "doc_b",
         )
-        .withColumn("n_inter", F.size(F.array_intersect("sids_a", "sids_b")))
-        .withColumn(
-            "jaccard_raw",
-            F.col("n_inter").cast("double")
-            / (F.size("sids_a") + F.size("sids_b") - F.col("n_inter")),
+        .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("sids_a", "sids_b")).alias("n_inter"),
         )
-        .where(F.col("jaccard_raw") >= JACCARD_T)
     )
-    return verified.select("doc_a", "doc_b", "jaccard_raw")
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    return _jaccard_filter(inter, cnt)
 
 
 # Kernel dispatch threshold for q36: mean naive-self-join fan-out
@@ -534,7 +539,14 @@ def _drop_oversized_buckets(
         "(boilerplate guard; pairs within them are not emitted)",
         what, n_dropped, max_bucket_size,
     )
-    return bands.join(F.broadcast(oversized), ["band", "band_sig"], "left_anti")
+    # UNHINTED anti-join (module hint policy): the oversized list is
+    # worst-case corpus-proportional (~bands·N/cap rows on a
+    # boilerplate-heavy corpus) and it is agg-derived — sitting atop the
+    # groupBy exchange — so AQE plans the join from its TRUE size:
+    # broadcast while small (the common case: a handful of hot buckets),
+    # shuffled anti-join when a pathological corpus grows it. A hint
+    # would force a driver-side hashed relation at any size.
+    return bands.join(oversized, ["band", "band_sig"], "left_anti")
 
 
 def lsh_candidate_pairs(
@@ -1471,6 +1483,11 @@ def q107_dedup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BLOOM_K = 4  # hash functions; with m = 32·n bits, FP rate ≈ (1-e^(-1/8))^4 ≈ 2e-4
+# Driver-side bitmap bound: the build collects the probe's bit positions
+# and allocates m bool bytes on the driver (32·n_probe). 16M shingles →
+# 512 Mbit map, 64 MB packed broadcast, ~0.5 GB transient build — the
+# ceiling of sane; beyond it q108 fails loudly (see its guard).
+BLOOM_MAX_PROBE = 16_000_000
 
 
 @query("q108_bloom_decontaminate", oracle=_DUCK_DECON_ORACLE)
@@ -1498,7 +1515,21 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = scoped_cache(sh.where(F.col("doc_id") % 97 == 0).select("sid").distinct())
     rest = sh.where(F.col("doc_id") % 97 != 0)
 
-    n_probe = probe.count()  # probe corpus is tiny by premise (see docstring)
+    n_probe = probe.count()
+    # The tiny-by-premise probe is ENFORCED, not assumed: the bitmap
+    # build collects the probe's bit positions and allocates m bool
+    # bytes driver-side, both linear in n_probe — sound for a benchmark
+    # suite (≤ millions of shingles, the premise every decontamination
+    # run satisfies), driver-OOM for a corpus-fraction probe like this
+    # query's %97 STAND-IN at 100 TB. Fail loudly with the remedy
+    # instead of dying in np.zeros.
+    if n_probe > BLOOM_MAX_PROBE:
+        raise ValueError(
+            f"q108: probe set has {n_probe} distinct shingles, over the "
+            f"{BLOOM_MAX_PROBE} bound the driver-built bitmap supports — "
+            "decontamination probes are external benchmark suites by "
+            "premise; for corpus-scale probes use q91's join formulation"
+        )
     m = 1 << max(13, (32 * max(n_probe, 1) - 1).bit_length())
 
     def positions(col):  # k seeded positions, identical JVM expr both sides

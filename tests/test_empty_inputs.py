@@ -380,3 +380,33 @@ def test_kmeans_guards(spark):
 
     with pytest.raises(ValueError, match="n_iter"):
         kmeans(spark, "/root/testdata/sf0.001", n_iter=0)
+
+
+def test_exact_dedup_norm_collapses_before_trim(spark):
+    """'\\thello world' and 'hello world' are the same document: trim()
+    strips only spaces, so the collapse must run FIRST (tab → space →
+    trimmed); the old trim-first order left a stray leading space that
+    split true duplicate groups in BOTH engines, invisible to the
+    oracle."""
+    from mapreduce_framework_simple_spark.operators.dedup import norm_expr
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "\thello world"), (3, "hello world\n"),
+         (4, "Hello   WORLD")],
+        "doc_id long, text string",
+    )
+    out = df.select(norm_expr().alias("n")).collect()
+    assert {r["n"] for r in out} == {"hello world"}
+
+
+def test_bloom_probe_bound_fails_loudly(spark, sf_dir, monkeypatch):
+    """q108's driver-built bitmap is linear in the probe size — an
+    over-bound probe must raise with the q91 remedy, not OOM the driver
+    in np.zeros."""
+    import pytest
+
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "BLOOM_MAX_PROBE", 0)
+    with pytest.raises(ValueError, match="q91"):
+        D.q108_bloom_decontaminate(spark, sf_dir).collect()
