@@ -75,8 +75,14 @@ _DIM_PROBE_MEMO_MAX = 32
 
 
 def _dim_probe_count(p: DataFrame, sf_dir: str, bound: int) -> int:
-    """Memoized ``limit(bound+1).count()`` of the q07 dim (see above)."""
-    key = (p.sparkSession.sparkContext.applicationId, sf_dir, bound)
+    """Memoized ``limit(bound+1).count()`` of a probe-dispatch dim. The
+    key includes the PLAN's semantic hash — the helper takes an
+    arbitrary frame, and keying only on (session, sf_dir, bound) would
+    hand a second caller probing a differently-filtered dim the cached
+    count of the first (a small stale count can force a broadcast on an
+    over-bound dim, the exact failure the bound prevents)."""
+    key = (p.sparkSession.sparkContext.applicationId, sf_dir, bound,
+           p._jdf.queryExecution().analyzed().semanticHash())
     n = _DIM_PROBE_MEMO.get(key)
     if n is None:
         n = p.limit(bound + 1).count()
@@ -1024,7 +1030,12 @@ def q25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             head, F.lit(0.0), lambda acc, x: acc + x.cast("double")
         ).alias("head_sum"),
-        F.exists("embedding", lambda x: x.cast("double") > 0).alias("has_positive"),
+        # array_max mirrors the oracle's list_max EXACTLY on the edges
+        # F.exists does not: empty array → NULL > 0 → NULL in both
+        # engines (exists gave false), and NULL elements are skipped by
+        # both maxes (exists went tri-state NULL when no positive and a
+        # NULL present)
+        (F.array_max(F.col("embedding")).cast("double") > 0).alias("has_positive"),
     )
 
 
@@ -1033,7 +1044,13 @@ def q25_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id,
            CAST(len(map_keys(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)})) AS INT) AS n_keys,
-           (MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)})['etype'][1] AS etype_val,
+           -- element_at twin via map_extract()[1]? No: DuckDB's bracket
+           -- extraction changed meaning in 1.2 (map[key] returns the
+           -- value, not a one-element list), so any bracket/[1] form is
+           -- version-dependent in an unpinned environment. The map is
+           -- built from a column, so the value is simply that column —
+           -- the portable identity.
+           event_type AS etype_val,
            array_to_string(map_keys(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS keys_csv,
            array_to_string(map_values(MAP {'etype': event_type, 'uid': CAST(user_id AS VARCHAR)}), ',') AS values_csv
     FROM events
@@ -1179,15 +1196,19 @@ def q55_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (neither rollup nor cube shape): per-flag,
     per-status, and grand total in one pass over the scan."""
     li = load_table(spark, "lineitem", sf_dir)
-    li.createOrReplaceTempView("q55_lineitem")
+    # DataFrame substitution, not a fixed-name temp view: a session-global
+    # view name races two concurrent builds on one session (B's
+    # createOrReplaceTempView can land between A's create and A's
+    # spark.sql analysis, silently swapping A's input)
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
                count(*) AS n_rows
-        FROM q55_lineitem
+        FROM {li}
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-        """
+        """,
+        li=li,
     )
 
 
@@ -1473,7 +1494,13 @@ def q76_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.where(F.col("o_orderkey") % 5 == 0).select(
         F.col("o_orderkey").alias("orderkey"),
         F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
-        F.add_months("o_orderdate", 3).cast("timestamp").alias("plus3m"),
+        # timestamp + INTERVAL, not add_months: add_months returns a
+        # DATE, silently dropping time-of-day, while the oracle's
+        # `+ INTERVAL 3 MONTH` preserves it — parity held only because
+        # the current generator emits midnight-aligned o_orderdate (the
+        # q121 floor-vs-cast class of generator-drift hazard). Both
+        # engines clamp interval month arithmetic to month length.
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3m"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
 
@@ -1667,7 +1694,6 @@ def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     the still-growing chains — AQE sizes each round's shuffle at runtime.
     Same recursion the oracle runs (epoch_us ≙ unix_micros)."""
     e = load_table(spark, "events", sf_dir)
-    e.createOrReplaceTempView("q92_events")
     # every event appears in exactly one recursion round, so total
     # recursive output == input rows; the default 1M-row safety limit
     # (spark.sql.cteRecursionRowLimit) trips on any event table >1M rows
@@ -1691,7 +1717,7 @@ def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
                    AS prev_id,
                  unix_micros(ts) - unix_micros(lag(ts) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
-          FROM q92_events
+          FROM {e}
         ),
         chain(event_id, user_id, depth) AS (
           SELECT event_id, user_id, 1 AS depth
@@ -1703,7 +1729,8 @@ def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE u.gap_us <= 600000000
         )
         SELECT event_id, user_id, CAST(depth AS BIGINT) AS depth FROM chain
-        """
+        """,
+        e=e,
     )
 
 
@@ -2317,19 +2344,21 @@ def q119_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     WindowGroupLimit-style plan rather than executing a subquery per
     customer row — same physical shape as q13, so the SQL sugar costs
     nothing at 100 TB."""
-    load_table(spark, "customer", sf_dir).createOrReplaceTempView("q119_customer")
-    load_table(spark, "orders", sf_dir).createOrReplaceTempView("q119_orders")
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
     return spark.sql(
         """
         SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey, t.price_cents
-        FROM q119_customer c,
+        FROM {cust} c,
         LATERAL (SELECT o_orderkey,
                         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
-                 FROM q119_orders o
+                 FROM {orders} o
                  WHERE o.o_custkey = c.c_custkey
                  ORDER BY o_totalprice DESC, o_orderkey
                  LIMIT 2) t
-        """
+        """,
+        cust=cust,
+        orders=orders,
     )
 
 
