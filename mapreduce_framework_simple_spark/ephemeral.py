@@ -33,18 +33,32 @@ from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
 
+# bumped by every release_caches(): index-based scope marks are void
+# after a mid-scope global drain (the registry was emptied, so indices
+# below the mark now address POST-drain registrations), and cache_scope
+# uses this to fall back to releasing everything still registered —
+# which, after a drain, is by construction all scope-internal
+_DRAIN_GEN = 0
+
 
 @contextmanager
 def cache_scope():
     """Release every scoped cache registered inside the block on exit —
     for self-contained multi-query passes (pipeline.curate) that must
     not leave their internal caches behind, without touching caches an
-    enclosing consumer registered earlier."""
+    enclosing consumer registered earlier. Robust to a mid-scope
+    ``release_caches()`` (a consumer invoking a queries()-wrapped
+    callable inside the block): the drain voids the index marks, so the
+    exit releases every remaining registration instead of silently
+    leaking the scope's own caches."""
     mark = len(_SCOPED)
     bc_mark = len(_SCOPED_BCAST)
+    gen = _DRAIN_GEN
     try:
         yield
     finally:
+        if _DRAIN_GEN != gen:
+            mark = bc_mark = 0
         while len(_SCOPED) > mark:
             df = _SCOPED.pop()
             try:
@@ -185,8 +199,12 @@ def memo_get(key: tuple) -> DataFrame | None:
             lvl = h.storageLevel
             if not (lvl.useMemory or lvl.useDisk):
                 h.cache()
-        except Exception:  # session stopped — stale entry, drop it
-            _MEMO.pop(key, None)
+        except Exception:
+            # stale/failing entry: EVICT (unpersists every hold,
+            # including ones this loop already re-armed — a bare pop
+            # would leave those as untracked CacheManager registrations
+            # pinned until a global clearCache), then miss
+            _evict(key)
             return None
     _MEMO.pop(key)
     _MEMO[key] = (app_id, df, holds)  # re-insert at MRU position
@@ -203,7 +221,10 @@ def memo_put(key: tuple, df: DataFrame, holds: list[DataFrame]) -> DataFrame:
     try:
         app_id = df.sparkSession.sparkContext.applicationId
     except Exception:
-        app_id = "<unknown>"
+        # the frame's context is already gone: memoizing it is useless
+        # (every get would fail re-arm), and running the cross-app sweep
+        # with an "<unknown>" id would evict EVERY live entry — skip both
+        return df
     for k in [k for k, ent in _MEMO.items() if ent[0] != app_id]:
         _evict(k)
     # A re-put over a live key must unpersist the old entry's holds first
@@ -258,6 +279,8 @@ def release_caches() -> int:
     the number of frames released. Safe to call at any query boundary —
     by then the previous query's result has been materialized by its
     consumer, so its caches are dead weight."""
+    global _DRAIN_GEN
+    _DRAIN_GEN += 1
     n = 0
     while _SCOPED:
         df = _SCOPED.pop()

@@ -54,11 +54,21 @@ def has_broadcast_nlj(df: DataFrame) -> bool:
 
 def codegen_stage_count(df: DataFrame) -> int:
     """Number of distinct whole-stage-codegen stages (formatted explain
-    annotates member operators with ``[codegen id : N]``)."""
+    annotates member operators with ``[codegen id : N]``).
+
+    Ids are keyed per SECTION: subquery plans are compiled by their own
+    QueryExecution, so their numbering restarts at 1 under the
+    "===== Subqueries =====" banner — a flat set keyed on the number
+    alone would collapse main-plan stage 1 with every subquery's stage 1
+    and undercount."""
     plan = formatted_plan(df)
-    ids = {
-        line.split("codegen id :")[1].strip().rstrip("]")
-        for line in plan.splitlines()
-        if "codegen id :" in line
-    }
+    section = 0
+    ids = set()
+    for line in plan.splitlines():
+        # each "Subquery:N" (and the initial main plan) is its own
+        # QueryExecution with independent codegen numbering
+        if line.lstrip().startswith("Subquery:"):
+            section += 1
+        if "codegen id :" in line:
+            ids.add((section, line.split("codegen id :")[1].strip().rstrip("]")))
     return len(ids)

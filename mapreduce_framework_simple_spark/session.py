@@ -31,6 +31,14 @@ def builder(app_name: str = "mapreduce-framework-simple-spark",
             master: str | None = None,
             shuffle_partitions: int | None = None) -> SparkSession.Builder:
     """Return a pre-tuned builder; callers may add/override configs."""
+    if shuffle_partitions is None:
+        shuffle_partitions = DEFAULT_SHUFFLE_PARTITIONS
+    elif shuffle_partitions < 1:
+        # `or DEFAULT` would silently coerce a caller's 0 (a misread env
+        # var, typically) to 32 — reject the invalid value instead
+        raise ValueError(
+            f"shuffle_partitions must be >= 1, got {shuffle_partitions}"
+        )
     b = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -40,7 +48,7 @@ def builder(app_name: str = "mapreduce-framework-simple-spark",
         # Arrow batch size balances Python-worker memory vs call overhead at
         # scale; 10k rows/batch keeps 64-dim float arrays ~5 MB per batch.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Dimension tables (region/nation/supplier at any SF; part/customer
         # at test SFs) must broadcast: 64 MB threshold instead of 10 MB.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -112,6 +112,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     rejects; it is read as nanos-since-epoch (legacy long mode) and
     rebuilt as a microsecond timestamp — the generator emits micro-aligned
     values, so the conversion is lossless.
+
+    .. warning:: loading ``events`` pins ``spark.sql.session.timeZone``
+       to UTC for the WHOLE session (required for oracle-stable
+       event-time semantics; session confs apply at action time, so
+       there is no reader-scoped form). On an externally-built non-UTC
+       session this retunes the caller's other, not-yet-materialized
+       timestamp queries — a warning is logged when it happens.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -158,7 +165,26 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
             # uniform timestamp type regardless of writer precision
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(path)
+    return _normalize_ntz(spark.read.parquet(path))
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to session TIMESTAMP. The driver's
+    parquet writer emits TIMESTAMP(MICROS, isAdjustedToUTC=false) for
+    some date columns and its precision is not stable (the reason
+    _TYPE_EQUIV exists) — but only events.ts used to be normalized, so an
+    NTZ o_orderdate/l_shipdate would flow through as a DIFFERENT type
+    than the declared TIMESTAMP: LTZ-only functions (unix_micros),
+    comparisons against normalized columns, and the pandas bridge would
+    then behave writer-precision-dependently. Under the UTC session this
+    engine pins, the cast is value-exact; non-NTZ frames pass through
+    with an unchanged plan."""
+    from pyspark.sql import functions as F
+
+    ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR,

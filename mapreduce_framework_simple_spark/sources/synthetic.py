@@ -77,7 +77,7 @@ def _positive(options: dict, key: str, default: int) -> int:
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
-        self.n_rows = int(options.get("rows", 1000))
+        self.n_rows = _positive(options, "rows", 1000)
         self.n_parts = _positive(options, "partitions", 4)
         self.seed = int(options.get("seed", 42))
         # validated like partitions: users=0 would surface as an opaque
@@ -155,11 +155,18 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     replace batch index with topic offsets)."""
 
     def __init__(self, schema, options: dict):
-        self.rows_per_batch = int(options.get("rows", 100))
+        # explicit rows_per_batch option preferred; 'rows' accepted with
+        # the SAME per-batch meaning for back-compat — NOTE it differs
+        # from the batch reader, where 'rows' is the TOTAL (stream total
+        # = rows_per_batch × batches). Validated like every other knob:
+        # a negative value would silently yield an empty stream.
+        self.rows_per_batch = _positive(
+            options, "rows_per_batch" if "rows_per_batch" in options else "rows", 100
+        )
         self.n_parts = _positive(options, "partitions", 2)
         self.seed = int(options.get("seed", 42))
         self.n_users = _positive(options, "users", 100)
-        self.max_batches = int(options.get("batches", 3))
+        self.max_batches = _positive(options, "batches", 3)
 
     def initialOffset(self):  # noqa: N802
         return {"batch": 0}

@@ -410,3 +410,43 @@ def test_bloom_probe_bound_fails_loudly(spark, sf_dir, monkeypatch):
     monkeypatch.setattr(D, "BLOOM_MAX_PROBE", 0)
     with pytest.raises(ValueError, match="q91"):
         D.q108_bloom_decontaminate(spark, sf_dir).collect()
+
+
+def test_cache_scope_survives_mid_scope_drain(spark):
+    """A release_caches() inside a cache_scope voids the scope's index
+    marks (the registry was emptied) — the exit must still release the
+    caches registered after the drain, not silently leak them."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.release_caches()  # clean slate
+    with ephemeral.cache_scope():
+        ephemeral.scoped_cache(spark.range(3)).count()
+        ephemeral.release_caches()  # the mid-scope global boundary
+        inner = ephemeral.scoped_cache(spark.range(4))
+        inner.count()
+    assert not ephemeral._SCOPED, "scope exit leaked post-drain caches"
+    lvl = inner.storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "post-drain cache still pinned"
+
+
+def test_synthetic_rejects_nonpositive_rows(spark):
+    """Negative/zero rows or batches must fail fast, not silently yield
+    an empty table/stream (the module's own fail-fast rationale)."""
+    import pytest
+
+    from mapreduce_framework_simple_spark.sources import synthetic
+
+    synthetic.register(spark)
+    with pytest.raises(Exception, match="positive"):
+        spark.read.format("synthetic_events").option("rows", -500).load().count()
+
+
+def test_builder_rejects_zero_shuffle_partitions():
+    """shuffle_partitions=0 must raise, not silently coerce to the
+    default via a falsy-or."""
+    import pytest
+
+    from mapreduce_framework_simple_spark.session import builder
+
+    with pytest.raises(ValueError, match="shuffle_partitions"):
+        builder(shuffle_partitions=0)
