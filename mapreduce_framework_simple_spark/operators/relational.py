@@ -80,8 +80,17 @@ def _dim_probe_count(p: DataFrame, sf_dir: str, bound: int) -> int:
     arbitrary frame, and keying only on (session, sf_dir, bound) would
     hand a second caller probing a differently-filtered dim the cached
     count of the first (a small stale count can force a broadcast on an
-    over-bound dim, the exact failure the bound prevents)."""
+    over-bound dim, the exact failure the bound prevents) — AND the
+    input fingerprint of ``sf_dir`` (dedup._input_fingerprint, the same
+    rewrite-detection signal the dedup memos key on): an in-session
+    overwrite of the parquet under ``sf_dir`` mints a new key, so a
+    grown dim re-probes instead of riding a stale under-bound count."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        _input_fingerprint,
+    )
+
     key = (p.sparkSession.sparkContext.applicationId, sf_dir, bound,
+           _input_fingerprint(sf_dir, p.sparkSession),
            p._jdf.queryExecution().analyzed().semanticHash())
     n = _DIM_PROBE_MEMO.get(key)
     if n is None:
@@ -1499,8 +1508,12 @@ def q76_date_funcs2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # `+ INTERVAL 3 MONTH` preserves it — parity held only because
         # the current generator emits midnight-aligned o_orderdate (the
         # q121 floor-vs-cast class of generator-drift hazard). Both
-        # engines clamp interval month arithmetic to month length.
-        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3m"),
+        # engines clamp interval month arithmetic to month length. The
+        # cast is the same DATE-drift defense month_end carries: if
+        # o_orderdate ever surfaces as DATE, date + INTERVAL would yield
+        # DATE while the oracle's TIMESTAMP column yields TIMESTAMP.
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS"))
+        .cast("timestamp").alias("plus3m"),
         F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
     )
 

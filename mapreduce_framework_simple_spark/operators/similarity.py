@@ -324,6 +324,18 @@ def _nearest_cells(df: DataFrame, id_col: str, emb_col: str,
             "K ≈ √N — rebuild with kmeans_centroid_frame"
         )
     cp = cents.select("cell_id", "c_emb").toPandas()
+    if len(cp) == 0:
+        # Empty centroid frame (empty corpus ⇒ K ≈ √N = 0 centroids):
+        # the nearest-of-zero-cells relation is empty. The replaced
+        # join+window formulation returned empty here; without this
+        # guard np.stack([]) raises on the driver and, past that,
+        # best_c stays None in the worker. Schema matches the
+        # mapInPandas declaration below exactly.
+        return df.select(
+            F.col(id_col).cast("long").alias(id_col),
+            emb_col,
+            F.lit(None).cast("long").alias("cell_id"),
+        ).limit(0)
     cell_ids_l = cp["cell_id"].to_numpy(dtype="int64")
     cmat_l = np.stack([np.asarray(v, dtype="float64") for v in cp["c_emb"]])
     bc = scoped_broadcast(spark.sparkContext.broadcast((cell_ids_l, cmat_l)))

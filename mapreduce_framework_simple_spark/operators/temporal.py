@@ -86,7 +86,10 @@ def asof_backward(
     )
     w = (
         Window.partitionBy("__on")
-        .orderBy("__ts", "__kind", "__carry")
+        # __carry ascending with NULLS FIRST pinned IN CODE: the "a NULL
+        # carry loses ties" rule must not ride on Spark's implicit
+        # NULL-sort default the docstring warns about
+        .orderBy("__ts", "__kind", F.col("__carry").asc_nulls_first())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

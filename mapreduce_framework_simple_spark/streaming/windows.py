@@ -233,14 +233,20 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     else:
         st = os.stat(src)
         sig = f"{st.st_mtime_ns}:{st.st_size}"
-    key = hashlib.md5(f"{src}:{n_files}:{sig}".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{src}:{sig}".encode()).hexdigest()[:12]
     uid = getattr(os, "getuid", lambda: 0)()
-    # src-scoped prefix: GC must only reap superseded stages of THIS
-    # source path — a table staged from a DIFFERENT sf_dir may be
-    # mid-stream in a concurrent process (driver bench vs builder tests)
-    # and deleting it would fail that stream with missing files.
+    # (src, n_files)-scoped prefix: GC must only reap superseded stages
+    # of THIS source path AT THIS fan-out — a table staged from a
+    # DIFFERENT sf_dir may be mid-stream in a concurrent process (driver
+    # bench vs builder tests), and the SAME live source staged with a
+    # different n_files (e.g. n_files=4 vs 8) is a live peer too: its
+    # corpus is still current, only its microbatch layout differs, so
+    # reaping it would fail that stream mid-read with missing files.
+    # n_files therefore lives in the prefix (GC scope), not the content
+    # key — within one (src, n_files) scope, a differing key really does
+    # mean a superseded corpus.
     srch = hashlib.md5(src.encode()).hexdigest()[:8]
-    stage_prefix = f"mfss_stream_{uid}_{table}_{srch}_"
+    stage_prefix = f"mfss_stream_{uid}_{table}_{srch}_n{n_files}_"
     drop_zone = os.path.join(tempfile.gettempdir(), stage_prefix + key)
     # GC superseded stages: every in-place regeneration of THIS source
     # mints a new content key, and without cleanup each one orphans a

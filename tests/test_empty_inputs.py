@@ -382,6 +382,26 @@ def test_kmeans_guards(spark):
         kmeans(spark, "/root/testdata/sf0.001", n_iter=0)
 
 
+def test_nearest_cells_empty_centroids(spark):
+    """_nearest_cells on an EMPTY centroid frame (empty corpus ⇒ K≈√N
+    = 0 centroids) returns the empty assignment frame with the declared
+    output schema — the replaced join+window formulation's behavior —
+    instead of np.stack([]) raising on the driver."""
+    from mapreduce_framework_simple_spark.operators.similarity import (
+        _nearest_cells,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame([], "cell_id long, c_emb array<double>")
+    out = _nearest_cells(df, "vec_id", "embedding", cents, top_n=1)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "vec_id", "embedding", "cell_id",
+    ]
+
+
 def test_exact_dedup_norm_collapses_before_trim(spark):
     """'\\thello world' and 'hello world' are the same document: trim()
     strips only spaces, so the collapse must run FIRST (tab → space →

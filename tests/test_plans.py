@@ -73,6 +73,28 @@ def test_q07_hint_dispatch_over_bound_equal(spark, sf_dir, monkeypatch):
     assert hinted.reset_index(drop=True).equals(unhinted.reset_index(drop=True))
 
 
+def test_dim_probe_recounts_after_rewrite(spark, tmp_path):
+    """_dim_probe_count keys on the input fingerprint (shared with the
+    dedup memos): an in-session overwrite of the parquet under sf_dir
+    must re-probe — a stale under-bound count would force a broadcast
+    hint onto a dim that has since grown past the bound."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators import relational as R
+
+    sf = tmp_path / "dimsf"
+    sf.mkdir()
+    path = sf / "part.parquet"
+
+    def write(n):
+        pd.DataFrame({"p_partkey": list(range(n))}).to_parquet(path)
+
+    write(3)
+    assert R._dim_probe_count(spark.read.parquet(str(path)), str(sf), 10) == 3
+    write(7)  # same path, grown dim, identical plan semantic hash
+    assert R._dim_probe_count(spark.read.parquet(str(path)), str(sf), 10) == 7
+
+
 def test_no_cartesian_in_star_join(spark, sf_dir):
     plan = formatted_plan(q05_join_chain(spark, sf_dir))
     assert "CartesianProduct" not in plan

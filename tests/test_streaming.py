@@ -508,3 +508,27 @@ def test_stage_stream_source_gcs_superseded_and_keys_recursively(
     assert zone2 != zone1, "nested rewrite did not change the content key"
     assert spark.read.parquet(zone2).count() == 3
     assert not os.path.exists(zone1), "superseded stage was not GC'd"
+
+
+def test_stage_stream_source_nfiles_scopes_coexist(spark, sf_dir):
+    """The SAME live source staged at two fan-outs (n_files=1 vs 2 —
+    e.g. two concurrent processes streaming one table with different
+    microbatch layouts) must yield two COEXISTING stages: n_files lives
+    in the GC prefix, so staging one fan-out never rmtree's the other
+    peer's live drop-zone mid-stream. (Within one fan-out, a content
+    change still GCs the superseded sibling — previous test.)"""
+    import os
+
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        _stage_stream_source,
+    )
+
+    z1 = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    z2 = _stage_stream_source(spark, "events", sf_dir, n_files=2)
+    assert z1 != z2
+    assert os.path.exists(os.path.join(z2, "_SUCCESS"))
+    # restaging fan-out 1 (a GC pass) must leave fan-out 2's stage alive
+    assert _stage_stream_source(spark, "events", sf_dir, n_files=1) == z1
+    assert os.path.exists(os.path.join(z1, "_SUCCESS"))
+    assert os.path.exists(os.path.join(z2, "_SUCCESS")), \
+        "GC reaped a live different-n_files peer stage"
