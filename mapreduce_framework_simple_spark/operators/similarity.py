@@ -321,7 +321,9 @@ def _nearest_cells(df: DataFrame, id_col: str, emb_col: str,
     if cents.limit(MAX_BROADCAST_QUERIES + 1).count() > MAX_BROADCAST_QUERIES:
         raise ValueError(
             f"centroid set exceeds {MAX_BROADCAST_QUERIES}; IVF sizing is "
-            "K ≈ √N — rebuild with kmeans_centroid_frame"
+            "K ≈ √N — rebuild with kmeans_centroid_frame, or for K past "
+            "the broadcast bound use the two-level router "
+            "(two_level_probes, docs/SCALE.md)"
         )
     cp = cents.select("cell_id", "c_emb").toPandas()
     if len(cp) == 0:
@@ -428,6 +430,101 @@ def _ivf_probes(
         F.col("vec_id") % QUERY_STRIDE == 0
     ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
     return _nearest_cells(q, "query_id", "q_emb", cents, top_n=N_PROBE)
+
+
+# meta cells routed per query in the two-level probe. Recall governor of
+# the router layer the same way N_PROBE governs the fine layer: a fine
+# cell is reachable only through its single meta route, so route_n = 1
+# risks losing a near-boundary fine cell; 4 of ~√K meta cells keeps the
+# routed candidate pool ≈ 4·√K fine centroids — still ≪ K.
+META_ROUTE_PROBES = 4
+
+
+def two_level_probes(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame,
+    meta_centroids: DataFrame, queries: DataFrame | None = None,
+    route_n: int = META_ROUTE_PROBES,
+) -> DataFrame:
+    """(query_id, q_emb, cell_id): :func:`_ivf_probes`' exact contract
+    for the K > MAX_BROADCAST_QUERIES regime — the two-level
+    (coarse-router) probe selection of docs/SCALE.md §"Two-level IVF
+    routing for K beyond the broadcast bound".
+
+    :func:`_nearest_cells` broadcasts its whole centroid set, so flat
+    probe selection caps at K = 100k centroids — N ≈ 10^10 vectors
+    under K ≈ √N. Beyond that, only √K ≈ N^(1/4) META-centroids are
+    ever broadcast (~10^5 meta cells not before N ≈ 10^20): the K fine
+    centroids route to their nearest meta cell once per index build
+    (``_nearest_cells`` over the fine-centroid FRAME — K rows stream
+    through Arrow batches, √K broadcast), queries route to their top-
+    ``route_n`` meta cells the same way, and fine scoring happens in a
+    meta-cell-keyed DISTRIBUTED join + Arrow-batched exact cosine —
+    no K-sized driver or broadcast structure anywhere. Meta-cell skew
+    in the join is AQE's to split (the key is data-dependent, the same
+    class as the LSH band join).
+
+    Scoring parity with ``_nearest_cells`` is exact — sequential-over-
+    dims accumulation, 6-dp HALF_UP integer micro-units, ties to the
+    smaller fine cell_id — so with ``route_n`` ≥ the meta-cell count
+    the output EQUALS the flat ``_ivf_probes`` row-for-row (tested);
+    at small ``route_n`` it is the approximate router (recall tested).
+    Both centroid frames come from :func:`kmeans_centroid_frame`
+    (unchanged): K at the standard √N sizing, meta at k ≈ ⌈√K⌉."""
+    em = load_table(spark, "embeddings", sf_dir)
+    q = queries if queries is not None else em.where(
+        F.col("vec_id") % QUERY_STRIDE == 0
+    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    fine = centroids.select(
+        F.col("cell_id").alias("fine_id"), F.col("c_emb").alias("f_emb")
+    )
+    fine_routes = _nearest_cells(
+        fine, "fine_id", "f_emb", meta_centroids, top_n=1
+    ).withColumnRenamed("cell_id", "meta_id")
+    q_routes = _nearest_cells(
+        q, "query_id", "q_emb", meta_centroids, top_n=route_n
+    ).withColumnRenamed("cell_id", "meta_id")
+    # (query, fine) pairs are unique: each fine centroid has exactly ONE
+    # meta route, so no post-join dedup is needed before ranking
+    cand = q_routes.join(fine_routes, "meta_id").select(
+        "query_id", "q_emb", "fine_id", "f_emb"
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qm = np.stack([np.asarray(v, dtype="float64") for v in pdf["q_emb"]])
+            fm = np.stack([np.asarray(v, dtype="float64") for v in pdf["f_emb"]])
+            dots = np.zeros(len(qm))
+            qa = np.zeros(len(qm))
+            fa = np.zeros(len(fm))
+            for d in range(qm.shape[1]):  # sequential over dims == the
+                dots += qm[:, d] * fm[:, d]  # _nearest_cells fold order
+                qa += qm[:, d] * qm[:, d]
+                fa += fm[:, d] * fm[:, d]
+            sims = dots / (np.sqrt(qa) * np.sqrt(fa))
+            # HALF_UP micro-units, integer — _nearest_cells' exact rule
+            ri = (np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)).astype("int64")
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"], "q_emb": pdf["q_emb"],
+                "fine_id": pdf["fine_id"], "ri": ri,
+            })
+
+    from pyspark.sql import Window
+
+    emb_t = cand.schema["q_emb"].dataType.simpleString()
+    scored = cand.mapInPandas(
+        score, f"query_id long, q_emb {emb_t}, fine_id long, ri long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("ri"), F.asc("fine_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= N_PROBE)
+        .select("query_id", "q_emb", F.col("fine_id").alias("cell_id"))
+    )
 
 
 def _score_and_rank_candidates(cand: DataFrame, k: int = TOP_K) -> DataFrame:

@@ -73,6 +73,47 @@ def test_ivf_recall_against_exact(spark, sf_dir):
     assert set(approx.query_id) == set(exact.query_id)
 
 
+def test_two_level_probes_full_route_equals_flat(spark, sf_dir):
+    """two_level_probes with route_n ≥ the meta-cell count routes every
+    query to every meta cell — the candidate pool is then ALL K fine
+    cells, so the output must equal the flat _ivf_probes row-for-row
+    (same sequential-dim scoring, same HALF_UP micro-units, same
+    smaller-cell tie rule). This pins the router's kernel parity; the
+    recall test below covers the approximate small-route_n regime."""
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    cents = S._stride_centroids(spark, sf_dir)
+    meta = S.kmeans_centroid_frame(spark, sf_dir, k=5)
+    flat = sorted(map(tuple, S._ivf_probes(spark, sf_dir, centroids=cents)
+                      .select("query_id", "cell_id").collect()))
+    routed = sorted(map(tuple, S.two_level_probes(
+        spark, sf_dir, centroids=cents, meta_centroids=meta, route_n=5
+    ).select("query_id", "cell_id").collect()))
+    assert len(flat) > 0
+    assert routed == flat
+
+
+def test_two_level_probes_router_recall(spark, sf_dir):
+    """At route_n=META_ROUTE_PROBES the router only scores fine cells
+    reachable through the routed meta cells — probe selection must
+    still recover most of the flat probe set (recall governed by meta
+    coverage, not bugs), and emit ≤ N_PROBE cells for every query."""
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    cents = S._stride_centroids(spark, sf_dir)
+    meta = S.kmeans_centroid_frame(spark, sf_dir, k=5)
+    flat = S._ivf_probes(spark, sf_dir, centroids=cents).toPandas()
+    routed = S.two_level_probes(
+        spark, sf_dir, centroids=cents, meta_centroids=meta
+    ).toPandas()
+    f = set(zip(flat.query_id, flat.cell_id))
+    r = set(zip(routed.query_id, routed.cell_id))
+    recall = len(f & r) / len(f)
+    assert recall >= 0.6, f"router probe recall = {recall:.2f}"
+    assert set(routed.query_id) == set(flat.query_id)
+    assert routed.groupby("query_id").size().max() <= S.N_PROBE
+
+
 def test_lsh_finds_high_jaccard_pairs(spark, sf_dir):
     """Every exact pair with Jaccard ≥ 0.8 must appear among the LSH
     candidates (P(miss) = (1-j⁴)⁴ ≤ 2.5% per pair at j=0.8; the fixture's
