@@ -66,6 +66,12 @@ def main() -> None:
     # includes the bench's own ramp — reading it as external contention
     # is exactly the round-4/5 adjudication confusion.
     load_launch = os.getloadavg()
+    if load_launch[0] > 2.0:
+        print(
+            f"# WARNING: contended launch (1-min loadavg {load_launch[0]:.2f}"
+            " > 2): timings will be inflated; output carries contended=true",
+            file=sys.stderr,
+        )
 
     load_all()
     spark = get_session("mfss-bench", master=f"local[{CPUS}]")
@@ -128,7 +134,13 @@ def main() -> None:
         # (32-cpu box — loads well above ~4 mean external contention and
         # per-query numbers should be read with BENCH noise caveats)
         # pre-launch sample: the only field uncontaminated by the
-        # bench's own load — judge quietness by THIS one
+        # bench's own load — judge quietness by THIS one. contended=true
+        # (launch 1-min load > 2 on this 32-cpu box) means external work
+        # was already running: per-query minima are inflated and the
+        # headline must not be quoted without that caveat (refusing
+        # outright would leave the round with no BENCH artifact at all,
+        # so the flag is prominent rather than fatal).
+        "contended": load_launch[0] > 2.0,
         "loadavg_launch": [round(x, 2) for x in load_launch],
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],

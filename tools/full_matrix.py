@@ -111,8 +111,24 @@ def main() -> int:
         results[name] = row
         print(f"  {name}: {'OK' if not problems else 'MISMATCH'}")
 
+    # the tree this run actually measured — makes artifact staleness
+    # machine-checkable (round-6 lesson: a committed matrix predated 5
+    # semantics-touching commits while claiming to be the final tree).
+    # "-dirty" marks uncommitted changes in the run's working tree.
+    try:
+        import subprocess
+
+        git_head = subprocess.check_output(
+            ["git", "rev-parse", "HEAD"], cwd=REPO, text=True).strip()
+        if subprocess.run(["git", "diff", "--quiet", "HEAD"],
+                          cwd=REPO).returncode:
+            git_head += "-dirty"
+    except Exception:
+        git_head = "unknown"
+
     artifact = {
         "_meta": {
+            "git_head": git_head,
             "sf_dir": SF_DIR,
             "n_queries": len(qs),
             "n_oracle_checked": sum(
