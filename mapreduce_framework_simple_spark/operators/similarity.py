@@ -443,7 +443,7 @@ META_ROUTE_PROBES = 4
 def two_level_probes(
     spark: SparkSession, sf_dir: str, centroids: DataFrame,
     meta_centroids: DataFrame, queries: DataFrame | None = None,
-    route_n: int = META_ROUTE_PROBES,
+    route_n: int = META_ROUTE_PROBES, keep_n: int = N_PROBE,
 ) -> DataFrame:
     """(query_id, q_emb, cell_id): :func:`_ivf_probes`' exact contract
     for the K > MAX_BROADCAST_QUERIES regime — the two-level
@@ -522,8 +522,35 @@ def two_level_probes(
     w = Window.partitionBy("query_id").orderBy(F.desc("ri"), F.asc("fine_id"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= N_PROBE)
+        .where(F.col("rn") <= keep_n)
         .select("query_id", "q_emb", F.col("fine_id").alias("cell_id"))
+    )
+
+
+def two_level_assignments(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame,
+    meta_centroids: DataFrame, route_n: int = META_ROUTE_PROBES,
+) -> DataFrame:
+    """Two-level twin of :func:`ivf_assignments` — the index-BUILD side
+    of the K > MAX_BROADCAST_QUERIES regime (the probe side is
+    :func:`two_level_probes`; together they bound every broadcast at
+    √K for any N). Each corpus vector routes to its ``route_n`` nearest
+    meta cells and takes the argmax-cosine fine cell among the fine
+    centroids routed there — ``two_level_probes`` with the corpus as
+    the query frame and keep_n=1, so the scoring/tie rules cannot
+    drift from the probe path. route_n > 1 keeps a near-meta-boundary
+    vector's true argmax fine cell reachable (with route_n = the
+    meta-cell count the output EQUALS ivf_assignments — tested)."""
+    em = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    return two_level_probes(
+        spark, sf_dir, centroids, meta_centroids,
+        queries=em, route_n=route_n, keep_n=1,
+    ).select(
+        F.col("query_id").alias("vec_id"),
+        F.col("q_emb").alias("embedding"),
+        "cell_id",
     )
 
 

@@ -93,6 +93,43 @@ def test_two_level_probes_full_route_equals_flat(spark, sf_dir):
     assert routed == flat
 
 
+def test_two_level_assignments_full_route_equals_flat(spark, sf_dir):
+    """The index-build twin: with route_n = meta-cell count every fine
+    cell is reachable, so two_level_assignments must reproduce
+    ivf_assignments (argmax cell per vector) exactly."""
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    cents = S._stride_centroids(spark, sf_dir)
+    meta = S.kmeans_centroid_frame(spark, sf_dir, k=5)
+    flat = sorted(map(tuple, S.ivf_assignments(spark, sf_dir, centroids=cents)
+                      .select("vec_id", "cell_id").collect()))
+    routed = sorted(map(tuple, S.two_level_assignments(
+        spark, sf_dir, centroids=cents, meta_centroids=meta, route_n=5
+    ).select("vec_id", "cell_id").collect()))
+    assert len(flat) > 0
+    assert routed == flat
+
+
+def test_two_level_assignments_router_agreement(spark, sf_dir):
+    """At the default route_n the routed argmax must agree with the flat
+    assignment for most vectors (disagreement only where the true cell's
+    meta route fell outside the vector's routed meta cells), and assign
+    every vector exactly once."""
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    cents = S._stride_centroids(spark, sf_dir)
+    meta = S.kmeans_centroid_frame(spark, sf_dir, k=5)
+    flat = S.ivf_assignments(spark, sf_dir, centroids=cents).toPandas()
+    routed = S.two_level_assignments(
+        spark, sf_dir, centroids=cents, meta_centroids=meta
+    ).toPandas()
+    assert len(routed) == len(flat)
+    assert routed.vec_id.is_unique
+    merged = flat.merge(routed, on="vec_id", suffixes=("_f", "_r"))
+    agree = (merged.cell_id_f == merged.cell_id_r).mean()
+    assert agree >= 0.8, f"routed assignment agreement = {agree:.2f}"
+
+
 def test_two_level_probes_router_recall(spark, sf_dir):
     """At route_n=META_ROUTE_PROBES the router only scores fine cells
     reachable through the routed meta cells — probe selection must
