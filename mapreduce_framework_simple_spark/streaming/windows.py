@@ -211,6 +211,7 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     winner's. ``n_files`` output files ⇒ ``n_files`` availableNow
     microbatches at ``maxFilesPerTrigger=1``."""
     import hashlib
+    import re
     import shutil
     import tempfile
 
@@ -256,9 +257,20 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     # removing it is the lesser harm. (.tmp.* dirs are skipped: they
     # belong to a possibly-live peer's in-flight write; the rename-loser
     # path removes its own.)
+    table_prefix = f"mfss_stream_{uid}_{table}_"
+    current_fmt = re.compile(
+        re.escape(table_prefix) + r"[0-9a-f]{8}_n\d+_[0-9a-f]{12}$"
+    )
     for d in os.listdir(tempfile.gettempdir()):
-        if d.startswith(stage_prefix) and ".tmp." not in d \
-                and d != stage_prefix + key:
+        if ".tmp." in d or d == stage_prefix + key:
+            continue
+        if d.startswith(stage_prefix) or (
+            # legacy-format sweep: same-uid same-table dirs not matching
+            # the CURRENT name format were written by code that no longer
+            # exists (pre-srchash or pre-n_files rounds) — no live stream
+            # can be reading them, and each orphans a full table copy
+            d.startswith(table_prefix) and not current_fmt.match(d)
+        ):
             shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
                           ignore_errors=True)
     # the _SUCCESS probe rejects a partially-written stage from a crashed

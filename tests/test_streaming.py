@@ -523,12 +523,22 @@ def test_stage_stream_source_nfiles_scopes_coexist(spark, sf_dir):
         _stage_stream_source,
     )
 
+    import tempfile
+
     z1 = _stage_stream_source(spark, "events", sf_dir, n_files=1)
     z2 = _stage_stream_source(spark, "events", sf_dir, n_files=2)
     assert z1 != z2
     assert os.path.exists(os.path.join(z2, "_SUCCESS"))
+    # a legacy-format orphan (pre-n_files naming, written by code that no
+    # longer exists) must be swept by the next staging call
+    uid = getattr(os, "getuid", lambda: 0)()
+    legacy = os.path.join(
+        tempfile.gettempdir(), f"mfss_stream_{uid}_events_deadbeef_cafe0123abcd"
+    )
+    os.makedirs(legacy, exist_ok=True)
     # restaging fan-out 1 (a GC pass) must leave fan-out 2's stage alive
     assert _stage_stream_source(spark, "events", sf_dir, n_files=1) == z1
     assert os.path.exists(os.path.join(z1, "_SUCCESS"))
     assert os.path.exists(os.path.join(z2, "_SUCCESS")), \
         "GC reaped a live different-n_files peer stage"
+    assert not os.path.exists(legacy), "legacy-format orphan not swept"
