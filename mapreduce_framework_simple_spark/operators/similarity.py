@@ -607,6 +607,93 @@ def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(spark, sf_dir)
 
 
+META_STRIDE = 155  # 31 × 5: stride meta layer = every 5th stride centroid
+
+
+def _stride_meta_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stride META layer for the two-level router's
+    ORACLE surface (vec_id % 155 == 0 — every 5th stride centroid), the
+    same oracle-stability role :func:`_stride_centroids` plays for q41:
+    k-means metas can flip on 1-ULP partial-agg differences, a stride
+    subset cannot. Production passes :func:`kmeans_centroid_frame`
+    (k=⌈√K⌉) for both layers."""
+    em = load_table(spark, "embeddings", sf_dir)
+    return em.where(F.col("vec_id") % META_STRIDE == 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+
+
+def _duck_route(out_id: str, src: str, src_id: str, src_emb: str,
+                keep: int) -> str:
+    """One routing hop as DuckDB SQL — top-``keep`` meta cells per
+    ``src`` row by (rounded cosine DESC, meta_id ASC), the exact
+    :func:`_nearest_cells` rule (round() is HALF_UP in both engines;
+    the fold helpers are the q40-validated sequential-reduce forms)."""
+    cos = (f"round({_duck_dot(src_emb, 'm.m_emb')} / "
+           f"({_duck_norm(src_emb)} * {_duck_norm('m.m_emb')}), 6)")
+    return f"""
+    SELECT {out_id}, meta_id FROM (
+        SELECT s.{src_id} AS {out_id}, m.meta_id,
+               row_number() OVER (PARTITION BY s.{src_id}
+                                  ORDER BY {cos} DESC, m.meta_id) AS rn
+        FROM {src} s CROSS JOIN meta m
+    ) WHERE rn <= {keep}
+    """
+
+
+@query(
+    "q129_two_level_probe",
+    oracle=f"""
+    WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_emb
+                   FROM embeddings WHERE vec_id % {N_CELLS_STRIDE} = 0),
+    meta AS (SELECT vec_id AS meta_id, embedding AS m_emb
+             FROM embeddings WHERE vec_id % {META_STRIDE} = 0),
+    q AS (SELECT vec_id AS query_id, embedding AS q_emb
+          FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+    fr AS ({_duck_route('cell_id', 'cents', 'cell_id', 's.c_emb', 1)}),
+    qr AS ({_duck_route('query_id', 'q', 'query_id', 's.q_emb',
+                        META_ROUTE_PROBES)}),
+    cand AS (
+        SELECT qr.query_id, fr.cell_id
+        FROM qr JOIN fr ON qr.meta_id = fr.meta_id
+    ),
+    scored AS (
+        SELECT c.query_id, c.cell_id,
+               round({_duck_dot('q.q_emb', 'ce.c_emb')} /
+                     ({_duck_norm('q.q_emb')} * {_duck_norm('ce.c_emb')}),
+                     6) AS s
+        FROM cand c
+        JOIN q ON q.query_id = c.query_id
+        JOIN cents ce ON ce.cell_id = c.cell_id
+    )
+    SELECT query_id, cell_id FROM (
+        SELECT query_id, cell_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY s DESC, cell_id) AS rn
+        FROM scored
+    ) WHERE rn <= {N_PROBE}
+    """,
+)
+def q129_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level routed IVF probe selection on fully deterministic
+    stride layers (fine = every 31st vector, meta = every 155th) — the
+    oracle-checked surface of :func:`two_level_probes`, whose k-means
+    production configuration is rows-only for the same ULP reason as
+    q41. Every hop (fine→meta route, query→meta routes, fine scoring
+    within routed cells, top-N_PROBE rank) is replicated in SQL with
+    the q40-validated sequential-fold cosine and HALF_UP rounding.
+
+    Scale: this is the K > 100k regime's plan shape — broadcasts
+    bounded at the meta layer (√K), fine scoring a meta-keyed
+    distributed join (docs/SCALE.md §two-level routing; measured past
+    the flat ceiling in tools/router_probe.py)."""
+    return two_level_probes(
+        spark, sf_dir,
+        centroids=_stride_centroids(spark, sf_dir),
+        meta_centroids=_stride_meta_centroids(spark, sf_dir),
+    ).select("query_id", "cell_id")
+
+
 NEARDUP_THRESHOLD = 0.45
 N_BLOCKS = 8  # B(B+1)/2 = 36 block pairs; each vector shuffles (B+1)× total
 # cross-product chunk edge: temporaries ≤ CH²·8 B (~134 MB at 4096)
