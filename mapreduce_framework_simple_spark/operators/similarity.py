@@ -477,11 +477,26 @@ def two_level_probes(
     fine = centroids.select(
         F.col("cell_id").alias("fine_id"), F.col("c_emb").alias("f_emb")
     )
-    fine_routes = _nearest_cells(
+    # cached: consumed twice (live-meta filter + candidate join); K rows
+    # — linear in the centroid count, never in the corpus
+    fine_routes = scoped_cache(_nearest_cells(
         fine, "fine_id", "f_emb", meta_centroids, top_n=1
-    ).withColumnRenamed("cell_id", "meta_id")
+    ).withColumnRenamed("cell_id", "meta_id"))
+    # queries route against NON-EMPTY metas only (metas that won ≥1 fine
+    # centroid): a meta cell can be nearest to a query without being any
+    # fine centroid's single route target, and a query whose route_n
+    # picks were ALL such empty cells would silently get zero candidates
+    # — on the assignment side, a silently dropped vector. Filtering
+    # empty metas (FAISS probes non-empty lists the same way) guarantees
+    # every query ≥1 candidate, never changes the full-route result
+    # (empty metas contribute nothing), and can only improve recall at
+    # fixed route_n.
+    live_meta = meta_centroids.join(
+        fine_routes.select(F.col("meta_id").alias("cell_id")).distinct(),
+        "cell_id", "left_semi",
+    )
     q_routes = _nearest_cells(
-        q, "query_id", "q_emb", meta_centroids, top_n=route_n
+        q, "query_id", "q_emb", live_meta, top_n=route_n
     ).withColumnRenamed("cell_id", "meta_id")
     # (query, fine) pairs are unique: each fine centroid has exactly ONE
     # meta route, so no post-join dedup is needed before ranking
@@ -508,9 +523,14 @@ def two_level_probes(
             sims = dots / (np.sqrt(qa) * np.sqrt(fa))
             # HALF_UP micro-units, integer — _nearest_cells' exact rule
             ri = (np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)).astype("int64")
+            # positional arrays throughout: mixing indexed Series with
+            # the positional ri array would re-align rows if a batch
+            # ever arrived with a non-default index
             yield pd.DataFrame({
-                "query_id": pdf["query_id"], "q_emb": pdf["q_emb"],
-                "fine_id": pdf["fine_id"], "ri": ri,
+                "query_id": pdf["query_id"].to_numpy(),
+                "q_emb": list(pdf["q_emb"]),
+                "fine_id": pdf["fine_id"].to_numpy(),
+                "ri": ri,
             })
 
     from pyspark.sql import Window
@@ -624,11 +644,14 @@ def _stride_meta_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _duck_route(out_id: str, src: str, src_id: str, src_emb: str,
-                keep: int) -> str:
+                keep: int, metas: str = "meta") -> str:
     """One routing hop as DuckDB SQL — top-``keep`` meta cells per
     ``src`` row by (rounded cosine DESC, meta_id ASC), the exact
     :func:`_nearest_cells` rule (round() is HALF_UP in both engines;
-    the fold helpers are the q40-validated sequential-reduce forms)."""
+    the fold helpers are the q40-validated sequential-reduce forms).
+    ``metas`` names the meta relation: fine centroids route against ALL
+    metas, queries against the LIVE (non-empty) subset — mirroring
+    two_level_probes' live-meta filter exactly."""
     cos = (f"round({_duck_dot(src_emb, 'm.m_emb')} / "
            f"({_duck_norm(src_emb)} * {_duck_norm('m.m_emb')}), 6)")
     return f"""
@@ -636,7 +659,7 @@ def _duck_route(out_id: str, src: str, src_id: str, src_emb: str,
         SELECT s.{src_id} AS {out_id}, m.meta_id,
                row_number() OVER (PARTITION BY s.{src_id}
                                   ORDER BY {cos} DESC, m.meta_id) AS rn
-        FROM {src} s CROSS JOIN meta m
+        FROM {src} s CROSS JOIN {metas} m
     ) WHERE rn <= {keep}
     """
 
@@ -651,8 +674,11 @@ def _duck_route(out_id: str, src: str, src_id: str, src_emb: str,
     q AS (SELECT vec_id AS query_id, embedding AS q_emb
           FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
     fr AS ({_duck_route('cell_id', 'cents', 'cell_id', 's.c_emb', 1)}),
+    live_meta AS (
+        SELECT * FROM meta WHERE meta_id IN (SELECT meta_id FROM fr)
+    ),
     qr AS ({_duck_route('query_id', 'q', 'query_id', 's.q_emb',
-                        META_ROUTE_PROBES)}),
+                        META_ROUTE_PROBES, metas='live_meta')}),
     cand AS (
         SELECT qr.query_id, fr.cell_id
         FROM qr JOIN fr ON qr.meta_id = fr.meta_id

@@ -130,6 +130,33 @@ def test_two_level_assignments_router_agreement(spark, sf_dir):
     assert agree >= 0.8, f"routed assignment agreement = {agree:.2f}"
 
 
+def test_two_level_probes_skips_empty_metas(spark, sf_dir):
+    """A meta cell no fine centroid routed to is EMPTY; a query whose
+    route_n picks land only on empty metas would silently get zero
+    candidates (a silently dropped vector on the assignment side).
+    Queries must therefore route against non-empty metas only: here the
+    query's nearest meta (B) is empty, and it must still come back with
+    both fine cells via meta A."""
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    fine = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [1.0, -0.1])], "cell_id long, c_emb array<double>"
+    )
+    meta = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])], "cell_id long, c_emb array<double>"
+    )
+    q = spark.createDataFrame(
+        [(7, [0.1, 1.0])], "query_id long, q_emb array<double>"
+    )
+    out = S.two_level_probes(
+        spark, sf_dir, centroids=fine, meta_centroids=meta,
+        queries=q, route_n=1,
+    ).toPandas()
+    assert sorted(out.cell_id) == [1, 2], (
+        f"query dropped or mis-routed: {out.to_dict('records')}"
+    )
+
+
 def test_two_level_probes_router_recall(spark, sf_dir):
     """At route_n=META_ROUTE_PROBES the router only scores fine cells
     reachable through the routed meta cells — probe selection must
