@@ -24,8 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _released(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
     """Release the PREVIOUS query's scoped caches at call time, so a
-    consumer that sweeps all 125 queries in one session (the round
-    driver) holds at most one query's intra-query caches at any moment.
+    consumer that sweeps every registered query in one session (the
+    round driver) holds at most one query's intra-query caches at any
+    moment.
     Safe: by the time the next query is invoked, the previous result has
     been materialized by the consumer. Queries composing other queries
     call the raw registry functions, not these wrappers, so an outer

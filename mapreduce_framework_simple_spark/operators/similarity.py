@@ -611,6 +611,23 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     return _score_and_rank_candidates(cand)
 
 
+def ann_two_level_topk(spark: SparkSession, sf_dir: str,
+                       centroids: DataFrame,
+                       meta_centroids: DataFrame) -> DataFrame:
+    """IVF ANN with BOTH sides routed — :func:`ann_ivf_topk`'s twin for
+    the K > MAX_BROADCAST_QUERIES regime: index assignment via
+    :func:`two_level_assignments`, probe selection via
+    :func:`two_level_probes`, exact-cosine rank via the same
+    :func:`_score_and_rank_candidates` tail as q41/q120, so the scoring
+    rule cannot drift between the flat and routed paths. Recall vs the
+    exact q40 is tested on the stride layers."""
+    assigned = two_level_assignments(spark, sf_dir, centroids, meta_centroids)
+    cand = two_level_probes(
+        spark, sf_dir, centroids, meta_centroids
+    ).join(assigned, "cell_id")
+    return _score_and_rank_candidates(cand)
+
+
 @query("q41_ann_ivf")  # rows-only check; recall vs q40 asserted in tests
 def q41_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: probe the N_PROBE nearest cells per query,

@@ -130,6 +130,26 @@ def test_two_level_assignments_router_agreement(spark, sf_dir):
     assert agree >= 0.8, f"routed assignment agreement = {agree:.2f}"
 
 
+def test_two_level_ann_recall_against_exact(spark, sf_dir):
+    """End-to-end routed ANN (routed assignment + routed probes + the
+    shared exact-cosine rank tail) must hit the same recall bound as
+    flat q41 (measured 0.67 = flat's 0.67 on the stride layers at
+    sf0.001 — full-route regime there, so the paths coincide)."""
+    from mapreduce_framework_simple_spark.operators import similarity as S
+
+    exact = q40_cosine_topk(spark, sf_dir).toPandas()
+    routed = S.ann_two_level_topk(
+        spark, sf_dir,
+        S._stride_centroids(spark, sf_dir),
+        S._stride_meta_centroids(spark, sf_dir),
+    ).toPandas()
+    e = set(zip(exact.query_id, exact.neighbor_id))
+    r = set(zip(routed.query_id, routed.neighbor_id))
+    recall = len(e & r) / len(e)
+    assert recall >= 0.6, f"routed ANN recall@{TOP_K} = {recall:.2f}"
+    assert set(routed.query_id) == set(exact.query_id)
+
+
 def test_two_level_probes_skips_empty_metas(spark, sf_dir):
     """A meta cell no fine centroid routed to is EMPTY; a query whose
     route_n picks land only on empty metas would silently get zero
