@@ -120,8 +120,16 @@ def main() -> int:
 
         git_head = subprocess.check_output(
             ["git", "rev-parse", "HEAD"], cwd=REPO, text=True).strip()
-        if subprocess.run(["git", "diff", "--quiet", "HEAD"],
-                          cwd=REPO).returncode:
+        # dirtiness scoped to the CODE the matrix measures — the round
+        # driver appends to PROGRESS.jsonl continuously and this tool
+        # itself overwrites the artifact files, either of which would
+        # false-flag every run as dirty
+        if subprocess.run(
+            ["git", "diff", "--quiet", "HEAD", "--",
+             "mapreduce_framework_simple_spark", "__spark_entry__.py",
+             "bench.py", "tools", "tests"],
+            cwd=REPO,
+        ).returncode:
             git_head += "-dirty"
     except Exception:
         git_head = "unknown"
