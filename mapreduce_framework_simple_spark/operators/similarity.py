@@ -1198,7 +1198,8 @@ def q96_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
-                    centroids: DataFrame | None = None) -> None:
+                    centroids: DataFrame | None = None,
+                    meta_centroids: DataFrame | None = None) -> None:
     """IVF build step: materialize the corpus partitioned by cell_id.
     Each Voronoi cell becomes its own parquet directory, so a probe reads
     only the probed cells' files — partition pruning at the source, the
@@ -1228,14 +1229,30 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     write). At index scale (K = 10⁵ cells, 10³ write tasks) the
     unshuffled form is ~10⁸ tiny files — a listing/metadata failure
     mode, not just slow. One extra corpus shuffle is the right trade
-    for a write-once index."""
+    for a write-once index.
+
+    ``meta_centroids`` (K > MAX_BROADCAST_QUERIES regime) switches the
+    assignment to the two-level router (:func:`two_level_assignments`)
+    and persists the meta layer under ``<path>/_meta_centroids`` — the
+    probe path (:func:`ivf_probe_bucketed`) detects the sidecar and
+    routes its probe selection the same way, so build and probe
+    geometry (including the routing layer) cannot drift."""
     cents = (
         centroids if centroids is not None else _stride_centroids(spark, sf_dir)
     )
-    ivf_assignments(spark, sf_dir, centroids=cents).repartition(
+    assigned = (
+        two_level_assignments(spark, sf_dir, cents, meta_centroids)
+        if meta_centroids is not None
+        else ivf_assignments(spark, sf_dir, centroids=cents)
+    )
+    assigned.repartition(
         "cell_id"
     ).write.partitionBy("cell_id").mode("overwrite").parquet(path)
     cents.write.mode("overwrite").parquet(path + "/_centroids")
+    if meta_centroids is not None:
+        meta_centroids.write.mode("overwrite").parquet(
+            path + "/_meta_centroids"
+        )
 
 
 def _index_centroids(spark: SparkSession, index_path: str) -> DataFrame:
@@ -1254,6 +1271,24 @@ def _index_centroids(spark: SparkSession, index_path: str) -> DataFrame:
         )
 
 
+def _index_meta_centroids(spark: SparkSession,
+                          index_path: str) -> DataFrame | None:
+    """The routing (meta) layer persisted with a two-level index, or
+    None for a flat index. UNLIKE :func:`_index_centroids`, absence is
+    a VALID state (flat indexes carry no meta layer). A routed build
+    that died between the `_centroids` and `_meta_centroids` writes
+    surfaces here as flat — which probes the routed corpus with FLAT
+    selection: same candidate cells ranked over ALL fine centroids
+    instead of the routed subset, equal-or-better recall, never wrong
+    geometry — so fail-open is safe here where it was not for the fine
+    centroids (and it fails loudly anyway past the broadcast bound,
+    where a flat probe of a >100k-centroid frame refuses)."""
+    try:
+        return spark.read.parquet(index_path + "/_meta_centroids")
+    except AnalysisException:
+        return None
+
+
 def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
     """Approximate top-k against the bucketed IVF index — q41's answer,
     but the candidate read is PARTITION-PRUNED: the probed cell ids
@@ -1263,9 +1298,17 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     are read. The probe geometry comes from the centroids stored WITH
     the index (:func:`_index_centroids`). Tests assert result equality
     with the recompute formulation and the presence of partition
-    filters in the scan."""
+    filters in the scan. A two-level index (built with
+    ``meta_centroids=``) is detected by its ``_meta_centroids`` sidecar
+    and probed with the ROUTED selection — read geometry always matches
+    build geometry, routing layer included."""
     cents = _index_centroids(spark, index_path)
-    probes = scoped_cache(_ivf_probes(spark, sf_dir, centroids=cents))
+    meta = _index_meta_centroids(spark, index_path)
+    probes = scoped_cache(
+        two_level_probes(spark, sf_dir, cents, meta)
+        if meta is not None
+        else _ivf_probes(spark, sf_dir, centroids=cents)
+    )
     # Q·N_PROBE ints — the probe list is driver-sized by construction;
     # probes is cached so the collect and the candidate join share one
     # computation of the centroid ranking

@@ -1298,6 +1298,46 @@ def test_kmeans_ivf_index_roundtrips_centroids(spark, sf_dir, tmp_path):
     assert g[cols].equals(e[cols])
 
 
+def test_two_level_ivf_index_roundtrip(spark, sf_dir, tmp_path):
+    """A two-level index (built with meta_centroids=) persists its
+    routing layer under <path>/_meta_centroids; the bucketed probe
+    detects the sidecar, routes its probe selection, and returns exactly
+    the in-memory routed recompute's answer — read geometry matches
+    build geometry, routing layer included, still partition-pruned."""
+    import mapreduce_framework_simple_spark.operators.similarity as S
+    from mapreduce_framework_simple_spark.plans.explain import formatted_plan
+
+    cents = S._stride_centroids(spark, sf_dir)
+    meta = S._stride_meta_centroids(spark, sf_dir)
+    path = str(tmp_path / "ivf_routed_idx")
+    S.write_ivf_index(spark, sf_dir, path, centroids=cents,
+                      meta_centroids=meta)
+
+    stored_meta = S._index_meta_centroids(spark, path)
+    assert stored_meta is not None and stored_meta.count() == meta.count()
+    # the underscore dirs stay invisible to the main index scan
+    assert set(spark.read.parquet(path).columns) == {
+        "vec_id", "embedding", "cell_id",
+    }
+
+    got = S.ivf_probe_bucketed(spark, sf_dir, path)
+    plan = formatted_plan(got)
+    assert "PartitionFilters" in plan
+    g = got.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    e = (
+        S.ann_two_level_topk(spark, sf_dir, cents, meta)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    cols = ["query_id", "neighbor_id", "rnk"]
+    assert g[cols].equals(e[cols])
+    # a FLAT index keeps probing flat (no meta sidecar → None)
+    flat_path = str(tmp_path / "ivf_flat_idx")
+    S.write_ivf_index(spark, sf_dir, flat_path, centroids=cents)
+    assert S._index_meta_centroids(spark, flat_path) is None
+
+
 def test_ivf_index_missing_sidecar_fails_fast(spark, sf_dir, tmp_path):
     """Every complete index carries its _centroids sidecar (stride builds
     too); a missing sidecar means the build died between the index write
