@@ -470,10 +470,17 @@ def two_level_probes(
     at small ``route_n`` it is the approximate router (recall tested).
     Both centroid frames come from :func:`kmeans_centroid_frame`
     (unchanged): K at the standard √N sizing, meta at k ≈ ⌈√K⌉."""
-    em = load_table(spark, "embeddings", sf_dir)
-    q = queries if queries is not None else em.where(
-        F.col("vec_id") % QUERY_STRIDE == 0
-    ).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    if queries is None:
+        # only the default stride subset needs the corpus table; callers
+        # supplying every frame explicitly (router_probe's replica runs,
+        # synthetic tests) must not require <sf_dir>/embeddings.parquet
+        # to exist — spark.read lists the path eagerly
+        em = load_table(spark, "embeddings", sf_dir)
+        q = em.where(F.col("vec_id") % QUERY_STRIDE == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        )
+    else:
+        q = queries
     fine = centroids.select(
         F.col("cell_id").alias("fine_id"), F.col("c_emb").alias("f_emb")
     )
@@ -1197,6 +1204,27 @@ def q96_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cell_id so a probe is a partition-pruned read, not a filter").
 # ---------------------------------------------------------------------------
 
+def _auto_meta_centroids(spark: SparkSession, sf_dir: str,
+                         cents: DataFrame) -> DataFrame | None:
+    """Size-dispatch the two-level router on centroid count (the q07 /
+    q120 planner-``if`` pattern): probe the centroid frame with the same
+    ``limit(bound+1).count()`` probe :func:`_nearest_cells` refuses on.
+    Within the broadcast bound → None (the flat path is correct and
+    cheaper). Past it → auto-build the routing layer at the production
+    sizing, ``kmeans_centroid_frame(k=⌈√K⌉)``, so a caller who hands
+    ``write_ivf_index`` a K > MAX_BROADCAST_QUERIES frame gets the
+    router the repo ships instead of the flat probe's loud refusal.
+    The full ``cents.count()`` for sizing runs only in the over-bound
+    branch — K rows, linear in the centroid count, never the corpus."""
+    import math
+
+    if cents.limit(MAX_BROADCAST_QUERIES + 1).count() <= MAX_BROADCAST_QUERIES:
+        return None
+    return kmeans_centroid_frame(
+        spark, sf_dir, k=math.ceil(math.sqrt(cents.count()))
+    )
+
+
 def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
                     centroids: DataFrame | None = None,
                     meta_centroids: DataFrame | None = None) -> None:
@@ -1236,10 +1264,16 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     and persists the meta layer under ``<path>/_meta_centroids`` — the
     probe path (:func:`ivf_probe_bucketed`) detects the sidecar and
     routes its probe selection the same way, so build and probe
-    geometry (including the routing layer) cannot drift."""
+    geometry (including the routing layer) cannot drift. When the
+    caller passes NO meta layer but the centroid frame exceeds the
+    flat broadcast bound, the meta layer is AUTO-BUILT
+    (:func:`_auto_meta_centroids`, k = ⌈√K⌉) — the over-bound regime
+    routes instead of hitting :func:`_nearest_cells`' refusal."""
     cents = (
         centroids if centroids is not None else _stride_centroids(spark, sf_dir)
     )
+    if meta_centroids is None:
+        meta_centroids = _auto_meta_centroids(spark, sf_dir, cents)
     assigned = (
         two_level_assignments(spark, sf_dir, cents, meta_centroids)
         if meta_centroids is not None

@@ -1338,6 +1338,57 @@ def test_two_level_ivf_index_roundtrip(spark, sf_dir, tmp_path):
     assert S._index_meta_centroids(spark, flat_path) is None
 
 
+def test_write_ivf_index_auto_routes_past_bound(spark, sf_dir, tmp_path,
+                                                monkeypatch):
+    """write_ivf_index with NO meta_centroids= and a centroid frame past
+    the flat broadcast bound must AUTO-build the routing layer
+    (k = ⌈√K⌉ via kmeans_centroid_frame) and route, instead of
+    surfacing _nearest_cells' refusal — tools/router_probe.py's K=150k
+    regime shrunk to test size by lowering MAX_BROADCAST_QUERIES (the
+    dispatch probe and the flat refusal read the same module constant).
+    The probe path must then return exactly the routed recompute built
+    from the PERSISTED layers (build/probe geometry cannot drift)."""
+    import math
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    import mapreduce_framework_simple_spark.operators.similarity as S
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    # fine "centroids": deterministic 3/4 corpus subset — router_probe's
+    # fixture recipe; the point is the COUNT past the bound, not quality
+    em = load_table(spark, "embeddings", sf_dir)
+    fine = em.where(F.pmod(F.col("vec_id"), F.lit(4)) != 0).select(
+        F.col("vec_id").alias("cell_id"), F.col("embedding").alias("c_emb")
+    )
+    k_fine = fine.count()
+    monkeypatch.setattr(S, "MAX_BROADCAST_QUERIES", k_fine - 1)
+
+    # the regime being dispatched: flat assignment refuses at this bound
+    with pytest.raises(ValueError, match="two-level router"):
+        S.ivf_assignments(spark, sf_dir, centroids=fine)
+
+    path = str(tmp_path / "ivf_auto_routed_idx")
+    S.write_ivf_index(spark, sf_dir, path, centroids=fine)  # no meta=
+
+    meta = S._index_meta_centroids(spark, path)
+    assert meta is not None, "auto-dispatch did not persist _meta_centroids"
+    assert meta.count() == math.ceil(math.sqrt(k_fine))  # production sizing
+
+    got = S.ivf_probe_bucketed(spark, sf_dir, path)
+    g = got.toPandas().sort_values(["query_id", "rnk"]).reset_index(drop=True)
+    e = (
+        S.ann_two_level_topk(spark, sf_dir,
+                             S._index_centroids(spark, path), meta)
+        .toPandas()
+        .sort_values(["query_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    cols = ["query_id", "neighbor_id", "rnk"]
+    assert g[cols].equals(e[cols])
+
+
 def test_ivf_index_missing_sidecar_fails_fast(spark, sf_dir, tmp_path):
     """Every complete index carries its _centroids sidecar (stride builds
     too); a missing sidecar means the build died between the index write
