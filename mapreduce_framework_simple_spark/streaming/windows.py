@@ -258,19 +258,20 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     # belong to a possibly-live peer's in-flight write; the rename-loser
     # path removes its own.)
     table_prefix = f"mfss_stream_{uid}_{table}_"
-    current_fmt = re.compile(
-        re.escape(table_prefix) + r"[0-9a-f]{8}_n\d+_[0-9a-f]{12}$"
+    # legacy-format sweep matches ONLY the two layouts prior rounds
+    # actually wrote (pre-srchash `<table>_<key12>` and pre-n_files
+    # `<table>_<srch8>_<key12>`) — never "anything not current-format":
+    # a table whose name extends this one (e.g. 'events_v2' seen from
+    # 'events') starts with table_prefix but fails the current-format
+    # regex (its name tail occupies the srch slot), so a catch-all
+    # sweep would rmtree a LIVE peer stage mid-stream
+    legacy_fmt = re.compile(
+        re.escape(table_prefix) + r"(?:[0-9a-f]{8}_)?[0-9a-f]{12}$"
     )
     for d in os.listdir(tempfile.gettempdir()):
         if ".tmp." in d or d == stage_prefix + key:
             continue
-        if d.startswith(stage_prefix) or (
-            # legacy-format sweep: same-uid same-table dirs not matching
-            # the CURRENT name format were written by code that no longer
-            # exists (pre-srchash or pre-n_files rounds) — no live stream
-            # can be reading them, and each orphans a full table copy
-            d.startswith(table_prefix) and not current_fmt.match(d)
-        ):
+        if d.startswith(stage_prefix) or legacy_fmt.match(d):
             shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
                           ignore_errors=True)
     # the _SUCCESS probe rejects a partially-written stage from a crashed

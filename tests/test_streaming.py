@@ -536,9 +536,25 @@ def test_stage_stream_source_nfiles_scopes_coexist(spark, sf_dir):
         tempfile.gettempdir(), f"mfss_stream_{uid}_events_deadbeef_cafe0123abcd"
     )
     os.makedirs(legacy, exist_ok=True)
-    # restaging fan-out 1 (a GC pass) must leave fan-out 2's stage alive
-    assert _stage_stream_source(spark, "events", sf_dir, n_files=1) == z1
-    assert os.path.exists(os.path.join(z1, "_SUCCESS"))
-    assert os.path.exists(os.path.join(z2, "_SUCCESS")), \
-        "GC reaped a live different-n_files peer stage"
-    assert not os.path.exists(legacy), "legacy-format orphan not swept"
+    # a live stage of a PREFIX-EXTENSION table name ('events_v2' starts
+    # with 'events_') must survive the 'events' GC pass: it is neither
+    # current-format FOR THIS TABLE nor a known legacy layout — a
+    # catch-all "not current-format" sweep would rmtree it mid-stream
+    peer = os.path.join(
+        tempfile.gettempdir(),
+        f"mfss_stream_{uid}_events_v2_0123abcd_n1_0123456789ab",
+    )
+    os.makedirs(peer, exist_ok=True)
+    try:
+        # restaging fan-out 1 (a GC pass) must leave fan-out 2's stage alive
+        assert _stage_stream_source(spark, "events", sf_dir, n_files=1) == z1
+        assert os.path.exists(os.path.join(z1, "_SUCCESS"))
+        assert os.path.exists(os.path.join(z2, "_SUCCESS")), \
+            "GC reaped a live different-n_files peer stage"
+        assert not os.path.exists(legacy), "legacy-format orphan not swept"
+        assert os.path.exists(peer), \
+            "GC reaped a live prefix-extension-table peer stage"
+    finally:
+        import shutil
+
+        shutil.rmtree(peer, ignore_errors=True)
