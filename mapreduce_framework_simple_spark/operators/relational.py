@@ -13,6 +13,8 @@ shuffles are, and why the plan survives 1000 executors × 100 TB.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -73,6 +75,45 @@ DIM_BROADCAST_ROW_BOUND = 1_000_000
 _DIM_PROBE_MEMO: dict[tuple, int] = {}
 _DIM_PROBE_MEMO_MAX = 32
 
+# (sf_dir, shallow signature) → deep fingerprint: the deep
+# _input_fingerprint walks and stats EVERY data file under sf_dir, which
+# a memo HIT must not pay per probe call (it grows with the file count
+# of the whole input). The guard is one stat per TOP-LEVEL entry of
+# sf_dir: every Spark-writer rewrite changes it (overwrite recreates the
+# table directory; writes INTO a table dir add/remove entries, bumping
+# that dir's mtime), so a stale deep fingerprint cannot survive one.
+# Residual miss (documented): an in-place truncate-rewrite of a file
+# NESTED inside a table dir leaves the parent entry's mtime unchanged —
+# not a pattern any Spark/pandas/DuckDB table writer produces (all
+# create or replace entries). Non-local URIs skip the guard and pay the
+# (already listing-based) deep fingerprint per call, as before.
+_FPRINT_MEMO: dict[tuple, str] = {}
+
+
+def _fingerprint_guarded(sf_dir: str, spark) -> str:
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        _input_fingerprint,
+    )
+
+    if "://" in sf_dir and not sf_dir.startswith("file://"):
+        return _input_fingerprint(sf_dir, spark)
+    try:
+        local = sf_dir[len("file://"):] if sf_dir.startswith("file://") else sf_dir
+        with os.scandir(local) as it:
+            shallow = tuple(sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in it
+            ))
+    except OSError:
+        return _input_fingerprint(sf_dir, spark)
+    key = (sf_dir, shallow)
+    fp = _FPRINT_MEMO.get(key)
+    if fp is None:
+        fp = _input_fingerprint(sf_dir, spark)
+        if len(_FPRINT_MEMO) >= _DIM_PROBE_MEMO_MAX:
+            _FPRINT_MEMO.pop(next(iter(_FPRINT_MEMO)))
+        _FPRINT_MEMO[key] = fp
+    return fp
+
 
 def _dim_probe_count(p: DataFrame, sf_dir: str, bound: int) -> int:
     """Memoized ``limit(bound+1).count()`` of a probe-dispatch dim. The
@@ -84,13 +125,12 @@ def _dim_probe_count(p: DataFrame, sf_dir: str, bound: int) -> int:
     input fingerprint of ``sf_dir`` (dedup._input_fingerprint, the same
     rewrite-detection signal the dedup memos key on): an in-session
     overwrite of the parquet under ``sf_dir`` mints a new key, so a
-    grown dim re-probes instead of riding a stale under-bound count."""
-    from mapreduce_framework_simple_spark.operators.dedup import (
-        _input_fingerprint,
-    )
-
+    grown dim re-probes instead of riding a stale under-bound count.
+    The fingerprint itself is shallow-stat-guarded
+    (:func:`_fingerprint_guarded`) so a memo HIT costs one stat per
+    top-level sf_dir entry, not a walk of every data file."""
     key = (p.sparkSession.sparkContext.applicationId, sf_dir, bound,
-           _input_fingerprint(sf_dir, p.sparkSession),
+           _fingerprint_guarded(sf_dir, p.sparkSession),
            p._jdf.queryExecution().analyzed().semanticHash())
     n = _DIM_PROBE_MEMO.get(key)
     if n is None:

@@ -95,6 +95,46 @@ def test_dim_probe_recounts_after_rewrite(spark, tmp_path):
     assert R._dim_probe_count(spark.read.parquet(str(path)), str(sf), 10) == 7
 
 
+def test_dim_probe_fingerprint_guard_skips_deep_walk_on_hit(
+    spark, tmp_path, monkeypatch
+):
+    """The deep _input_fingerprint (stats every data file under sf_dir)
+    must run only when the SHALLOW signature (one stat per top-level
+    entry) changes — a probe-memo hit costs O(#tables) stats, not a
+    walk of the whole input; a rewrite still re-fingerprints."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators import dedup
+    from mapreduce_framework_simple_spark.operators import relational as R
+
+    sf = tmp_path / "guardsf"
+    sf.mkdir()
+    path = sf / "part.parquet"
+
+    def write(n):
+        pd.DataFrame({"p_partkey": list(range(n))}).to_parquet(path)
+
+    write(3)
+    deep_calls = []
+    orig = dedup._input_fingerprint
+
+    def counting(p, s=None):
+        deep_calls.append(p)
+        return orig(p, s)
+
+    monkeypatch.setattr(dedup, "_input_fingerprint", counting)
+    df = spark.read.parquet(str(path))
+    assert R._dim_probe_count(df, str(sf), 10) == 3
+    n_first = len(deep_calls)
+    assert n_first >= 1
+    for _ in range(3):  # unchanged input: shallow guard, zero deep walks
+        assert R._dim_probe_count(df, str(sf), 10) == 3
+    assert len(deep_calls) == n_first
+    write(7)  # rewrite: shallow signature changes → deep re-fingerprint
+    assert R._dim_probe_count(spark.read.parquet(str(path)), str(sf), 10) == 7
+    assert len(deep_calls) > n_first
+
+
 def test_no_cartesian_in_star_join(spark, sf_dir):
     plan = formatted_plan(q05_join_chain(spark, sf_dir))
     assert "CartesianProduct" not in plan
