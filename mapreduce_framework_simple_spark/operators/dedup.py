@@ -1548,9 +1548,6 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise pin its executor copies until a JVM GC
     b_bits = scoped_broadcast(spark.sparkContext.broadcast(np.packbits(bits)))
 
-    # no type hints: `from __future__ import annotations` stringifies them
-    # and pandas_udf's hint inference then fails to resolve `pd` — the
-    # explicit SeriesToSeries eval type is set via the plain decorator form
     def _might_contain(p0, p1, p2, p3):
         bm = b_bits.value  # packed: bit p lives at byte p>>3, lane 7-(p&7)
 
@@ -1562,9 +1559,17 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (probe_bits(p0) & probe_bits(p1) & probe_bits(p2) & probe_bits(p3)) == 1
         )
 
-    from pyspark.sql.functions import PandasUDFType
-
-    might_contain = pandas_udf(_might_contain, "boolean", PandasUDFType.SCALAR)
+    # Series→Series eval type via REAL type objects assigned to
+    # __annotations__: inline hints are stringified by `from __future__
+    # import annotations` and pandas_udf's get_type_hints() would then
+    # evaluate "pd.Series" in MODULE globals, where pd is not imported
+    # (it lives in this function's scope). The legacy functionType form
+    # (PandasUDFType.SCALAR) this replaces is deprecated (SPARK-28264).
+    _might_contain.__annotations__ = {
+        "p0": pd.Series, "p1": pd.Series, "p2": pd.Series,
+        "p3": pd.Series, "return": pd.Series,
+    }
+    might_contain = pandas_udf(_might_contain, "boolean")
 
     flagged = rest.where(might_contain(*positions(F.col("sid"))))
     hits = (
