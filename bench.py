@@ -65,11 +65,34 @@ def main() -> None:
     # comparability) is stamped after warm-up, so its 1-min figure
     # includes the bench's own ramp — reading it as external contention
     # is exactly the round-4/5 adjudication confusion.
+    #
+    # WAIT for quiet, bounded: three consecutive driver rounds launched
+    # contended (r5–r7, loadavg 3–5.5), so the committed comparison kept
+    # being quiet-artifact vs contended-driver-run. A bounded poll
+    # (sleep 15 s, re-sample, give up after SPARK_GRAFT_QUIET_WAIT_S,
+    # default 300 s) makes the driver artifact itself the quotable
+    # number when the box frees up within the window; if it never does,
+    # proceed anyway — the honest contended=true flag stays the
+    # fallback, because refusing outright would leave the round with no
+    # BENCH artifact at all.
+    quiet_wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "300"))
     load_launch = os.getloadavg()
+    waited = 0.0
+    while load_launch[0] > 2.0 and waited < quiet_wait_budget:
+        step = min(15.0, quiet_wait_budget - waited)
+        print(
+            f"# waiting for quiet: 1-min loadavg {load_launch[0]:.2f} > 2 "
+            f"({waited:.0f}/{quiet_wait_budget:.0f}s waited)",
+            file=sys.stderr,
+        )
+        time.sleep(step)
+        waited += step
+        load_launch = os.getloadavg()
     if load_launch[0] > 2.0:
         print(
             f"# WARNING: contended launch (1-min loadavg {load_launch[0]:.2f}"
-            " > 2): timings will be inflated; output carries contended=true",
+            f" > 2 after {waited:.0f}s quiet-wait): timings will be "
+            "inflated; output carries contended=true",
             file=sys.stderr,
         )
 
@@ -141,6 +164,9 @@ def main() -> None:
         # outright would leave the round with no BENCH artifact at all,
         # so the flag is prominent rather than fatal).
         "contended": load_launch[0] > 2.0,
+        # seconds the bounded quiet-wait poll actually slept before
+        # launch (0.0 = box was already quiet)
+        "quiet_wait_s": round(waited, 1),
         "loadavg_launch": [round(x, 2) for x in load_launch],
         "loadavg_start": [round(x, 2) for x in load_start],
         "loadavg_end": [round(x, 2) for x in load_end],
