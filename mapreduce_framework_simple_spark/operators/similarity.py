@@ -535,23 +535,29 @@ def two_level_probes(
             # ever arrived with a non-default index
             yield pd.DataFrame({
                 "query_id": pdf["query_id"].to_numpy(),
-                "q_emb": list(pdf["q_emb"]),
                 "fine_id": pdf["fine_id"].to_numpy(),
                 "ri": ri,
             })
 
     from pyspark.sql import Window
 
-    emb_t = cand.schema["q_emb"].dataType.simpleString()
-    scored = cand.mapInPandas(
-        score, f"query_id long, q_emb {emb_t}, fine_id long, ri long"
+    # scored rows are SKINNY (query_id, fine_id, ri — 24 B): the rank
+    # window's shuffle moves route_n·K/√K candidate rows PER QUERY, and
+    # on the assignment path the query frame is the whole corpus — at
+    # embedding width (~0.5 KB) that exchange would be ~20× the data it
+    # needs. q_emb re-attaches AFTER the top-keep_n cut via a join on
+    # query_id (keep_n rows per query vs the query frame — the same
+    # exchange class as the candidate join, on 1/route_n·√K the rows).
+    scored = cand.select("query_id", "q_emb", "fine_id", "f_emb").mapInPandas(
+        score, "query_id long, fine_id long, ri long"
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("ri"), F.asc("fine_id"))
-    return (
+    kept = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= keep_n)
-        .select("query_id", "q_emb", F.col("fine_id").alias("cell_id"))
+        .select("query_id", F.col("fine_id").alias("cell_id"))
     )
+    return kept.join(q, "query_id").select("query_id", "q_emb", "cell_id")
 
 
 def two_level_assignments(
