@@ -171,6 +171,13 @@ def main() -> None:
         # outright would leave the round with no BENCH artifact at all,
         # so the flag is prominent rather than fatal).
         "contended": load_launch[0] > 2.0,
+        # the decay-shadow indicator: true when the 5-min average was
+        # still over the wait gate at launch (budget expired) — the
+        # regime measured round 8 as ~7-10% inflated (8.35/8.55 s vs
+        # 7.79 s cold) even with a quiet 1-min figure. `contended`
+        # keeps its 1-min-only meaning for round-over-round continuity;
+        # a headline with launch_shadow=true deserves the same caveat.
+        "launch_shadow": load_launch[1] > 2.5,
         # seconds the bounded quiet-wait poll actually slept before
         # launch (0.0 = box was already quiet)
         "quiet_wait_s": round(waited, 1),

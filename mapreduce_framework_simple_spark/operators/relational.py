@@ -75,18 +75,22 @@ DIM_BROADCAST_ROW_BOUND = 1_000_000
 _DIM_PROBE_MEMO: dict[tuple, int] = {}
 _DIM_PROBE_MEMO_MAX = 32
 
-# (sf_dir, shallow signature) → deep fingerprint: the deep
+# (sf_dir, cheap signature) → deep fingerprint: the deep
 # _input_fingerprint walks and stats EVERY data file under sf_dir, which
 # a memo HIT must not pay per probe call (it grows with the file count
-# of the whole input). The guard is one stat per TOP-LEVEL entry of
-# sf_dir: every Spark-writer rewrite changes it (overwrite recreates the
-# table directory; writes INTO a table dir add/remove entries, bumping
-# that dir's mtime), so a stale deep fingerprint cannot survive one.
-# Residual miss (documented): an in-place truncate-rewrite of a file
-# NESTED inside a table dir leaves the parent entry's mtime unchanged —
-# not a pattern any Spark/pandas/DuckDB table writer produces (all
-# create or replace entries). Non-local URIs skip the guard and pay the
-# (already listing-based) deep fingerprint per call, as before.
+# of the whole input). The guard stats every DIRECTORY under sf_dir
+# plus sf_dir's top-level files: creating, deleting, renaming or
+# replacing an entry at ANY depth bumps its immediate parent
+# directory's mtime (this covers partition-scoped overwrites that swap
+# files inside table/date=x/ without touching the table dir — the case
+# a one-level scan would miss), and the top-level file stats cover the
+# bare single-file-table layout. Cost is O(#dirs), not O(#files) —
+# parquet layouts are file-dominated. Residual miss (documented): an
+# in-place truncate-rewrite of a NESTED file that neither creates nor
+# replaces an entry — not a pattern any Spark/pandas/DuckDB table
+# writer produces (all write new files, then rename/replace). Non-local
+# URIs skip the guard and pay the (already listing-based) deep
+# fingerprint per call, as before.
 _FPRINT_MEMO: dict[tuple, str] = {}
 
 
@@ -99,10 +103,22 @@ def _fingerprint_guarded(sf_dir: str, spark) -> str:
         return _input_fingerprint(sf_dir, spark)
     try:
         local = sf_dir[len("file://"):] if sf_dir.startswith("file://") else sf_dir
-        with os.scandir(local) as it:
-            shallow = tuple(sorted(
-                (e.name, e.stat().st_mtime_ns, e.stat().st_size) for e in it
-            ))
+        sig = []
+        st = os.stat(local)
+        sig.append((".", st.st_mtime_ns, st.st_size))
+        for root, dirs, files in os.walk(local):
+            for d in dirs:
+                p = os.path.join(root, d)
+                st = os.stat(p)
+                sig.append((os.path.relpath(p, local), st.st_mtime_ns,
+                            st.st_size))
+            if root == local:
+                for fn in files:
+                    p = os.path.join(root, fn)
+                    st = os.stat(p)
+                    sig.append((os.path.relpath(p, local), st.st_mtime_ns,
+                                st.st_size))
+        shallow = tuple(sorted(sig))
     except OSError:
         return _input_fingerprint(sf_dir, spark)
     key = (sf_dir, shallow)

@@ -444,11 +444,14 @@ def two_level_probes(
     spark: SparkSession, sf_dir: str, centroids: DataFrame,
     meta_centroids: DataFrame, queries: DataFrame | None = None,
     route_n: int = META_ROUTE_PROBES, keep_n: int = N_PROBE,
+    attach_emb: bool = True,
 ) -> DataFrame:
     """(query_id, q_emb, cell_id): :func:`_ivf_probes`' exact contract
     for the K > MAX_BROADCAST_QUERIES regime — the two-level
     (coarse-router) probe selection of docs/SCALE.md §"Two-level IVF
-    routing for K beyond the broadcast bound".
+    routing for K beyond the broadcast bound". ``attach_emb=False``
+    returns the skinny (query_id, cell_id) frame instead, skipping the
+    q_emb re-attach join and its second read of the query frame.
 
     :func:`_nearest_cells` broadcasts its whole centroid set, so flat
     probe selection caps at K = 100k centroids — N ≈ 10^10 vectors
@@ -548,15 +551,19 @@ def two_level_probes(
     # needs. q_emb re-attaches AFTER the top-keep_n cut via a join on
     # query_id (keep_n rows per query vs the query frame — the same
     # exchange class as the candidate join, on 1/route_n·√K the rows).
-    scored = cand.select("query_id", "q_emb", "fine_id", "f_emb").mapInPandas(
-        score, "query_id long, fine_id long, ri long"
-    )
+    # attach_emb=False skips that join AND its second read of the query
+    # frame for consumers that only want the (query_id, cell_id) pairs
+    # (q129's oracle surface) — the optimizer cannot prune an inner
+    # join, so the skip has to be explicit.
+    scored = cand.mapInPandas(score, "query_id long, fine_id long, ri long")
     w = Window.partitionBy("query_id").orderBy(F.desc("ri"), F.asc("fine_id"))
     kept = (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") <= keep_n)
         .select("query_id", F.col("fine_id").alias("cell_id"))
     )
+    if not attach_emb:
+        return kept
     return kept.join(q, "query_id").select("query_id", "q_emb", "cell_id")
 
 
@@ -747,7 +754,8 @@ def q129_two_level_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir,
         centroids=_stride_centroids(spark, sf_dir),
         meta_centroids=_stride_meta_centroids(spark, sf_dir),
-    ).select("query_id", "cell_id")
+        attach_emb=False,  # q129 wants the pairs; skip the re-attach join
+    )
 
 
 NEARDUP_THRESHOLD = 0.45
@@ -1275,7 +1283,12 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     flat broadcast bound, the meta layer is AUTO-BUILT
     (:func:`_auto_meta_centroids`, k = ⌈√K⌉) — the over-bound regime
     routes instead of hitting :func:`_nearest_cells`' refusal."""
-    cents = (
+    # cached: the centroid frame has three consumers per build (the
+    # auto-dispatch probe, the assignment kernel's own bounded probe +
+    # collect/route, the _centroids sidecar write) — K rows, linear in
+    # the centroid count, never the corpus; without the cache a
+    # corpus-derived frame re-scans its source for each
+    cents = scoped_cache(
         centroids if centroids is not None else _stride_centroids(spark, sf_dir)
     )
     if meta_centroids is None:

@@ -135,6 +135,46 @@ def test_dim_probe_fingerprint_guard_skips_deep_walk_on_hit(
     assert len(deep_calls) > n_first
 
 
+def test_dim_probe_fingerprint_guard_sees_partition_rewrite(
+    spark, tmp_path, monkeypatch
+):
+    """A partition-scoped overwrite swaps files INSIDE table/date=x/
+    without touching the table dir's own entry — the guard must still
+    re-fingerprint (it stats every directory, and replacing an entry
+    bumps its immediate parent dir's mtime at any depth)."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.operators import dedup
+    from mapreduce_framework_simple_spark.operators import relational as R
+
+    sf = tmp_path / "partsf"
+    part_dir = sf / "part.parquet" / "date=1"
+    part_dir.mkdir(parents=True)
+
+    def write(n, fname):
+        for old in part_dir.glob("*.parquet"):
+            old.unlink()  # entry delete+create: the writer pattern
+        pd.DataFrame({"p_partkey": list(range(n))}).to_parquet(
+            part_dir / fname
+        )
+
+    write(3, "f1.parquet")
+    deep_calls = []
+    orig = dedup._input_fingerprint
+
+    def counting(p, s=None):
+        deep_calls.append(p)
+        return orig(p, s)
+
+    monkeypatch.setattr(dedup, "_input_fingerprint", counting)
+    tbl = str(sf / "part.parquet")
+    assert R._dim_probe_count(spark.read.parquet(tbl), str(sf), 10) == 3
+    n_first = len(deep_calls)
+    write(7, "f2.parquet")  # partition-scoped rewrite, table dir untouched
+    assert R._dim_probe_count(spark.read.parquet(tbl), str(sf), 10) == 7
+    assert len(deep_calls) > n_first
+
+
 def test_no_cartesian_in_star_join(spark, sf_dir):
     plan = formatted_plan(q05_join_chain(spark, sf_dir))
     assert "CartesianProduct" not in plan
