@@ -20,6 +20,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from mapreduce_framework_simple_spark.operators.relational import (
+    duck_cents,
+    duck_cents_l,
+)
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import SCHEMAS, load_table
 
@@ -41,11 +45,11 @@ def _sum_value_cents(alias: str = "sum_value") -> "F.Column":
 
 @query(
     "q50_tumbling_window",
-    oracle="""
+    oracle=f"""
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100
+           CAST(sum({duck_cents('value')}) AS DOUBLE) / 100
                AS sum_value
     FROM events
     GROUP BY 1, 2
@@ -70,7 +74,7 @@ def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q51_sliding_window",
-    oracle="""
+    oracle=f"""
     WITH slid AS (
         SELECT time_bucket(INTERVAL '30 minutes', ts) - k * INTERVAL 30 MINUTE AS window_start,
                value
@@ -78,7 +82,7 @@ def q50_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT window_start,
            CAST(count(*) AS BIGINT) AS n_events,
-           CAST(sum(CAST(round(value * 100) AS HUGEINT)) AS DOUBLE) / 100
+           CAST(sum({duck_cents('value')}) AS DOUBLE) / 100
                AS sum_value
     FROM slid
     GROUP BY 1
@@ -139,9 +143,9 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            > SESSION_GAP_MIN * 60 * 1_000_000),
         1,
     ).otherwise(0)
-    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    # derived from w, not rebuilt: the session ordering tiebreaker must
+    # stay consistent between lag() and the running sum by construction
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = e.select(
         "user_id", "ts", "event_id", F.sum(is_new).over(run).alias("session_id")
     )
@@ -154,10 +158,10 @@ def q52_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q53_stateful_running_count",
-    oracle="""
+    oracle=f"""
     SELECT event_id, user_id,
            CAST(count(*) OVER w AS BIGINT) AS running_count,
-           CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS DOUBLE) / 100
+           CAST(sum({duck_cents_l('value')}) OVER w AS DOUBLE) / 100
              AS running_value
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -466,16 +470,33 @@ def stream_to_parquet(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
 def read_latest_batch(spark: SparkSession, out_dir: str) -> DataFrame:
     """The final snapshot of a complete-mode :func:`stream_to_parquet`
     sink: the highest ``batch=N`` dir, sorted NUMERICALLY (lexicographic
-    picks batch=9 over batch=10). Raises if no batch was written."""
+    picks batch=9 over batch=10). Raises if no batch was written.
+
+    Listing goes through the Hadoop FileSystem API resolved from the
+    path's own scheme — the same rationale as
+    :func:`_clean_stale_batches`: the sink is documented as the
+    warehouse-landing pattern, and an ``os.listdir`` here would raise
+    FileNotFoundError on the very ``hdfs://``/``s3a://`` out_dirs the
+    sink targets, making the prescribed last-snapshot read unusable
+    exactly where it matters."""
     import re
 
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    HPath = spark.sparkContext._jvm.org.apache.hadoop.fs.Path
+    out = HPath(out_dir)
+    fs = out.getFileSystem(hconf)
     batches = sorted(
-        (d for d in os.listdir(out_dir) if re.fullmatch(r"batch=\d+", d)),
+        (
+            st.getPath().getName()
+            for st in (fs.listStatus(out) if fs.exists(out) else [])
+            if st.isDirectory()
+            and re.fullmatch(r"batch=\d+", st.getPath().getName())
+        ),
         key=lambda n: int(n.split("=")[1]),
     )
     if not batches:
         raise FileNotFoundError(f"no batch=N dirs under {out_dir}")
-    return spark.read.parquet(os.path.join(out_dir, batches[-1]))
+    return spark.read.parquet(out_dir.rstrip("/") + "/" + batches[-1])
 
 
 def stream_enrich_static(
@@ -513,27 +534,37 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        cnt, cents = state.get if state.exists else (0, 0)
+        cnt, nval, cents = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             cnt += int(len(pdf))
             # HALF_UP (away from zero) like Spark's F.round in the batch
             # twin — pandas .round() is half-even and would disagree on
             # exactly-representable ties (e.g. 20.625*100 == 2062.5);
-            # NULL values contribute 0, matching F.sum's null-skipping
+            # NULL values contribute 0 AND are counted separately: F.sum
+            # skips nulls but returns NULL (not 0) for an ALL-null group,
+            # so the emit below must too — a plain null-as-zero mapping
+            # silently diverges from the batch twin on exactly that key
             # (a bare astype would raise on NaN and kill the stream)
             c = (pdf["value"].to_numpy(dtype="float64") * 100.0)
-            c = np.where(np.isnan(c), 0.0, np.sign(c) * np.floor(np.abs(c) + 0.5))
+            nn = ~np.isnan(c)
+            nval += int(nn.sum())
+            c = np.where(nn, np.sign(c) * np.floor(np.abs(c) + 0.5), 0.0)
             cents += int(c.sum())
-        state.update((cnt, cents))
+        state.update((cnt, nval, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "total_events": [cnt],
-             "total_value": [cents / 100.0]}
+             # nullable Float64 so the no-non-null-value case emits a
+             # true SQL NULL (np.nan would survive as NaN, which Spark
+             # treats as a value, not a null)
+             "total_value": pd.array(
+                 [cents / 100.0 if nval else None], dtype="Float64"
+             )}
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id long, total_events long, total_value double",
-        stateStructType="count long, total_cents long",
+        stateStructType="count long, n_vals long, total_cents long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -604,27 +635,31 @@ def stream_tws_user_totals(events: DataFrame) -> DataFrame:
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
-                "totals", "count long, total_cents long"
+                "totals", "count long, n_vals long, total_cents long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
             import pandas as pd
 
-            cnt, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            cnt, nval, cents = (
+                self._totals.get() if self._totals.exists() else (0, 0, 0)
+            )
             for pdf in rows:
                 cnt += int(len(pdf))
-                # HALF_UP + null-as-zero — see stream_stateful_user_totals
+                # HALF_UP + null tracking — see stream_stateful_user_totals
                 import numpy as np
 
                 c = (pdf["value"].to_numpy(dtype="float64") * 100.0)
-                c = np.where(
-                    np.isnan(c), 0.0, np.sign(c) * np.floor(np.abs(c) + 0.5)
-                )
+                nn = ~np.isnan(c)
+                nval += int(nn.sum())
+                c = np.where(nn, np.sign(c) * np.floor(np.abs(c) + 0.5), 0.0)
                 cents += int(c.sum())
-            self._totals.update((cnt, cents))
+            self._totals.update((cnt, nval, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "total_events": [cnt],
-                 "total_value": [cents / 100.0]}
+                 "total_value": pd.array(
+                     [cents / 100.0 if nval else None], dtype="Float64"
+                 )}
             )
 
         def close(self) -> None:

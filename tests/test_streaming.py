@@ -197,6 +197,53 @@ def test_stateful_apply_in_pandas_with_state(spark, sf_dir):
     assert (abs(g["total_value"] - w["total_value"]) < 1e-6).all()
 
 
+def test_stateful_totals_all_null_group_emits_null(spark, tmp_path):
+    """F.sum skips NULLs but returns NULL (not 0) for an ALL-null group;
+    the stateful operator must match — a null-as-zero accumulator would
+    silently emit 0.0 for exactly that key and break the batch≡stream
+    contract."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.sources.io import SCHEMAS
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        stream_stateful_user_totals,
+    )
+
+    src = tmp_path / "events_allnull"
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": [1, 1, 2, 2],  # user 1: all-null; user 2: mixed
+            "event_type": "view",
+            "value": [None, None, None, 2.5],
+            "props": "{}",
+        }
+    )
+    spark.createDataFrame(pdf, SCHEMAS["events"]).write.parquet(str(src))
+    stream = stream_stateful_user_totals(
+        spark.readStream.schema(SCHEMAS["events"]).parquet(str(src))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_allnull")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("SELECT * FROM t_allnull")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.loc[1, "total_events"] == 2
+    assert pd.isna(got.loc[1, "total_value"]), "all-null group must be NULL"
+    assert got.loc[2, "total_events"] == 2
+    assert abs(got.loc[2, "total_value"] - 2.5) < 1e-9
+
+
 def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     """Stream-stream interval join produces exactly the batch q27 pairs."""
     from mapreduce_framework_simple_spark.operators.relational import q27_range_join
