@@ -40,6 +40,7 @@ from mapreduce_framework_simple_spark.ephemeral import (
 from mapreduce_framework_simple_spark.operators.text import (
     DUCK_SHINGLES,
     DUCK_TOKS,
+    WS_CLASS,
     shingles_expr,
     tokens_expr,
 )
@@ -52,9 +53,11 @@ from mapreduce_framework_simple_spark.sources.io import load_table
 # EXPLICIT whitespace class, not \s: Java's \s is [ \t\n\x0B\f\r] but
 # DuckDB's RE2 \s omits vertical tab U+000B, so a document containing one
 # would normalize differently across engines and split its exact-dedup
-# group (same fix as text.tokens_expr/DUCK_TOKS). The class below IS
-# Java's \s, so Spark-side behavior is unchanged.
-_WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+# group. The class is the SHARED text.WS_CLASS constant — tokenization
+# and normalization must collapse the same characters, and a second
+# literal copy here once let the two drift (oracle-invisible: the same
+# wrong value in both engines).
+_WS_CLASS = WS_CLASS
 
 
 def norm_expr() -> "F.Column":
@@ -131,11 +134,20 @@ def shingle_id_expr() -> "F.Column":
 DUCK_SHINGLE_ID = "('0x' || substr(md5(shingle), 1, 15))::BIGINT"
 
 
-def shingle_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sid) distinct pairs with integer shingle ids."""
-    return shingle_sets(spark, sf_dir).select(
+def shingle_id_sets_from(docs: DataFrame) -> DataFrame:
+    """(doc_id, sid) distinct pairs with integer shingle ids from any
+    (doc_id, text) frame — THE sid projection; every consumer (signature
+    pass, LSH quality report, q112 anchors) routes through here so a
+    change to the sid derivation (e.g. widening the 60-bit id) cannot
+    silently diverge between the signature and truth sides."""
+    return shingle_sets_from(docs).select(
         "doc_id", shingle_id_expr().alias("sid")
     )
+
+
+def shingle_id_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sid) distinct pairs with integer shingle ids."""
+    return shingle_id_sets_from(load_table(spark, "documents", sf_dir))
 
 
 _DUCK_SID_SETS_TAIL = f"""
@@ -439,7 +451,7 @@ def minhash_signatures_wide_from(docs: DataFrame) -> DataFrame:
     min() aggregates over the integer shingle ids — no row explosion at
     all. The shuffle moves 16 longs per doc per partition (partial mins),
     nothing else."""
-    sh = shingle_sets_from(docs).select("doc_id", shingle_id_expr().alias("sid"))
+    sh = shingle_id_sets_from(docs)
     x = F.col("sid") % MINHASH_P
     return sh.groupBy("doc_id").agg(
         *[
@@ -901,7 +913,16 @@ def incremental_lsh_candidates(
         .join(
             hint(nb.select("band", "band_sig", "doc_id").alias("n")),
             (F.col("c.band") == F.col("n.band"))
-            & (F.col("c.band_sig") == F.col("n.band_sig")),
+            & (F.col("c.band_sig") == F.col("n.band_sig"))
+            # a batch doc whose id ALREADY EXISTS in the index (retry
+            # re-ingest after a partial failure, id-colliding feed)
+            # matches its own index rows on every band; without this
+            # conjunct the probe emits a degenerate (X, X) "pair" that
+            # lsh_candidate_pairs (doc_a < doc_b) can never produce —
+            # breaking the q38-on-the-union equivalence and making
+            # survivor-style consumers drop every re-ingested doc as a
+            # duplicate of itself
+            & (F.col("c.doc_id") != F.col("n.doc_id")),
         )
         .select(
             F.col("n.doc_id").alias("new_doc_id"),
@@ -1538,12 +1559,19 @@ def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bit-PACKED bitmap (uint8, m/8 bytes — np.bool_ would be one byte
     # per bit, 8× the documented broadcast footprint)
     bits = np.zeros(m, dtype=bool)
-    pos_rows = (
+    # Arrow fetch + numpy fancy-index, NOT .collect(): at the allowed
+    # bound (BLOOM_MAX_PROBE shingles × k positions) collect() would
+    # materialize tens of millions of driver-side Row objects plus a
+    # Python list — several GB inside the region the n_probe guard
+    # declares safe; the Arrow path holds one int64 array (~0.5 GB worst
+    # case), keeping the guard's documented transient-build ceiling true
+    pos = (
         probe.select(F.explode(F.array(*positions(F.col("sid")))).alias("p"))
         .distinct()
-        .collect()
+        .toPandas()["p"]
+        .to_numpy(dtype="int64")
     )
-    bits[[r["p"] for r in pos_rows]] = True
+    bits[pos] = True
     # boundary-released (see ephemeral.scoped_broadcast): the bitmap
     # would otherwise pin its executor copies until a JVM GC
     b_bits = scoped_broadcast(spark.sparkContext.broadcast(np.packbits(bits)))
@@ -1685,9 +1713,7 @@ def _lsh_quality_report(docs: DataFrame) -> DataFrame:
     the full-corpus referee and the fraction variant; the declared q112
     uses the anchored form, which keeps truth mass non-vanishing under
     a fixed-size sample)."""
-    sh = scoped_cache(
-        shingle_sets_from(docs).select("doc_id", shingle_id_expr().alias("sid"))
-    )
+    sh = scoped_cache(shingle_id_sets_from(docs))
     truth = _jaccard_truth_pairs(sh).select("doc_a", "doc_b")
     cand = lsh_candidate_pairs(band_signatures_from(docs)).select(
         F.col("doc_a").alias("cand_a"), F.col("doc_b").alias("cand_b")
@@ -1796,9 +1822,9 @@ def q112_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never touches the corpus-wide shingle frame — bounded by
     # EVAL_SAMPLE_N × shingles/doc, safe to hint at any corpus size
     # (q91's broadcast-probe pattern)
-    ash = shingle_sets_from(
+    ash = shingle_id_sets_from(
         load_table(spark, "documents", sf_dir).join(F.broadcast(anchors), "doc_id")
-    ).select("doc_id", shingle_id_expr().alias("sid"))
+    )
     inter = (
         F.broadcast(ash.alias("x"))
         .join(

@@ -22,14 +22,24 @@ from mapreduce_framework_simple_spark.ephemeral import scoped_cache
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
+# THE engine-parity whitespace class, shared by every regex that must
+# agree across Spark and DuckDB: Java's \s is [ \t\n\x0B\f\r] but
+# DuckDB's RE2 \s omits vertical tab U+000B, so \s itself is not
+# portable. ONE constant feeds tokens_expr, DUCK_TOKS, and dedup's
+# normalization (dedup._WS_CLASS): independent literal copies once let
+# the classes drift, splitting duplicate groups with the SAME wrong
+# value in both engines — an oracle-invisible bug class.
+WS_CLASS = "[ \\t\\n\\x0B\\f\\r]+"
+
+
 # Canonical tokenization: lower, trim, split on whitespace runs, drop
 # empties. DuckDB twin: DUCK_TOKS below (same explicit class).
 def tokens_expr(col: str = "text") -> Column:
-    # explicit whitespace class == Java's \s ([ \t\n\x0B\f\r]); DuckDB's
-    # RE2 \s omits vertical tab U+000B, so the class keeps the two
-    # engines' tokenizations identical on documents containing one
+    # WS_CLASS keeps the two engines' tokenizations identical (see its
+    # definition above); built from the shared constant so it cannot
+    # drift from DUCK_TOKS or dedup's normalization class
     return F.filter(
-        F.split(F.lower(F.trim(F.col(col))), r"[ \t\n\x0B\f\r]+"),
+        F.split(F.lower(F.trim(F.col(col))), WS_CLASS),
         lambda t: t != "",
     )
 
@@ -51,7 +61,7 @@ def shingles_expr(toks: Column) -> Column:
 
 DUCK_TOKS = (
     "list_filter(string_split_regex(lower(trim(text)), "
-    "'[ \\t\\n\\x0b\\f\\r]+'), t -> t <> '')"
+    f"'{WS_CLASS}'), t -> t <> '')"
 )
 DUCK_SHINGLES = (
     "CASE WHEN len(toks) >= 3 THEN "

@@ -621,6 +621,39 @@ def test_incremental_probe_union_bucket_cap(spark, tmp_path):
     assert kept.count() == 900
 
 
+def test_incremental_probe_no_self_pairs_on_reingest(spark, tmp_path):
+    """A batch doc whose id ALREADY EXISTS in the index (retry after a
+    partial failure) matches its own index rows on every band — the
+    probe must not emit the degenerate (X, X) pair: lsh_candidate_pairs
+    (doc_a < doc_b) can never produce one, so it would break the
+    q38-on-the-union equivalence and make survivor consumers drop the
+    re-ingested doc as a duplicate of itself."""
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        incremental_lsh_candidates,
+        write_lsh_index,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "completely different content about something else "
+                        "entirely with many words")],
+        "doc_id long, text string",
+    )
+    idx = str(tmp_path / "reingest_idx")
+    write_lsh_index(corpus, idx)
+    # re-ingest doc 1 verbatim plus a genuinely new near-dup of it
+    batch = spark.createDataFrame(
+        [(1, text), (99, text)], "doc_id long, text string"
+    )
+    got = incremental_lsh_candidates(spark, batch, idx).toPandas()
+    pairs = set(zip(got.new_doc_id, got.corpus_doc_id))
+    assert (1, 1) not in pairs, "degenerate self-pair emitted on re-ingest"
+    assert (99, 1) in pairs  # the real cross pair still surfaces
+    # the re-ingested doc still pairs with its indexed self-copy? No —
+    # (1, 1) is identity, excluded; nothing else shares its signatures
+    assert all(a != b for a, b in pairs)
+
+
 def test_incremental_probe_raises_on_missing_index(spark, tmp_path):
     """A typo'd/nonexistent index path must FAIL the probe, not silently
     admit the whole batch as dup-free (the empty-corpus case — a real
