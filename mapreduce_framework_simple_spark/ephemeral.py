@@ -194,6 +194,20 @@ def memo_get(key: tuple) -> DataFrame | None:
     if ent is None:
         return None
     app_id, df, holds = ent
+    # liveness check BEFORE the re-arm loop: the stale-context sweep runs
+    # only in memo_put, and an entry with EMPTY holds (the API permits
+    # them; only the in-tree caller happens to embed app ids in its keys)
+    # would skip the loop entirely and hand back a frame bound to a
+    # stopped JVM session — the caller would crash at its first action
+    # instead of getting the documented miss
+    try:
+        sc = df.sparkSession.sparkContext
+        alive = sc.applicationId == app_id and not sc._jsc.sc().isStopped()
+    except Exception:
+        alive = False
+    if not alive:
+        _evict(key)  # holds' blocks died with the context; unpersist is
+        return None  # a swallowed no-op there, the pop is what matters
     for h in holds:
         try:
             lvl = h.storageLevel
@@ -250,7 +264,11 @@ def evict_stale_inputs(prefix: tuple, fingerprint, fp_pos: int) -> int:
     for k in [
         k
         for k in _MEMO
-        if k[: len(prefix)] == prefix and k[fp_pos] != fingerprint
+        if k[: len(prefix)] == prefix
+        # a prefix-matching key too short to CARRY a fingerprint slot is
+        # malformed for this family — treat it as stale (evict) rather
+        # than raising IndexError out of the caller's query
+        and (len(k) <= fp_pos or k[fp_pos] != fingerprint)
     ]:
         _evict(k)
         n += 1
@@ -276,7 +294,9 @@ def release_caches() -> int:
     """Unpersist every scoped cache registered since the last call.
 
     Non-blocking (block deletion proceeds async on the executors); returns
-    the number of frames released. Safe to call at any query boundary —
+    the number of registrations released — scoped FRAMES plus scoped
+    BROADCASTS (consumers metering frames alone should not read this
+    total as a frame count). Safe to call at any query boundary —
     by then the previous query's result has been materialized by its
     consumer, so its caches are dead weight."""
     global _DRAIN_GEN

@@ -100,6 +100,28 @@ TABLES = tuple(SCHEMAS)
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _pin_utc_session(spark: SparkSession) -> None:
+    """Pin ``spark.sql.session.timeZone`` to UTC — shared by the events
+    branch and :func:`_normalize_ntz` (any NTZ→TIMESTAMP cast is
+    value-exact ONLY under UTC; a non-UTC session would shift instants
+    by the zone offset, and order-dependently: session confs apply at
+    ACTION time, so a later pin would also change still-lazy earlier
+    plans). Idempotent; a retune of an externally-built session is
+    logged, never silent — the caller's unrelated timestamp queries
+    change meaning from here on."""
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "load_table: pinning spark.sql.session.timeZone to UTC for "
+            "the whole session (was %s) — required for value-exact "
+            "NTZ timestamp normalization and oracle-stable event-time "
+            "semantics",
+            spark.conf.get("spark.sql.session.timeZone", None),
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Parquet scan of one star-schema table.
 
@@ -113,12 +135,15 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     rebuilt as a microsecond timestamp — the generator emits micro-aligned
     values, so the conversion is lossless.
 
-    .. warning:: loading ``events`` pins ``spark.sql.session.timeZone``
-       to UTC for the WHOLE session (required for oracle-stable
-       event-time semantics; session confs apply at action time, so
-       there is no reader-scoped form). On an externally-built non-UTC
-       session this retunes the caller's other, not-yet-materialized
-       timestamp queries — a warning is logged when it happens.
+    .. warning:: loading ``events`` — or ANY table that surfaces a
+       TIMESTAMP_NTZ column — pins ``spark.sql.session.timeZone`` to UTC
+       for the WHOLE session (required for value-exact NTZ normalization
+       and oracle-stable event-time semantics; session confs apply at
+       action time, so there is no reader-scoped form), and ``events``
+       additionally enables ``spark.sql.legacy.parquet.nanosAsLong``.
+       On an externally-built session either retune changes the
+       caller's other, not-yet-materialized timestamp queries — a
+       warning is logged when it happens.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
@@ -132,25 +157,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         # values, so repeated/concurrent reads are idempotent rather than
         # a per-read side effect.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
-            # the rebuilt ts column is a session-tz TIMESTAMP; pin UTC so
-            # window alignment and pandas conversion match the oracle's
-            # naive timestamps regardless of the host session's timezone.
-            # Session confs have no reader-scoped form (they apply at
-            # ACTION time, not read time, so a scoped set-and-restore
-            # would race the lazy plan) — but a retune of the caller's
-            # session must not be SILENT: their unrelated timestamp
-            # queries change meaning from here on.
+            # same not-silent rule as the tz pin: this flip changes how
+            # the caller's OWN TIMESTAMP(NANOS) parquet reads behave
+            # session-wide (loud "Illegal Parquet type" error → silent
+            # bigint nanos column)
             import logging
 
             logging.getLogger(__name__).warning(
-                "load_table('events'): pinning spark.sql.session.timeZone "
-                "to UTC for the whole session (was %s) — required for "
-                "oracle-stable event-time semantics",
-                spark.conf.get("spark.sql.session.timeZone", None),
+                "load_table('events'): enabling "
+                "spark.sql.legacy.parquet.nanosAsLong for the whole "
+                "session — TIMESTAMP(NANOS) parquet columns now read as "
+                "bigint nanos instead of erroring"
             )
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # session tz has no reader-scoped form (confs apply at ACTION
+        # time, so a scoped set-and-restore would race the lazy plan)
+        _pin_utc_session(spark)
         df = spark.read.parquet(path)
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":
@@ -182,6 +204,12 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     from pyspark.sql import functions as F
 
     ntz = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    if ntz:
+        # the cast below is value-exact ONLY under a UTC session — pin it
+        # here too, not just on the events branch, or a non-events load
+        # on an externally-built non-UTC session would silently shift
+        # every NTZ instant by the zone offset
+        _pin_utc_session(df.sparkSession)
     for c in ntz:
         df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
@@ -224,6 +252,18 @@ def validate_schema(df: DataFrame, name: str) -> None:
         raise ValueError(
             f"table {name}: dtype drift "
             + "; ".join(f"{c}: declared {d}, got {a}" for c, d, a in drift)
+        )
+    extras = set(actual) - set(declared)
+    if extras:
+        # additive evolution is non-breaking for column-pruned readers
+        # (every query selects declared columns), so extras WARN rather
+        # than fail — but star-expansion consumers deserve the signal
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "table %s: undeclared extra columns %s (accepted; declared "
+            "queries prune them, but star-expansion consumers will see "
+            "a changed shape)", name, sorted(extras),
         )
 
 

@@ -101,6 +101,52 @@ def test_validate_schema_checks_types(spark, sf_dir):
         validate_schema(ev, "events")
     with pytest.raises(ValueError, match="missing columns"):
         validate_schema(ev.drop("props"), "events")
+    # additive evolution: an undeclared EXTRA column is accepted (with a
+    # warning) — declared queries prune it, so failing would block every
+    # benign schema evolution of the input
+    validate_schema(
+        load_table(spark, "events", sf_dir).withColumn("extra", F.lit(1)),
+        "events",
+    )
+
+
+def test_ntz_normalization_pins_utc_on_non_events_tables(spark, tmp_path):
+    """_normalize_ntz's NTZ→TIMESTAMP cast is value-exact only under a
+    UTC session: a NON-events table with an NTZ column loaded on a
+    non-UTC session must pin UTC too (the pin used to live only on the
+    events branch, so orders/lineitem loads silently shifted instants
+    by the zone offset)."""
+    import pandas as pd
+
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    sf = tmp_path / "ntzsf"
+    sf.mkdir()
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": [1],
+            "o_custkey": [1],
+            "o_orderstatus": ["O"],
+            "o_totalprice": [10.0],
+            # pandas→parquet writes TIMESTAMP(isAdjustedToUTC=false):
+            # surfaces as timestamp_ntz in Spark
+            "o_orderdate": [pd.Timestamp("2024-06-01 12:00:00")],
+            "o_orderpriority": ["1-URGENT"],
+        }
+    )
+    # micros, not pandas' default nanos: TIMESTAMP(NANOS) would read as
+    # bigint under the engine's nanosAsLong conf instead of surfacing
+    # the timestamp_ntz this test targets
+    pdf.to_parquet(sf / "orders.parquet", coerce_timestamps="us")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        df = load_table(spark, "orders", str(sf))
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+        assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+        got = df.toPandas()["o_orderdate"][0]
+        assert got == pd.Timestamp("2024-06-01 12:00:00"), got
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 def test_pushdown_conjunction_of_equalities(spark):

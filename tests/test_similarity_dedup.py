@@ -905,6 +905,47 @@ def test_memo_lru_cap_and_stale_app_eviction(spark):
                 pass
 
 
+def test_memo_get_misses_on_foreign_context_even_with_empty_holds(spark):
+    """memo_get must validate the entry's stored application id itself:
+    an entry with EMPTY holds skips the re-arm loop entirely, so without
+    the liveness check a frame bound to a stopped/foreign context would
+    be served as a hit and crash the caller at its first action instead
+    of producing the documented miss."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.clear_memo()
+    df = spark.range(3)
+    try:
+        # stored app id differs from the frame's live context → stale
+        ephemeral._MEMO[("foreign",)] = ("app-of-another-context", df, [])
+        assert ephemeral.memo_get(("foreign",)) is None
+        assert ("foreign",) not in ephemeral._MEMO  # evicted, not left
+        # sanity: a LIVE entry with empty holds still hits
+        ephemeral.memo_put(("live",), df, [])
+        assert ephemeral.memo_get(("live",)) is df
+    finally:
+        ephemeral.clear_memo()
+
+
+def test_evict_stale_inputs_tolerates_short_keys(spark):
+    """A prefix-matching key too short to carry the fingerprint slot is
+    malformed for the family — it must be evicted as stale, not raise
+    IndexError out of the caller's query."""
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.clear_memo()
+    df = spark.range(2)
+    try:
+        ephemeral.memo_put(("bands", "x"), df, [])          # short key
+        ephemeral.memo_put(("bands", "x", "fp1", 4), df, [])  # well-formed
+        n = ephemeral.evict_stale_inputs(("bands", "x"), "fp1", fp_pos=2)
+        assert n == 1  # the short key, evicted without raising
+        assert ("bands", "x") not in ephemeral._MEMO
+        assert ("bands", "x", "fp1", 4) in ephemeral._MEMO  # fp matches
+    finally:
+        ephemeral.clear_memo()
+
+
 def test_memo_reput_evicts_old_holds(spark):
     """memo_put over an already-present key must unpersist the OLD
     entry's held caches first: a plain overwrite would orphan them as
