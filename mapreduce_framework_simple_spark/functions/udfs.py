@@ -77,6 +77,15 @@ def q60_mapreduce_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
 PRIME_LO = 1_000_001
 PRIME_HI = 1_030_001  # exclusive; scaled from the POD's 300k-range for tests
 
+# Oracle trial-division bound DERIVED from PRIME_HI (exclusive end ⇒ the
+# largest candidate needs divisors up to isqrt(PRIME_HI - 1)) — the same
+# single-source discipline as CHUNK_TOKENS/STOPWORDS: a literal bound
+# here once left ~0.8% headroom before a PRIME_HI retune would make the
+# oracle under-divide and count composites as prime.
+import math as _math
+
+_PRIME_TRIAL_END = _math.isqrt(PRIME_HI - 1) + 1  # range() end, exclusive
+
 
 @query(
     "q61_prime_sum",
@@ -84,7 +93,7 @@ PRIME_HI = 1_030_001  # exclusive; scaled from the POD's 300k-range for tests
     SELECT CAST(sum(n) AS BIGINT) AS prime_sum, CAST(count(*) AS BIGINT) AS n_primes
     FROM range({PRIME_LO}, {PRIME_HI}) t(n)
     WHERE NOT EXISTS (
-        SELECT 1 FROM range(2, 1016) d(d)
+        SELECT 1 FROM range(2, {_PRIME_TRIAL_END}) d(d)
         WHERE d.d * d.d <= n AND n % d.d = 0
     )
     """,

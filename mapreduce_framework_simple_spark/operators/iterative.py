@@ -88,7 +88,19 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
     cell centroids — and the final iteration's per-cluster stats pandas
     frame (cluster, mean_sim, n_members): the loop computes it anyway
     for the trace, and q68 reads its answer from it instead of paying a
-    second full assignment pass + shuffle over the corpus)."""
+    second full assignment pass + shuffle over the corpus).
+
+    .. note:: standard Lloyd's trailing-M-step contract: the returned
+       ASSIGNMENTS (and the stats frame / trace tail) come from the
+       final E-step, computed against the PREVIOUS centroids; the
+       returned CENTROIDS include one further M-step update. The pair
+       is therefore NOT argmax-consistent — a boundary vector's
+       ``cluster`` may not be its nearest returned centroid. Consumers
+       needing labels consistent with the returned centroids must
+       re-assign against them (exactly what the IVF builder does via
+       ``ivf_assignments``, which is why it consumes only the centroid
+       list) — the same shape as MLlib's KMeansModel, where labels come
+       from a fresh ``predict`` against the final centers."""
     import math
 
     from mapreduce_framework_simple_spark.ephemeral import scoped_cache

@@ -21,8 +21,10 @@ pair and no near-dup pair; no survivor exceeds the contamination cut).
 Scale: stage order is the scale argument — the quality gate is a
 map-side filter that typically removes a large corpus fraction before
 any shuffle; exact dedup is one 16-byte-key shuffle; the LSH stages run
-on the doubly-thinned corpus; decontamination broadcasts the (tiny)
-probe set. Nothing here collects the corpus to the driver; the report is
+on the doubly-thinned corpus; the decontamination probe joins in
+AQE-planned (broadcast while small — a real benchmark probe is tiny —
+shuffled beyond; the in-repo stand-in is corpus-proportional, so it is
+never force-broadcast). Nothing here collects the corpus to the driver; the report is
 a handful of scalar aggregates.
 """
 
@@ -124,7 +126,15 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str,
 
         # 4. decontamination: probe = benchmark stand-in (doc_id % 97 == 0
         #    over the ORIGINAL corpus — the benchmark is external, curation
-        #    must not thin it); drop survivors above the containment cut
+        #    must not thin it); drop survivors above the containment cut.
+        #    The probe is deliberately UNHINTED (the drop-list policy
+        #    above): a real benchmark probe set is fixed-size and tiny,
+        #    but THIS stand-in is corpus-proportional (all distinct
+        #    shingles of ~1/97 of the corpus) — an unconditional
+        #    F.broadcast would force a corpus-scaled broadcast at 100 TB.
+        #    The distinct is agg-derived, so AQE plans the join from its
+        #    TRUE size at the stage boundary: broadcast while genuinely
+        #    small, shuffled join beyond.
         sh_all = shingle_sets_from(docs)
         probe = (
             sh_all.where(F.col("doc_id") % 97 == 0)
@@ -134,7 +144,7 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str,
         )
         sh_surv = shingle_sets_from(neardup_free)
         contaminated = scoped_cache(
-            sh_surv.join(F.broadcast(probe), "shingle", "left")
+            sh_surv.join(probe, "shingle", "left")
             .groupBy("doc_id")
             .agg((F.count("hit") / F.count("*")).alias("contamination"))
             .where(F.col("contamination") > CONTAMINATION_MAX)

@@ -74,6 +74,22 @@ def _positive(options: dict, key: str, default: int) -> int:
     return v
 
 
+def _split_range(start: int, n_rows: int, n_parts: int) -> list[tuple[int, int]]:
+    """THE row-range splitter — shared by the batch reader and the stream
+    reader's per-batch planning (the _gen_rows discipline applied to
+    split planning: one copy, so a change to remainder distribution
+    cannot silently diverge the two readers). First ``n_rows % n_parts``
+    splits get one extra row."""
+    per, rem = divmod(n_rows, n_parts)
+    out = []
+    s = start
+    for i in range(n_parts):
+        e = s + per + (1 if i < rem else 0)
+        out.append((s, e))
+        s = e
+    return out
+
+
 
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
@@ -105,14 +121,9 @@ class SyntheticEventsReader(DataSourceReader):
     def partitions(self):
         from pyspark.sql.datasource import InputPartition
 
-        per = self.n_rows // self.n_parts
-        parts = []
-        start = 0
-        for i in range(self.n_parts):
-            end = start + per + (1 if i < self.n_rows % self.n_parts else 0)
-            parts.append(InputPartition((start, end)))
-            start = end
-        return parts
+        return [
+            InputPartition(se) for se in _split_range(0, self.n_rows, self.n_parts)
+        ]
 
     def read(self, partition):
         start, end = partition.value
@@ -177,16 +188,13 @@ class SyntheticEventsStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         from pyspark.sql.datasource import InputPartition
 
-        parts = []
-        for b in range(start["batch"], end["batch"]):
-            per = self.rows_per_batch // self.n_parts
-            row0 = b * self.rows_per_batch
-            s = row0
-            for i in range(self.n_parts):
-                e = s + per + (1 if i < self.rows_per_batch % self.n_parts else 0)
-                parts.append(InputPartition((s, e)))
-                s = e
-        return parts
+        return [
+            InputPartition(se)
+            for b in range(start["batch"], end["batch"])
+            for se in _split_range(
+                b * self.rows_per_batch, self.rows_per_batch, self.n_parts
+            )
+        ]
 
     def read(self, partition):
         start, end = partition.value
