@@ -150,8 +150,13 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     load_end = os.getloadavg()
+    # guarded: a path like .../sf0.1.bak matches '0.1.' and float() would
+    # raise AFTER the whole bench ran, losing the artifact line
     m = re.search(r"sf([0-9.]+)", SF_DIR)
-    sf = float(m.group(1)) if m else None
+    try:
+        sf = float(m.group(1)) if m else None
+    except ValueError:
+        sf = None
     out = {
         "metric": "headline_query_wall_time_total",
         "value": round(sum(timings.values()), 3),

@@ -4,7 +4,11 @@ import __spark_entry__, run entry() + every queries() entry, compare
 each against oracle_sql() via DuckDB.
 """
 import sys, time, os
-sys.path.insert(0, "/root/repo")
+
+# repo root derived from THIS file (tests/..), like every other tool —
+# a hardcoded /root/repo broke the sim for any other checkout location
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from pyspark.sql import SparkSession
 
@@ -30,8 +34,8 @@ assert qs.keys() == qs2.keys()
 oracles = E.oracle_sql()
 print(f"{len(qs)} queries, {len(oracles)} oracles")
 
-SF = "/root/testdata/sf0.01"
-sys.path.insert(0, "/root/repo/tests")
+SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+sys.path.insert(0, os.path.join(REPO, "tests"))
 # duck_connection registers views for every table in sources.io.TABLES —
 # reusing it (instead of a hardcoded list here) means a table added to
 # the engine is automatically visible to the oracles in this sim too
@@ -60,7 +64,10 @@ for name in sorted(qs):
         fails.append((name, f"DUCK ERROR: {ex}"))
         print(f"  {name}: DUCK ERROR {str(ex)[:120]}")
         continue
-    problems = compare_frames(sdf, ddf)
+    try:
+        problems = compare_frames(sdf, ddf)
+    except Exception as ex:  # a compare crash records one query's failure,
+        problems = [f"COMPARE ERROR: {ex}"]  # not an aborted sim
     status = "OK" if not problems else f"MISMATCH {problems[:2]}"
     if problems:
         fails.append((name, status))

@@ -100,10 +100,26 @@ def main() -> int:
             n_fail += 1
             print(f"  {name}: DUCK ERROR")
             continue
-        problems = compare_frames(sdf, ddf, strict=True)
+        try:
+            problems = compare_frames(sdf, ddf, strict=True)
+        except Exception as ex:  # noqa: BLE001 — a compare crash (e.g.
+            # mixed-type object column breaking sort_values) must record
+            # ONE row's error, not abort the whole matrix artifact
+            row["err"] = f"compare: {type(ex).__name__}: {str(ex)[:300]}"
+            results[name] = row
+            n_fail += 1
+            print(f"  {name}: COMPARE ERROR")
+            continue
         row["rows_match"] = len(sdf) == len(ddf)
-        row["schema_match"] = not any("dtype drift" in p or "columns differ" in p
-                                      for p in problems)
+        # None (unknown), not True, when the compare short-circuited on
+        # row count before the dtype/column checks ever ran
+        row["schema_match"] = (
+            None
+            if any("row counts differ" in p for p in problems)
+            else not any(
+                "dtype drift" in p or "columns differ" in p for p in problems
+            )
+        )
         row["hash_match"] = not problems
         if problems:
             row["err"] = "; ".join(p[:160] for p in problems[:3])
@@ -124,10 +140,19 @@ def main() -> int:
         # driver appends to PROGRESS.jsonl continuously and this tool
         # itself overwrites the artifact files, either of which would
         # false-flag every run as dirty
-        if subprocess.run(
-            ["git", "diff", "--quiet", "HEAD", "--",
-             "mapreduce_framework_simple_spark", "__spark_entry__.py",
-             "bench.py", "tools", "tests"],
+        code_paths = ["mapreduce_framework_simple_spark", "__spark_entry__.py",
+                      "bench.py", "tools", "tests"]
+        # untracked NEW code files count as dirty too — `git diff HEAD`
+        # ignores them, but registry.load_all imports the whole package,
+        # so an uncommitted new operator module changes what this run
+        # measures exactly like an edit to a tracked file would
+        untracked = subprocess.check_output(
+            ["git", "ls-files", "--others", "--exclude-standard", "--",
+             *code_paths],
+            cwd=REPO, text=True,
+        ).strip()
+        if untracked or subprocess.run(
+            ["git", "diff", "--quiet", "HEAD", "--", *code_paths],
             cwd=REPO,
         ).returncode:
             git_head += "-dirty"

@@ -22,10 +22,12 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def main() -> None:
     from pyspark.sql import functions as F
+    from replica import ensure_replica, replicate_table
 
     from mapreduce_framework_simple_spark.operators import similarity as S
     from mapreduce_framework_simple_spark.session import get_session
@@ -35,19 +37,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    dst = "/tmp/mfss_router_x100"
+
+    def build(dst: str) -> None:
+        replicate_table(load_table(spark, "embeddings", src), "vec_id", 100).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(dst, "embeddings.parquet"))
+
+    dst = ensure_replica("/tmp/mfss_router_x100", build)
     emb_path = os.path.join(dst, "embeddings.parquet")
-    if not os.path.isdir(emb_path):
-        os.makedirs(dst, exist_ok=True)
-        df = load_table(spark, "embeddings", src)
-        parts = [
-            df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10**9))
-            for i in range(100)
-        ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionAll(p)
-        u.write.mode("overwrite").parquet(emb_path)
 
     em = spark.read.parquet(emb_path)
     n = em.count()

@@ -16,6 +16,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 DEFAULT_QUERIES = [
     "q01_pricing_summary", "q05_join_chain", "q03_top_revenue",
@@ -24,7 +25,9 @@ DEFAULT_QUERIES = [
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
+    from replica import ensure_replica, replicate_table
+
+    from mapreduce_framework_simple_spark.ephemeral import release_caches
     from mapreduce_framework_simple_spark.session import get_session
     from mapreduce_framework_simple_spark.sources.io import load_table
     from mapreduce_framework_simple_spark.registry import QUERIES, load_all
@@ -36,9 +39,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    dst = f"/tmp/mfss_scale_x{n}"
-    if not os.path.isdir(dst):
-        os.makedirs(dst)
+
+    def build(dst: str) -> None:
         # dims stay as-is (replicating them would change join semantics)
         for t in ["region", "nation", "supplier", "customer", "part"]:
             os.symlink(os.path.join(src, f"{t}.parquet"), os.path.join(dst, f"{t}.parquet"))
@@ -49,22 +51,33 @@ def main() -> None:
         for t, key in [("lineitem", "l_orderkey"), ("orders", "o_orderkey"),
                        ("documents", "doc_id"), ("events", "event_id"),
                        ("embeddings", "vec_id")]:
-            df = load_table(spark, t, src)
-            parts = [df.withColumn(key, F.col(key) + F.lit(i * 10**9)) for i in range(n)]
-            u = parts[0]
-            for p in parts[1:]:
-                u = u.unionAll(p)
-            u.write.mode("overwrite").parquet(os.path.join(dst, f"{t}.parquet"))
+            replicate_table(load_table(spark, t, src), key, n).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(dst, f"{t}.parquet"))
+
+    dst = ensure_replica(f"/tmp/mfss_scale_x{n}", build)
+
+    def cold() -> None:
+        # cold-for-cold timing (the bench.py discipline): the warm run
+        # populates scoped caches and the CacheManager, and the 1× plan
+        # is IDENTICAL to the warm plan — without this the 1× leg times
+        # cache hits against a fully cold N× leg, biasing every caching
+        # query's ratio super-linear (the exact signal this tool calls a
+        # scale bug)
+        release_caches()
+        spark.catalog.clearCache()
 
     for name in names:
         QUERIES[name](spark, src).count()  # warm plan shapes
+        cold()
         t0 = time.perf_counter()
         QUERIES[name](spark, src).count()
         t1 = time.perf_counter() - t0
+        cold()
         t0 = time.perf_counter()
         QUERIES[name](spark, dst).count()
         tn = time.perf_counter() - t0
-        spark.catalog.clearCache()
+        cold()
         print(f"{name}: 1x={t1:.2f}s {n}x={tn:.2f}s ratio={tn / max(t1, 1e-9):.1f}")
 
 

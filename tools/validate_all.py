@@ -6,10 +6,14 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# sys.executable, not bare "python": the launching interpreter is the one
+# with pyspark/duckdb on it, and "python" may not exist on PATH at all
+# (python3-only boxes) or may resolve outside the venv
+PY = sys.executable
 steps = [
-    (["python", "-m", "pytest", "tests/", "-q"], REPO),
-    (["python", os.path.join(REPO, "tests", "drive_entry.py")], "/tmp"),
-    (["python", os.path.join(REPO, "bench.py")], "/tmp"),
+    ([PY, "-m", "pytest", "tests/", "-q"], REPO),
+    ([PY, os.path.join(REPO, "tests", "drive_entry.py")], "/tmp"),
+    ([PY, os.path.join(REPO, "bench.py")], "/tmp"),
 ]
 for cmd, cwd in steps:
     print(f"==> {' '.join(cmd)} (cwd={cwd})", flush=True)
