@@ -2088,7 +2088,7 @@ def q113_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_custkey,
                max(o_orderdate) AS last_order,
                count(*) AS frequency,
-               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+               sum(CAST(round(o_totalprice * 100) AS HUGEINT)) AS monetary_cents
         FROM orders GROUP BY o_custkey
     ),
     scored AS (
@@ -2121,10 +2121,13 @@ def q114_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds + a broadcast join, trading exact quartile boundaries for
     no global sort (the q12/q45 exact/sketch split)."""
     o = load_table(spark, "orders", sf_dir)
+    # cents (decimal(38,0)) not cents_l: SUMMED money follows the module
+    # header's wrap-proof discipline (cents_l is for in-row factors only);
+    # one cast to long after the exact sum matches the oracle's BIGINT
     rfm = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count("*").alias("frequency"),
-        F.sum(cents_l("o_totalprice")).alias("monetary_cents"),
+        F.sum(cents("o_totalprice")).cast("long").alias("monetary_cents"),
     )
     r_q = F.ntile(4).over(Window.orderBy("last_order", "custkey"))
     f_q = F.ntile(4).over(Window.orderBy("frequency", "custkey"))

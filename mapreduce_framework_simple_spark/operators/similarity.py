@@ -151,18 +151,27 @@ def _pairwise_cosine_scan(spark: SparkSession, sf_dir: str, ref_df,
 
         ref_ids, ref_mat = bc.value
         dim = ref_mat.shape[1]
-        # ref norms: sequential fold order (0.0 + x0² + x1² + …)
+        # ref norms: sequential fold order (0.0 + x0² + x1² + …).
+        # Zero-norm guard (the iterative._assign convention, pinned for
+        # every kernel in this module): cosine is undefined for a
+        # zero vector, and 0/0 = NaN would poison the top-k prune
+        # (NaN fails every comparison, so the pair silently vanishes)
+        # — dividing by 1 instead yields sim 0 exactly (dots are 0).
         racc = np.zeros(len(ref_mat))
         for d in range(dim):
             racc += ref_mat[:, d] * ref_mat[:, d]
         rnorm = np.sqrt(racc)
+        rnorm = np.where(rnorm == 0, 1.0, rnorm)
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack on an empty batch would raise
+                continue
             ids = pdf["vec_id"].to_numpy(dtype="int64")
             mat = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
             nacc = np.zeros(len(mat))
             for d in range(dim):  # sequential over dims == the SQL fold
                 nacc += mat[:, d] * mat[:, d]
             bnorm = np.sqrt(nacc)
+            bnorm = np.where(bnorm == 0, 1.0, bnorm)
             out_q, out_n, out_c = [], [], []
             # chunk the (batch × Q) score matrix over the REFERENCE axis:
             # unchunked it is batch_rows × Q doubles — 8 GB per task at a
@@ -353,6 +362,11 @@ def _nearest_cells(df: DataFrame, id_col: str, emb_col: str,
         for d in range(dim):  # sequential over dims == the SQL fold
             cacc += cmat[:, d] * cmat[:, d]
         cnorm = np.sqrt(cacc)
+        # zero-norm guard (module convention, see _pairwise_cosine_scan):
+        # without it a zero vector's 0/0 = NaN flows into the int64 cast
+        # of the HALF_UP micro-unit ranking — undefined (INT64_MIN) —
+        # i.e. a garbage cell assignment; with it, sim is exactly 0
+        cnorm = np.where(cnorm == 0, 1.0, cnorm)
         for pdf in batches:
             if len(pdf) == 0:  # np.stack on an empty batch would raise
                 continue
@@ -362,6 +376,7 @@ def _nearest_cells(df: DataFrame, id_col: str, emb_col: str,
             for d in range(dim):
                 nacc += mat[:, d] * mat[:, d]
             bnorm = np.sqrt(nacc)
+            bnorm = np.where(bnorm == 0, 1.0, bnorm)
             best_r = best_c = None  # carried (rows × ≤n_keep) top lists
             step = max(1, _SCAN_CHUNK_ELEMS // max(1, len(mat)))
             for c0 in range(0, len(cmat), step):
@@ -530,7 +545,10 @@ def two_level_probes(
                 dots += qm[:, d] * fm[:, d]  # _nearest_cells fold order
                 qa += qm[:, d] * qm[:, d]
                 fa += fm[:, d] * fm[:, d]
-            sims = dots / (np.sqrt(qa) * np.sqrt(fa))
+            qn = np.sqrt(qa)
+            fn = np.sqrt(fa)
+            # zero-norm guard (module convention): sim 0, never NaN→int64
+            sims = dots / (np.where(qn == 0, 1.0, qn) * np.where(fn == 0, 1.0, fn))
             # HALF_UP micro-units, integer — _nearest_cells' exact rule
             ri = (np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)).astype("int64")
             # positional arrays throughout: mixing indexed Series with
@@ -600,15 +618,56 @@ def _score_and_rank_candidates(cand: DataFrame, k: int = TOP_K) -> DataFrame:
     ``k`` is explicit because consumers truncate at DIFFERENT depths
     (TOP_K for the q41 surface, KNN_K for the vote audit): a fixed
     TOP_K here would silently pre-truncate the kNN vote whenever
-    KNN_K were retuned above it."""
-    scored = cand.where(F.col("vec_id") != F.col("query_id")).select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            dot_expr("q_emb", "embedding")
-            / (norm_expr("q_emb") * norm_expr("embedding")),
-            6,
-        ).alias("cos_sim"),
+    KNN_K were retuned above it.
+
+    Scoring runs in the Arrow-batched row-pair kernel (the
+    ``two_level_probes.score`` shape), NOT the JVM higher-order fold the
+    module's docstrings measure at ~20-50× slower interpreted — this
+    tail scores the O(N^1.5) candidate sets of q41/the bucketed probe
+    and the CORPUS-sized candidate set of the kNN audit, exactly where
+    that constant matters. Parity is exact: sequential-over-dims
+    accumulation, 6-dp HALF_UP via integer micro-units (÷1e6 — 1e6 is
+    exactly representable, so the division is the correctly-rounded
+    6-dp double, bit-identical to ``F.round``'s BigDecimal HALF_UP on
+    every value this corpus produces; equality with the fold
+    formulation is pinned by the oracle-checked bucketed-probe matrix
+    row and the path-equality tests), zero-norm → sim 0 (module
+    convention)."""
+    pairs = cand.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding"
+    )
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:  # np.stack on an empty batch would raise
+                continue
+            qm = np.stack([np.asarray(v, dtype="float64") for v in pdf["q_emb"]])
+            nm = np.stack([np.asarray(v, dtype="float64") for v in pdf["embedding"]])
+            dots = np.zeros(len(qm))
+            qa = np.zeros(len(qm))
+            na = np.zeros(len(nm))
+            for d in range(qm.shape[1]):  # sequential over dims == SQL fold
+                dots += qm[:, d] * nm[:, d]
+                qa += qm[:, d] * qm[:, d]
+                na += nm[:, d] * nm[:, d]
+            qn = np.sqrt(qa)
+            nn = np.sqrt(na)
+            sims = dots / (np.where(qn == 0, 1.0, qn) * np.where(nn == 0, 1.0, nn))
+            # HALF_UP micro-units (F.round's mode; np.round is half-even)
+            ri = (np.sign(sims) * np.floor(np.abs(sims) * 1e6 + 0.5)).astype("int64")
+            # positional arrays throughout (the two_level_probes rule):
+            # indexed Series would re-align against the positional ri
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                "cos_sim": ri / 1e6,
+            })
+
+    scored = pairs.mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
     )
     from pyspark.sql import Window
 
@@ -626,8 +685,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str,
     centroids, K ≈ √N) and the oracle-stable stride default share one
     probe/score/rank path. Recall vs exact q40 is tested for BOTH
     centroid sources."""
-    assigned = ivf_assignments(spark, sf_dir, centroids=centroids)
-    cand = _ivf_probes(spark, sf_dir, centroids=centroids).join(assigned, "cell_id")
+    # resolve the default ONCE and cache it: assignment and probe
+    # selection each bound-probe + collect their centroid frame, so
+    # leaving the default to resolve inside each call re-ran the stride
+    # scan and re-broadcast an identical frame twice per query
+    cents = centroids if centroids is not None else scoped_cache(
+        _stride_centroids(spark, sf_dir)
+    )
+    assigned = ivf_assignments(spark, sf_dir, centroids=cents)
+    cand = _ivf_probes(spark, sf_dir, centroids=cents).join(assigned, "cell_id")
     return _score_and_rank_candidates(cand)
 
 
@@ -1085,7 +1151,22 @@ def hyperplane_lsh_pairs(df: DataFrame, threshold: float = 0.9,
     def signatures(batches):
         H = np.random.RandomState(42).randn(64, n_bits)
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack on an empty batch would raise
+                continue
             mat = np.stack([np.asarray(v, dtype="float64") for v in pdf[vec_col]])
+            if mat.shape[1] != H.shape[0]:
+                # H is the FIXED seeded 64-row hyperplane matrix the SQL
+                # twin (_lsh_band_exprs_sql) inlines literal-for-literal;
+                # a non-64-dim vector must fail loudly — dim > 64 would
+                # IndexError anyway, dim < 64 would silently truncate H
+                # here while DuckDB's list_zip NULL-pads, putting every
+                # SQL-side dot at NULL (all sign bits 0) and the two
+                # candidate sets in silent disagreement
+                raise ValueError(
+                    f"hyperplane_lsh_pairs: {vec_col} has dim "
+                    f"{mat.shape[1]}, but the seeded hyperplane matrix "
+                    f"(and its inlined SQL twin) is fixed at {H.shape[0]}"
+                )
             acc = np.zeros((len(mat), n_bits))
             for d in range(mat.shape[1]):  # sequential over dims == SQL fold
                 acc += mat[:, d:d + 1] * H[d][None, :]

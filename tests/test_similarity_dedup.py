@@ -1655,3 +1655,93 @@ def test_scoped_broadcast_released_at_boundary(spark):
     assert ephemeral._SCOPED_BCAST == []
     # unpersist (not destroy): the value must still be usable afterwards
     assert bc.value == [1, 2, 3]
+
+
+def test_zero_norm_vectors_score_zero_not_nan(spark, sf_dir):
+    """Zero-norm embeddings pin cosine to 0 (the iterative._assign
+    convention) in every kernel — without the guard, 0/0 = NaN fails
+    every prune comparison (the pair silently vanishes from top-k) and
+    NaN→int64 in the HALF_UP micro-unit ranking is undefined (a garbage
+    cell assignment)."""
+    import mapreduce_framework_simple_spark.operators.similarity as S
+
+    dim = 64
+    zero = [0.0] * dim
+    one = [1.0] + [0.0] * (dim - 1)
+    # scan kernel: a zero-vector QUERY must emit sim 0 rows, not vanish
+    ref = spark.createDataFrame(
+        [(10**9, zero), (10**9 + 1, one)], "vec_id long, embedding array<double>"
+    )
+    out = S._pairwise_cosine_scan(spark, sf_dir, ref).toPandas()
+    zq = out[out["query_id"] == 10**9]
+    assert len(zq) > 0 and (zq["cos_sim_raw"] == 0.0).all()
+    assert out["cos_sim_raw"].notna().all()
+
+    # nearest-cells kernel: a zero vector must take a DEFINED cell —
+    # sim 0 to every centroid, ties to the smaller cell_id
+    df = spark.createDataFrame(
+        [(1, zero), (2, one)], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(7, one), (9, [0.0, 1.0] + [0.0] * (dim - 2))],
+        "cell_id long, c_emb array<double>",
+    )
+    cells = {
+        r["vec_id"]: r["cell_id"]
+        for r in S._nearest_cells(df, "vec_id", "embedding", cents, top_n=1).collect()
+    }
+    assert cells[1] == 7  # tie at sim 0 → smaller cell_id
+    assert cells[2] == 7  # argmax, sanity
+
+
+def test_score_and_rank_kernel_matches_fold_formulation(spark, sf_dir):
+    """_score_and_rank_candidates' Arrow kernel must emit EXACTLY the
+    (query, neighbor, cos_sim, rnk) rows of the JVM higher-order-fold
+    formulation it replaced (dot/norm expr + F.round HALF_UP + window)
+    — the bit-parity contract every kernel swap in this module pins."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    import mapreduce_framework_simple_spark.operators.similarity as S
+
+    cents = S.scoped_cache(S._stride_centroids(spark, sf_dir))
+    assigned = S.ivf_assignments(spark, sf_dir, centroids=cents)
+    cand = S._ivf_probes(spark, sf_dir, centroids=cents).join(assigned, "cell_id")
+    got = sorted(
+        tuple(r) for r in S._score_and_rank_candidates(cand).collect()
+    )
+    scored = cand.where(F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            S.dot_expr("q_emb", "embedding")
+            / (S.norm_expr("q_emb") * S.norm_expr("embedding")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    want = sorted(
+        tuple(r)
+        for r in scored.withColumn(
+            "rnk", F.row_number().over(w).cast("long")
+        ).where(F.col("rnk") <= S.TOP_K).collect()
+    )
+    assert got == want and len(want) > 0
+
+
+def test_hyperplane_dim_mismatch_fails_loudly(spark):
+    """A non-64-dim vector column must fail the signature kernel with
+    the dimension message, not silently truncate the hyperplane matrix
+    (the SQL twin NULL-pads via list_zip — the two candidate sets would
+    disagree without a sound)."""
+    import pytest
+
+    import mapreduce_framework_simple_spark.operators.similarity as S
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 32), (2, [0.5] * 32)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        S.hyperplane_lsh_pairs(df, threshold=0.0).collect()
