@@ -1511,10 +1511,34 @@ BLOOM_K = 4  # hash functions; with m = 32¬∑n bits, FP rate ‚âà (1-e^(-1/8))^4 ‚
 BLOOM_MAX_PROBE = 16_000_000
 
 
-@query("q108_bloom_decontaminate", oracle=_DUCK_DECON_ORACLE)
+# q108's oracle mirrors its SID-level semantics ‚Äî the module's stated
+# collision invariant ("both engines hash identically so even a collision
+# cannot cause an oracle mismatch", the q36/q37/q38 discipline). q108
+# used to share q91's STRING-level oracle, which left it the one dedup
+# query where a cross-string sid collision (P ‚âà N¬≤/2‚Å∂¬π, nonzero at
+# corpus scale) would diverge engine-from-oracle undetectably; absent
+# collisions (every shipped SF) the two oracles give identical rows, so
+# q108 and q91 remain value-identical twins.
+_DUCK_DECON_SID_ORACLE = f"""
+    WITH {_DUCK_SHINGLE_SETS},
+    {_DUCK_SID_SETS_TAIL},
+    probe AS (SELECT DISTINCT sid FROM sid_sets WHERE doc_id % 97 = 0),
+    rest AS (SELECT doc_id, sid FROM sid_sets WHERE doc_id % 97 <> 0)
+    SELECT r.doc_id,
+           CAST(count(*) AS BIGINT)     AS n_shingles,
+           CAST(count(p.sid) AS BIGINT) AS n_hit,
+           count(p.sid) / count(*)      AS contamination
+    FROM rest r LEFT JOIN probe p ON r.sid = p.sid
+    GROUP BY r.doc_id
+    """
+
+
+@query("q108_bloom_decontaminate", oracle=_DUCK_DECON_SID_ORACLE)
 def q108_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination ‚Äî q91's scale path, same exact
-    answer (it shares q91's hash oracle). The probe corpus's shingle ids
+    answer on any collision-free corpus (its oracle derives the same
+    60-bit sids, so even a sid collision is mirrored engine-to-engine ‚Äî
+    the q36/q37/q38 invariant). The probe corpus's shingle ids
     are folded into a Bloom bitmap (k=4 seeded xxhash64 positions, m=32¬∑n
     bits); training-side shingles gather their 4 bits from the broadcast
     bitmap (vectorized numpy, Arrow-batched) and only the might-contain

@@ -219,25 +219,19 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     import shutil
     import tempfile
 
+    from mapreduce_framework_simple_spark.operators.dedup import (
+        _input_fingerprint,
+    )
+
     src = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isdir(src):
-        # RECURSIVE walk: a partitioned dataset nests files in subdirs,
-        # and a rewrite inside a partition leaves the top-level entry's
-        # name (and often its stat) unchanged — a one-level listing
-        # would key the stale corpus as current.
-        sigs = []
-        for root, dirs, files in os.walk(src):
-            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
-            for f in sorted(files):
-                if f.startswith(("_", ".")):
-                    continue
-                st = os.stat(os.path.join(root, f))
-                rel = os.path.relpath(os.path.join(root, f), src)
-                sigs.append(f"{rel}:{st.st_mtime_ns}:{st.st_size}")
-        sig = ";".join(sigs)
-    else:
-        st = os.stat(src)
-        sig = f"{st.st_mtime_ns}:{st.st_size}"
+    # THE shared stat-walk content fingerprint (dedup._input_fingerprint):
+    # recursive (relpath, size, mtime_ns) md5-fold — a rewrite inside a
+    # partition subdir leaves the top-level entry unchanged, so a
+    # one-level listing would key the stale corpus as current. One
+    # definition with the dedup memo's rewrite detector; a second
+    # hand-rolled walk here had already drifted on hidden-file filtering
+    # and field order.
+    sig = _input_fingerprint(src, spark)
     key = hashlib.md5(f"{src}:{sig}".encode()).hexdigest()[:12]
     uid = getattr(os, "getuid", lambda: 0)()
     # (src, n_files)-scoped prefix: GC must only reap superseded stages
@@ -273,7 +267,23 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
         re.escape(table_prefix) + r"(?:[0-9a-f]{8}_)?[0-9a-f]{12}$"
     )
     for d in os.listdir(tempfile.gettempdir()):
-        if ".tmp." in d or d == stage_prefix + key:
+        if ".tmp." in d:
+            # in-flight write of a possibly-live peer — normally the
+            # writer's own BaseException handler removes it, but a
+            # SIGKILL/power-loss skips that handler and the partial
+            # table copy would otherwise leak forever (the disk-fill
+            # mode this sweep exists to prevent). The writer's pid rides
+            # in the dir name: reap only when that pid is provably dead.
+            if d.startswith(table_prefix):
+                try:
+                    os.kill(int(d.rsplit(".tmp.", 1)[-1]), 0)
+                except (ValueError, ProcessLookupError):
+                    shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
+                                  ignore_errors=True)
+                except OSError:
+                    pass  # e.g. EPERM: pid alive under another uid
+            continue
+        if d == stage_prefix + key:
             continue
         if d.startswith(stage_prefix) or legacy_fmt.match(d):
             shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
@@ -513,6 +523,34 @@ def stream_enrich_static(
     return events.join(F.broadcast(dim), on, how)
 
 
+def _cents_accumulator():
+    """Build THE batch accumulator for the stateful user-totals pair —
+    one (pdf, cnt, nval, cents) -> (cnt, nval, cents) step applying the
+    module's exact-cents discipline: HALF_UP (away from zero) like
+    Spark's F.round in the batch twin — pandas .round() is half-even and
+    would disagree on exactly-representable ties (e.g. 20.625*100 ==
+    2062.5); NULL values contribute 0 AND are counted separately (F.sum
+    skips nulls but returns NULL for an ALL-null group, so the emit
+    sites key on nval; a bare astype would raise on NaN and kill the
+    stream). ONE definition consumed by both stateful operators
+    (applyInPandasWithState and transformWithStateInPandas) so their
+    promised batch≡stream equality cannot drift apart on the rounding
+    rule. Returned as a NESTED function: the stateful closures capture
+    it by value (cloudpickle ships module-level functions by reference,
+    which breaks executors running outside the repo — the module's
+    self-containment rule)."""
+
+    def acc(pdf, cnt: int, nval: int, cents: int):
+        import numpy as np
+
+        c = pdf["value"].to_numpy(dtype="float64") * 100.0
+        nn = ~np.isnan(c)
+        c = np.where(nn, np.sign(c) * np.floor(np.abs(c) + 0.5), 0.0)
+        return cnt + int(len(pdf)), nval + int(nn.sum()), cents + int(c.sum())
+
+    return acc
+
+
 def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running (count, sum) held in explicit GroupState and emitted every
@@ -530,26 +568,14 @@ def stream_stateful_user_totals(events: DataFrame) -> DataFrame:
     order, converted to dollars once on emit."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    _acc = _cents_accumulator()  # shared HALF_UP cents rule — see factory
+
     def update(key, pdfs, state):
-        import numpy as np
         import pandas as pd
 
         cnt, nval, cents = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
-            cnt += int(len(pdf))
-            # HALF_UP (away from zero) like Spark's F.round in the batch
-            # twin — pandas .round() is half-even and would disagree on
-            # exactly-representable ties (e.g. 20.625*100 == 2062.5);
-            # NULL values contribute 0 AND are counted separately: F.sum
-            # skips nulls but returns NULL (not 0) for an ALL-null group,
-            # so the emit below must too — a plain null-as-zero mapping
-            # silently diverges from the batch twin on exactly that key
-            # (a bare astype would raise on NaN and kill the stream)
-            c = (pdf["value"].to_numpy(dtype="float64") * 100.0)
-            nn = ~np.isnan(c)
-            nval += int(nn.sum())
-            c = np.where(nn, np.sign(c) * np.floor(np.abs(c) + 0.5), 0.0)
-            cents += int(c.sum())
+            cnt, nval, cents = _acc(pdf, cnt, nval, cents)
         state.update((cnt, nval, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "total_events": [cnt],
@@ -632,6 +658,8 @@ def stream_tws_user_totals(events: DataFrame) -> DataFrame:
         StatefulProcessorHandle,
     )
 
+    _acc = _cents_accumulator()  # shared HALF_UP cents rule — see factory
+
     class RunningTotals(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
             self._totals = handle.getValueState(
@@ -645,15 +673,7 @@ def stream_tws_user_totals(events: DataFrame) -> DataFrame:
                 self._totals.get() if self._totals.exists() else (0, 0, 0)
             )
             for pdf in rows:
-                cnt += int(len(pdf))
-                # HALF_UP + null tracking — see stream_stateful_user_totals
-                import numpy as np
-
-                c = (pdf["value"].to_numpy(dtype="float64") * 100.0)
-                nn = ~np.isnan(c)
-                nval += int(nn.sum())
-                c = np.where(nn, np.sign(c) * np.floor(np.abs(c) + 0.5), 0.0)
-                cents += int(c.sum())
+                cnt, nval, cents = _acc(pdf, cnt, nval, cents)
             self._totals.update((cnt, nval, cents))
             yield pd.DataFrame(
                 {"user_id": [key[0]], "total_events": [cnt],
@@ -711,6 +731,7 @@ def stream_dedup_against_index(docs_stream: DataFrame, index_path: str,
     clears it first, so a shorter rerun cannot leave a stale ``batch=N``
     tail from a prior run mixed into reads; a RESUMED run keeps it and
     relies on per-batch overwrite."""
+    from mapreduce_framework_simple_spark.ephemeral import cache_scope
     from mapreduce_framework_simple_spark.operators.dedup import (
         incremental_lsh_candidates,
     )
@@ -718,10 +739,18 @@ def stream_dedup_against_index(docs_stream: DataFrame, index_path: str,
     _clean_stale_batches(docs_stream.sparkSession, out_dir, checkpoint_dir)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        cands = incremental_lsh_candidates(
-            batch_df.sparkSession, batch_df, index_path
-        )
-        cands.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
+        # cache_scope per microbatch: incremental_lsh_candidates
+        # scoped-caches its batch band frame and drop-bucket list, and
+        # INSIDE a stream no query boundary ever fires release_caches()
+        # — without the scope, the registry and executor cache storage
+        # grow by two dead frames per microbatch for the stream's
+        # lifetime. The write below is the scope's materializing action,
+        # so releasing at exit frees only dead weight.
+        with cache_scope():
+            cands = incremental_lsh_candidates(
+                batch_df.sparkSession, batch_df, index_path
+            )
+            cands.write.mode("overwrite").parquet(f"{out_dir}/batch={batch_id}")
 
     return (
         docs_stream.writeStream.foreachBatch(process_batch)

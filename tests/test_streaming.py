@@ -605,3 +605,33 @@ def test_stage_stream_source_nfiles_scopes_coexist(spark, sf_dir):
         import shutil
 
         shutil.rmtree(peer, ignore_errors=True)
+
+
+def test_stage_stream_source_reaps_dead_pid_tmp_dirs(spark, sf_dir):
+    """A .tmp.<pid> staging dir orphaned by a hard kill (SIGKILL skips
+    the writer's own cleanup handler) must be reaped by the next run's
+    sweep once its pid is dead — and a .tmp dir of a LIVE pid must be
+    left alone (a peer's in-flight write)."""
+    import os
+    import tempfile
+
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        _stage_stream_source,
+    )
+
+    uid = getattr(os, "getuid", lambda: 0)()
+    prefix = os.path.join(tempfile.gettempdir(), f"mfss_stream_{uid}_events_")
+    # 2**22+7 is far above any real pid_max on this box — provably dead
+    dead = prefix + f"deadbeef_n1_abcdef012345.tmp.{2**22 + 7}"
+    live = prefix + f"deadbeef_n1_abcdef012345.tmp.{os.getpid()}"
+    os.makedirs(dead, exist_ok=True)
+    os.makedirs(live, exist_ok=True)
+    try:
+        _stage_stream_source(spark, "events", sf_dir, n_files=1)
+        assert not os.path.exists(dead), "dead-pid tmp dir must be reaped"
+        assert os.path.exists(live), "live-pid tmp dir must survive"
+    finally:
+        import shutil
+
+        shutil.rmtree(dead, ignore_errors=True)
+        shutil.rmtree(live, ignore_errors=True)
