@@ -371,15 +371,29 @@ def test_gopher_gate_emits_row_for_zero_token_docs(spark, monkeypatch):
         assert rows[d]["n_tokens"] == 0 and rows[d]["top_word_cnt"] == 0
 
 
-def test_kmeans_guards(spark):
+def test_kmeans_guards(spark, sf_dir, tmp_path):
     """kmeans fails loudly on n_iter=0 (no assignment exists to return)
-    and on an id space too sparse for stride seeding."""
+    and on an id space too sparse for stride seeding — both via the
+    sf_dir fixture so SPARK_GRAFT_TEST_SF_DIR relocation keeps working
+    (a hardcoded path here once bypassed it)."""
     import pytest
 
     from mapreduce_framework_simple_spark.operators.iterative import kmeans
+    from mapreduce_framework_simple_spark.sources.io import load_table
 
     with pytest.raises(ValueError, match="n_iter"):
-        kmeans(spark, "/root/testdata/sf0.001", n_iter=0)
+        kmeans(spark, sf_dir, n_iter=0)
+
+    # sparse-id-space guard: all-ODD vec_ids with an EVEN stride — no
+    # vector satisfies vec_id % stride == 0, so modulo seeding finds
+    # nothing and must raise the documented remedy, not IndexError
+    em = load_table(spark, "embeddings", sf_dir)
+    sparse = em.where(F.col("vec_id") % 2 == 1)
+    n_odd = sparse.count()
+    assert n_odd >= 4
+    sparse.write.parquet(str(tmp_path / "embeddings.parquet"))
+    with pytest.raises(ValueError, match="stride seeding"):
+        kmeans(spark, str(tmp_path), k=n_odd // 2)  # stride = 2, even
 
 
 def test_nearest_cells_empty_centroids(spark):

@@ -6,17 +6,26 @@ from mapreduce_framework_simple_spark.operators.iterative import K, kmeans, q68_
 
 
 def test_kmeans_converges_and_is_deterministic(spark, sf_dir):
+    # corpus shape derived from the fixture, not hardcoded: the conftest
+    # documents SPARK_GRAFT_TEST_SF_DIR relocation, and literal 500/64
+    # constants failed on any corpus that wasn't exactly sf0.001's
+    from mapreduce_framework_simple_spark.sources.io import load_table
+
+    em = load_table(spark, "embeddings", sf_dir)
+    n_vecs = em.count()
+    dim = len(em.select("embedding").first()[0])
+
     assigned, trace, centroids, stats = kmeans(spark, sf_dir)
     # objective (mean cosine to assigned centroid) must improve overall
     assert trace[-1] >= trace[0] - 1e-9, f"objective regressed: {trace}"
     # final centroids come back driver-sized: K vectors of the data dim
-    assert len(centroids) == K and len(centroids[0]) == 64
+    assert len(centroids) == K and len(centroids[0]) == dim
     # deterministic: same seeding, same result
     df = q68_kmeans(spark, sf_dir).toPandas()
     df2 = q68_kmeans(spark, sf_dir).toPandas()
     assert df.equals(df2)
     # full partition of the corpus, no empty output
-    assert df.n_members.sum() == 500
+    assert df.n_members.sum() == n_vecs
     assert len(df) <= K
 
 

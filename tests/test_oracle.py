@@ -1,7 +1,9 @@
 """The main correctness gate, in-repo edition: every registered query
 with an oracle is run through Spark AND DuckDB at sf0.001 and compared
-(sorted columns, canonical row order, rounded floats) — the same protocol
-the driver applies at sf0.01.
+(sorted columns, canonical row order, STRICT float equality and dtype
+kinds — compare_frames' strict=True default; the 4-dp rounded tolerance
+is the legacy strict=False mode, used only for sketch/approx checks) —
+the same protocol the driver applies at sf0.01.
 """
 
 from __future__ import annotations

@@ -221,6 +221,7 @@ def test_sequential_fold_queries_layout_independent(spark, sf_dir):
             assert compare_frames(sdf, ddf) == [], f"{name} drifted at 7 partitions"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+        con.close()  # a leaked native connection pins parquet handles
 
 
 def test_null_and_blank_text_cross_engine_consistent(spark, tmp_path):
@@ -329,3 +330,4 @@ def test_money_aggregates_partition_order_independent(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.files.maxPartitionBytes", before_bytes)
         spark.conf.set("spark.sql.shuffle.partitions", before_parts)
+        con.close()  # a leaked native connection pins parquet handles
