@@ -81,20 +81,44 @@ def main() -> None:
     # shared12 8.35/8.55 s at launch 1-min 0.24–0.84 but 5-min 1.4–3.6,
     # vs 7.79 s cold. The contended FLAG stays keyed on the 1-min
     # figure alone (the honest "external work is running NOW" signal).
+    # Both gates sit at 2.0: BENCH_r08 launched at 5-min 2.42–2.50 and
+    # the old 2.5 shadow trigger missed by hundredths, stamping
+    # contended=false on a run ~22% above the same tree's quiet figure.
+    # A decaying shadow clears within minutes by construction (the 5-min
+    # EWMA of an ended job), so when the base budget expires with ONLY
+    # the 5-min average elevated, the wait is extended once by a second
+    # BOUNDED budget rather than giving up into a known-inflated run.
     quiet_wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "300"))
+    shadow_wait_extra = float(os.environ.get("SPARK_GRAFT_SHADOW_WAIT_S", "300"))
+    budget = quiet_wait_budget
+    extended = False
     load_launch = os.getloadavg()
     waited = 0.0
-    while (load_launch[0] > 2.0 or load_launch[1] > 2.5) and waited < quiet_wait_budget:
-        step = min(15.0, quiet_wait_budget - waited)
+    while (load_launch[0] > 2.0 or load_launch[1] > 2.0) and waited < budget:
+        step = min(15.0, budget - waited)
         print(
             f"# waiting for quiet: loadavg {load_launch[0]:.2f}/"
-            f"{load_launch[1]:.2f} (1/5-min; gate 2.0/2.5, "
-            f"{waited:.0f}/{quiet_wait_budget:.0f}s waited)",
+            f"{load_launch[1]:.2f} (1/5-min; gate 2.0/2.0, "
+            f"{waited:.0f}/{budget:.0f}s waited)",
             file=sys.stderr,
         )
         time.sleep(step)
         waited += step
         load_launch = os.getloadavg()
+        if (
+            not extended
+            and waited >= quiet_wait_budget
+            and load_launch[0] <= 2.0
+            and load_launch[1] > 2.0
+        ):
+            extended = True
+            budget = quiet_wait_budget + shadow_wait_extra
+            print(
+                f"# only the 5-min decay shadow remains "
+                f"({load_launch[1]:.2f}): extending quiet-wait once, "
+                f"bounded at {budget:.0f}s total",
+                file=sys.stderr,
+            )
     if load_launch[0] > 2.0:
         print(
             f"# WARNING: contended launch (1-min loadavg {load_launch[0]:.2f}"
@@ -178,11 +202,14 @@ def main() -> None:
         "contended": load_launch[0] > 2.0,
         # the decay-shadow indicator: true when the 5-min average was
         # still over the wait gate at launch (budget expired) — the
-        # regime measured round 8 as ~7-10% inflated (8.35/8.55 s vs
-        # 7.79 s cold) even with a quiet 1-min figure. `contended`
-        # keeps its 1-min-only meaning for round-over-round continuity;
-        # a headline with launch_shadow=true deserves the same caveat.
-        "launch_shadow": load_launch[1] > 2.5,
+        # regime measured round 8 as ~7-22% inflated (8.35/8.55 s vs
+        # 7.79 s cold; BENCH_r08's 14.0 s vs 11.5 s quiet) even with a
+        # quiet 1-min figure. Gate 2.0 since round 9: the old 2.5
+        # trigger missed r08's 2.42–2.50 launch by hundredths and
+        # asserted clean on a shadowed run. `contended` keeps its
+        # 1-min-only meaning for round-over-round continuity; a
+        # headline with launch_shadow=true deserves the same caveat.
+        "launch_shadow": load_launch[1] > 2.0,
         # seconds the bounded quiet-wait poll actually slept before
         # launch (0.0 = box was already quiet)
         "quiet_wait_s": round(waited, 1),

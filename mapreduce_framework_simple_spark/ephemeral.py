@@ -27,40 +27,59 @@ per-round discipline) can keep doing so.
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
 _SCOPED: list[DataFrame] = []
 
-# bumped by every release_caches(): index-based scope marks are void
-# after a mid-scope global drain (the registry was emptied, so indices
-# below the mark now address POST-drain registrations), and cache_scope
-# uses this to fall back to releasing everything still registered —
-# which, after a drain, is by construction all scope-internal
-_DRAIN_GEN = 0
+# Per-thread stack of active cache_scope registries. Scopes are
+# THREAD-LOCAL because they run on more threads than the global
+# registry's single-threaded contract covers: a streaming foreachBatch
+# callback (its own driver thread per stream) wraps each microbatch in
+# cache_scope while the main thread keeps running queries. With
+# index-marks into the GLOBAL lists (the pre-round-9 design), a stream
+# scope's exit popped every registration above its mark — including the
+# main thread's, thrashing a concurrent query's live caches — and a
+# concurrent release_caches() voided the marks entirely. A scope now
+# owns its own registry: it releases exactly what ITS thread registered
+# inside the block, and a global drain on another thread cannot touch
+# (or be confused by) scope-internal registrations.
+_TLS = threading.local()
+
+
+def _active_scope() -> tuple[list, list] | None:
+    """The innermost cache_scope registry open on THIS thread, or None
+    (registrations then go to the global release_caches registry)."""
+    stack = getattr(_TLS, "scopes", None)
+    return stack[-1] if stack else None
 
 
 @contextmanager
 def cache_scope():
-    """Release every scoped cache registered inside the block on exit —
-    for self-contained multi-query passes (pipeline.curate) that must
-    not leave their internal caches behind, without touching caches an
-    enclosing consumer registered earlier. Robust to a mid-scope
-    ``release_caches()`` (a consumer invoking a queries()-wrapped
-    callable inside the block): the drain voids the index marks, so the
-    exit releases every remaining registration instead of silently
-    leaking the scope's own caches."""
-    mark = len(_SCOPED)
-    bc_mark = len(_SCOPED_BCAST)
-    gen = _DRAIN_GEN
+    """Release every scoped cache registered inside the block ON THIS
+    THREAD on exit — for self-contained multi-query passes
+    (pipeline.curate, streaming microbatches) that must not leave their
+    internal caches behind, without touching caches an enclosing
+    consumer registered earlier. The registry is scope-owned and
+    thread-local, so a mid-scope ``release_caches()`` (a consumer
+    invoking a queries()-wrapped callable inside the block, or a
+    concurrent thread hitting a query boundary) neither drops the
+    scope's caches mid-flight nor causes the exit to release anything
+    another thread registered."""
+    scope: tuple[list, list] = ([], [])  # (frames, broadcasts)
+    stack = getattr(_TLS, "scopes", None)
+    if stack is None:
+        stack = _TLS.scopes = []
+    stack.append(scope)
     try:
         yield
     finally:
-        if _DRAIN_GEN != gen:
-            mark = bc_mark = 0
-        while len(_SCOPED) > mark:
-            df = _SCOPED.pop()
+        stack.pop()
+        frames, bcasts = scope
+        while frames:
+            df = frames.pop()
             try:
                 _release(df)
             except Exception:
@@ -69,8 +88,8 @@ def cache_scope():
         # cache_scope consumer that never reaches a global
         # release_caches() must not accumulate one torrent copy per
         # kernel invocation
-        while len(_SCOPED_BCAST) > bc_mark:
-            bc = _SCOPED_BCAST.pop()
+        while bcasts:
+            bc = bcasts.pop()
             try:
                 bc.unpersist(blocking=False)
             except Exception:
@@ -78,9 +97,12 @@ def cache_scope():
 
 
 def scoped_cache(df: DataFrame) -> DataFrame:
-    """``df.cache()`` + register the handle for the next :func:`release_caches`."""
+    """``df.cache()`` + register the handle for release at the next
+    boundary: the innermost :func:`cache_scope` open on this thread if
+    any, else the global :func:`release_caches` registry."""
     df = df.cache()
-    _SCOPED.append(df)
+    scope = _active_scope()
+    (scope[0] if scope is not None else _SCOPED).append(df)
     return df
 
 
@@ -90,7 +112,8 @@ def scoped_release(df: DataFrame) -> DataFrame:
     :func:`scoped_cache` on a checkpointed frame would register its
     LogicalRDD plan in the CacheManager and duplicate the blocks into
     cache storage on the next action."""
-    _SCOPED.append(df)
+    scope = _active_scope()
+    (scope[0] if scope is not None else _SCOPED).append(df)
     return df
 
 
@@ -99,14 +122,16 @@ _SCOPED_BCAST: list = []
 
 def scoped_broadcast(bc):
     """Register an ``sc.broadcast`` handle for executor-side release at
-    the next :func:`release_caches` boundary. ``unpersist`` (not
-    ``destroy``): it drops the executor copies but keeps the driver
-    value, so a plan that re-executes after the boundary transparently
-    re-ships it — without this, each kernel invocation leaks one
-    torrent-distributed copy until a JVM GC lets the ContextCleaner
-    notice the dead reference (the same nondeterministic-release mode
-    release_local_checkpoint exists to avoid)."""
-    _SCOPED_BCAST.append(bc)
+    the next boundary (innermost same-thread :func:`cache_scope`, else
+    :func:`release_caches`). ``unpersist`` (not ``destroy``): it drops
+    the executor copies but keeps the driver value, so a plan that
+    re-executes after the boundary transparently re-ships it — without
+    this, each kernel invocation leaks one torrent-distributed copy
+    until a JVM GC lets the ContextCleaner notice the dead reference
+    (the same nondeterministic-release mode release_local_checkpoint
+    exists to avoid)."""
+    scope = _active_scope()
+    (scope[1] if scope is not None else _SCOPED_BCAST).append(bc)
     return bc
 
 
@@ -290,6 +315,25 @@ def clear_memo() -> int:
     return n
 
 
+def bounded_memo_get(memo: dict, key, compute, max_entries: int = 32):
+    """THE single FIFO-evict bounded scalar memo behind the planner
+    probes (`_FANOUT_MEMO`, `_DIM_PROBE_MEMO`, `_FPRINT_MEMO`): return
+    ``memo[key]``, computing and inserting it on a miss, evicting
+    insertion-order heads to stay under ``max_entries``. Values must be
+    plain scalars/strings — nothing here unpersists (frame-holding
+    memos belong to the session memo above). Three hand-rolled copies
+    of this loop needed three separate evict-bug fixes across rounds;
+    key construction stays at each call site, so consolidating cannot
+    change any memo's key semantics."""
+    if key in memo:
+        return memo[key]
+    val = compute()
+    while len(memo) >= max_entries:
+        memo.pop(next(iter(memo)))
+    memo[key] = val
+    return val
+
+
 def release_caches() -> int:
     """Unpersist every scoped cache registered since the last call.
 
@@ -298,9 +342,9 @@ def release_caches() -> int:
     BROADCASTS (consumers metering frames alone should not read this
     total as a frame count). Safe to call at any query boundary —
     by then the previous query's result has been materialized by its
-    consumer, so its caches are dead weight."""
-    global _DRAIN_GEN
-    _DRAIN_GEN += 1
+    consumer, so its caches are dead weight. Registrations inside an
+    open :func:`cache_scope` live in that scope's own thread-local
+    registry, not here — the scope releases them at exit."""
     n = 0
     while _SCOPED:
         df = _SCOPED.pop()

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 logger = logging.getLogger(__name__)
 
 from mapreduce_framework_simple_spark.ephemeral import (
+    bounded_memo_get,
     release_local_checkpoint,
     scoped_broadcast,
     scoped_cache,
@@ -300,34 +301,32 @@ def _jaccard_join_fanout(sh: DataFrame, memo_key: tuple | None = None) -> float:
     pattern as the LSH fan-out guard. Pass ``memo_key`` (session +
     input fingerprint) to memoize the scalar across composing queries
     and repeat runs."""
-    if memo_key is not None and memo_key in _FANOUT_MEMO:
-        return _FANOUT_MEMO[memo_key]
-    p = 1.0 / _FANOUT_SAMPLE_MOD
-    row = (
-        sh.where(
-            F.pmod(F.xxhash64("sid", "doc_id"), F.lit(_FANOUT_SAMPLE_MOD)) == 0
+    def compute() -> float:
+        p = 1.0 / _FANOUT_SAMPLE_MOD
+        row = (
+            sh.where(
+                F.pmod(F.xxhash64("sid", "doc_id"), F.lit(_FANOUT_SAMPLE_MOD)) == 0
+            )
+            .groupBy("sid")
+            .agg(F.count("*").alias("c"))
+            .agg(
+                F.sum(
+                    (F.col("c") * F.col("c") - (1.0 - p) * F.col("c")) / (p * p)
+                ).alias("sum_df2"),
+                (F.sum("c") / p).alias("sum_df"),
+            )
+            .select(
+                (
+                    (F.col("sum_df2") - F.col("sum_df")) / (2.0 * F.col("sum_df"))
+                ).alias("fanout")
+            )
+            .collect()[0]
         )
-        .groupBy("sid")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.sum(
-                (F.col("c") * F.col("c") - (1.0 - p) * F.col("c")) / (p * p)
-            ).alias("sum_df2"),
-            (F.sum("c") / p).alias("sum_df"),
-        )
-        .select(
-            (
-                (F.col("sum_df2") - F.col("sum_df")) / (2.0 * F.col("sum_df"))
-            ).alias("fanout")
-        )
-        .collect()[0]
-    )
-    val = max(0.0, float(row["fanout"] or 0.0))
-    if memo_key is not None:
-        while len(_FANOUT_MEMO) >= _FANOUT_MEMO_MAX:
-            _FANOUT_MEMO.pop(next(iter(_FANOUT_MEMO)))
-        _FANOUT_MEMO[memo_key] = val
-    return val
+        return max(0.0, float(row["fanout"] or 0.0))
+
+    if memo_key is None:
+        return compute()
+    return bounded_memo_get(_FANOUT_MEMO, memo_key, compute, _FANOUT_MEMO_MAX)
 
 
 @query(

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from mapreduce_framework_simple_spark.ephemeral import bounded_memo_get
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
 
@@ -121,14 +122,12 @@ def _fingerprint_guarded(sf_dir: str, spark) -> str:
         shallow = tuple(sorted(sig))
     except OSError:
         return _input_fingerprint(sf_dir, spark)
-    key = (sf_dir, shallow)
-    fp = _FPRINT_MEMO.get(key)
-    if fp is None:
-        fp = _input_fingerprint(sf_dir, spark)
-        if len(_FPRINT_MEMO) >= _DIM_PROBE_MEMO_MAX:
-            _FPRINT_MEMO.pop(next(iter(_FPRINT_MEMO)))
-        _FPRINT_MEMO[key] = fp
-    return fp
+    return bounded_memo_get(
+        _FPRINT_MEMO,
+        (sf_dir, shallow),
+        lambda: _input_fingerprint(sf_dir, spark),
+        _DIM_PROBE_MEMO_MAX,
+    )
 
 
 def _dim_probe_count(p: DataFrame, sf_dir: str, bound: int) -> int:
@@ -148,13 +147,12 @@ def _dim_probe_count(p: DataFrame, sf_dir: str, bound: int) -> int:
     key = (p.sparkSession.sparkContext.applicationId, sf_dir, bound,
            _fingerprint_guarded(sf_dir, p.sparkSession),
            p._jdf.queryExecution().analyzed().semanticHash())
-    n = _DIM_PROBE_MEMO.get(key)
-    if n is None:
-        n = p.limit(bound + 1).count()
-        if len(_DIM_PROBE_MEMO) >= _DIM_PROBE_MEMO_MAX:  # FIFO, matches _FANOUT_MEMO
-            _DIM_PROBE_MEMO.pop(next(iter(_DIM_PROBE_MEMO)))
-        _DIM_PROBE_MEMO[key] = n
-    return n
+    return bounded_memo_get(
+        _DIM_PROBE_MEMO,
+        key,
+        lambda: p.limit(bound + 1).count(),
+        _DIM_PROBE_MEMO_MAX,
+    )
 
 
 

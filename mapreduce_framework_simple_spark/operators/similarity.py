@@ -627,12 +627,14 @@ def _score_and_rank_candidates(cand: DataFrame, k: int = TOP_K) -> DataFrame:
     and the CORPUS-sized candidate set of the kNN audit, exactly where
     that constant matters. Parity is exact: sequential-over-dims
     accumulation, 6-dp HALF_UP via integer micro-units (÷1e6 — 1e6 is
-    exactly representable, so the division is the correctly-rounded
-    6-dp double, bit-identical to ``F.round``'s BigDecimal HALF_UP on
-    every value this corpus produces; equality with the fold
-    formulation is pinned by the oracle-checked bucketed-probe matrix
-    row and the path-equality tests), zero-norm → sim 0 (module
-    convention)."""
+    exactly representable, so the final division is correctly rounded;
+    the ``floor(|x|·1e6 + 0.5)`` tie decision itself can disagree with
+    ``F.round``'s BigDecimal HALF_UP when ``|x|·1e6`` lands within one
+    ulp of a .5 tie — the float multiply may round across the
+    boundary — so parity is CORPUS-PINNED, not universal: pinned by
+    the oracle-checked bucketed-probe matrix row and the path-equality
+    tests, which hash every value this corpus produces), zero-norm →
+    sim 0 (module convention)."""
     pairs = cand.where(F.col("vec_id") != F.col("query_id")).select(
         "query_id", "q_emb", F.col("vec_id").alias("neighbor_id"), "embedding"
     )
@@ -892,7 +894,12 @@ def _chunked_block_kernel(empty, emit, chunk_rows):
         for d in range(dim):  # sequential over dims == the SQL fold
             lacc += la[:, d] * la[:, d]
             racc += rb[:, d] * rb[:, d]
-        lnorm, rnorm = np.sqrt(lacc), np.sqrt(racc)
+        # zero-norm guard (module convention, see _pairwise_cosine_scan):
+        # unguarded, a zero vector's 0/0 = NaN fails every threshold
+        # compare and silently drops its pairs — divergent from the
+        # guarded kernels' sim = 0 convention
+        lnorm = np.where(lacc == 0, 1.0, np.sqrt(lacc))
+        rnorm = np.where(racc == 0, 1.0, np.sqrt(racc))
         # diagonal groups hold the SAME block on both sides, so the cos
         # matrix covers every ordered pair within the block
         diagonal = l["ba"].iloc[0] == l["bb"].iloc[0]
@@ -1372,6 +1379,19 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     cents = scoped_cache(
         centroids if centroids is not None else _stride_centroids(spark, sf_dir)
     )
+    # Index contract: cell ids are NON-NEGATIVE. Both in-tree centroid
+    # sources satisfy it by construction (kmeans enumerates 0..K-1, the
+    # stride stand-in reuses non-negative vec_ids); enforcing it here —
+    # one tiny action on the cached K-row frame of a write-once build —
+    # is what lets ivf_probe_bucketed's past-bound branch state
+    # `cell_id >= 0` as the selective predicate Catalyst's dynamic
+    # partition pruning requires, without ever silently dropping a cell.
+    if cents.where(F.col("cell_id") < 0).limit(1).count() > 0:
+        raise ValueError(
+            "centroid frame carries negative cell_id values; the IVF "
+            "index contract requires non-negative cell ids (probe-side "
+            "partition pruning states cell_id >= 0)"
+        )
     if meta_centroids is None:
         meta_centroids = _auto_meta_centroids(spark, sf_dir, cents)
     assigned = (
@@ -1423,19 +1443,37 @@ def _index_meta_centroids(spark: SparkSession,
         return None
 
 
+# Scan-pruning dispatch bound for ivf_probe_bucketed: up to this many
+# DISTINCT probed cells the scan predicate is a driver-collected
+# `isin` IN-list (planner-evaluated partition pruning — the cheapest
+# read when the deduplicated list stays planner-sized; docs/SCALE.md
+# derives the ≈10⁵ regime from Q ≈ 10⁴–10⁵ queries at N_PROBE=6).
+# Past it an IN-list bloats the plan and per-file predicate evaluation,
+# so the probe frame stays DISTRIBUTED and a broadcast semi-join on
+# cell_id prunes the bucketed scan instead (dynamic partition pruning
+# does the file skipping) — same bound class as MAX_BROADCAST_QUERIES:
+# 10⁵ int64 cell ids ≈ sub-MB broadcast, never corpus-sized.
+PROBE_ISIN_MAX_CELLS = 100_000
+
+
 def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
     """Approximate top-k against the bucketed IVF index — q41's answer,
     but the candidate read is PARTITION-PRUNED: the probed cell ids
-    (a few ints per query, collected from the tiny query×centroid
-    ranking — bounded by Q·N_PROBE, never corpus-sized) become a
-    partition predicate on the index scan, so only probed directories
-    are read. The probe geometry comes from the centroids stored WITH
-    the index (:func:`_index_centroids`). Tests assert result equality
-    with the recompute formulation and the presence of partition
-    filters in the scan. A two-level index (built with
-    ``meta_centroids=``) is detected by its ``_meta_centroids`` sidecar
-    and probed with the ROUTED selection — read geometry always matches
-    build geometry, routing layer included."""
+    (a few ints per query, from the tiny query×centroid ranking —
+    bounded by Q·N_PROBE and by K, never corpus-sized) prune the index
+    scan so only probed directories are read. HOW they prune is a
+    measured-size dispatch (``PROBE_ISIN_MAX_CELLS``): a driver-collected
+    ``isin`` IN-list while the distinct-cell list is planner-sized, a
+    broadcast LEFT SEMI join on ``cell_id`` (dynamic partition pruning
+    skips unprobed directories at runtime) past it — the collect is
+    gated behind the bound, so no driver structure ever exceeds it.
+    The probe geometry comes from the centroids stored WITH the index
+    (:func:`_index_centroids`). Tests assert result equality with the
+    recompute formulation and the pruning shape of both branches. A
+    two-level index (built with ``meta_centroids=``) is detected by its
+    ``_meta_centroids`` sidecar and probed with the ROUTED selection —
+    read geometry always matches build geometry, routing layer
+    included."""
     cents = _index_centroids(spark, index_path)
     meta = _index_meta_centroids(spark, index_path)
     probes = scoped_cache(
@@ -1443,13 +1481,29 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
         if meta is not None
         else _ivf_probes(spark, sf_dir, centroids=cents)
     )
-    # Q·N_PROBE ints — the probe list is driver-sized by construction;
-    # probes is cached so the collect and the candidate join share one
-    # computation of the centroid ranking
-    probe_cells = sorted(
-        {r["cell_id"] for r in probes.select("cell_id").distinct().collect()}
-    )
-    idx = spark.read.parquet(index_path).where(F.col("cell_id").isin(probe_cells))
+    # probes is cached so the dispatch probe, the pruning side and the
+    # candidate join share one computation of the centroid ranking
+    cells = probes.select("cell_id").distinct()
+    idx = spark.read.parquet(index_path)
+    if cells.limit(PROBE_ISIN_MAX_CELLS + 1).count() <= PROBE_ISIN_MAX_CELLS:
+        probe_cells = sorted(r["cell_id"] for r in cells.collect())
+        idx = idx.where(F.col("cell_id").isin(probe_cells))
+    else:
+        # `cell_id >= 0` is the index CONTRACT (enforced at build by
+        # write_ivf_index), restated here because Catalyst's dynamic
+        # partition pruning only inserts its runtime subquery when the
+        # filtering side carries a likely-selective predicate
+        # (PartitionPruning.hasPartitionPruningFilter) — the probe
+        # side's real selectivity (Q·N_PROBE of K cells) hides inside
+        # the cached plan. With it, the bucketed scan's PartitionFilters
+        # gain dynamicpruningexpression(cell_id IN <subquery>) reusing
+        # the semi-join's broadcast: file skipping at runtime, no
+        # driver-sized structure anywhere.
+        idx = idx.join(
+            F.broadcast(cells.where(F.col("cell_id") >= 0)),
+            "cell_id",
+            "left_semi",
+        )
     # the probes cache stays live for the returned (lazy) plan: it is
     # Q·N_PROBE rows — bounded driver-of-the-query state, one small DF
     return _score_and_rank_candidates(probes.join(idx, "cell_id"))

@@ -232,6 +232,16 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     # hand-rolled walk here had already drifted on hidden-file filtering
     # and field order.
     sig = _input_fingerprint(src, spark)
+    if sig == "nostat":
+        # the fingerprint's degrade sentinel is a STABLE value: folding
+        # it into the key would stop detecting corpus rewrites (a stale
+        # staged copy keys as current). For the memo that trade is fine;
+        # for staging it is not — a missing/unreadable source must fail
+        # here, as the replaced inline stat walk did.
+        raise FileNotFoundError(
+            f"stream source {src!r} is missing or unreadable: cannot "
+            "fingerprint it for the staging key"
+        )
     key = hashlib.md5(f"{src}:{sig}".encode()).hexdigest()[:12]
     uid = getattr(os, "getuid", lambda: 0)()
     # (src, n_files)-scoped prefix: GC must only reap superseded stages

@@ -319,14 +319,19 @@ def test_cache_scope_drains_broadcasts(spark):
     """Broadcasts registered inside a cache_scope block drain with the
     scope — a self-contained multi-query pass (pipeline.curate) must not
     leave torrent copies queued for a global release that may never
-    come. Handles registered BEFORE the block stay."""
+    come. Handles registered BEFORE the block stay. Since round 9 the
+    scope OWNS its registry (thread-local): in-scope registrations never
+    even enter the global list, so a concurrent global drain cannot
+    touch them."""
     from mapreduce_framework_simple_spark import ephemeral
 
     ephemeral.release_caches()
     outer = ephemeral.scoped_broadcast(spark.sparkContext.broadcast([0]))
     with ephemeral.cache_scope():
-        ephemeral.scoped_broadcast(spark.sparkContext.broadcast([1, 2]))
-        assert len(ephemeral._SCOPED_BCAST) == 2
+        inner = ephemeral.scoped_broadcast(spark.sparkContext.broadcast([1, 2]))
+        assert ephemeral._SCOPED_BCAST == [outer]  # scope-owned, not global
+        assert ephemeral._active_scope()[1] == [inner]
+    assert ephemeral._active_scope() is None
     assert ephemeral._SCOPED_BCAST == [outer]
     ephemeral.release_caches()
     assert ephemeral._SCOPED_BCAST == []
@@ -447,20 +452,59 @@ def test_bloom_probe_bound_fails_loudly(spark, sf_dir, monkeypatch):
 
 
 def test_cache_scope_survives_mid_scope_drain(spark):
-    """A release_caches() inside a cache_scope voids the scope's index
-    marks (the registry was emptied) — the exit must still release the
-    caches registered after the drain, not silently leak them."""
+    """A release_caches() inside a cache_scope must not leak the scope's
+    caches: the scope owns its registry, so the mid-scope global drain
+    neither empties it nor voids its bookkeeping — every in-scope
+    registration (before AND after the drain) is released at exit."""
     from mapreduce_framework_simple_spark import ephemeral
 
     ephemeral.release_caches()  # clean slate
     with ephemeral.cache_scope():
-        ephemeral.scoped_cache(spark.range(3)).count()
+        pre = ephemeral.scoped_cache(spark.range(3))
+        pre.count()
         ephemeral.release_caches()  # the mid-scope global boundary
+        assert pre.storageLevel.useMemory  # scope cache survives the drain
         inner = ephemeral.scoped_cache(spark.range(4))
         inner.count()
     assert not ephemeral._SCOPED, "scope exit leaked post-drain caches"
-    lvl = inner.storageLevel
-    assert not (lvl.useMemory or lvl.useDisk), "post-drain cache still pinned"
+    for df in (pre, inner):
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), "scope cache still pinned"
+
+
+def test_cache_scope_is_thread_local(spark):
+    """A cache_scope exiting on a stream's foreachBatch driver thread
+    must release only ITS OWN registrations — a main-thread query's
+    caches registered while the microbatch runs stay live (the
+    pre-round-9 index-mark design popped them with the scope's
+    suffix)."""
+    import threading
+
+    from mapreduce_framework_simple_spark import ephemeral
+
+    ephemeral.release_caches()  # clean slate
+    entered, proceed = threading.Event(), threading.Event()
+    stream_df = {}
+
+    def microbatch():
+        with ephemeral.cache_scope():
+            stream_df["df"] = ephemeral.scoped_cache(spark.range(7))
+            stream_df["df"].count()
+            entered.set()
+            proceed.wait(timeout=30)
+
+    t = threading.Thread(target=microbatch)
+    t.start()
+    assert entered.wait(timeout=30)
+    # main thread registers DURING the stream scope
+    main = ephemeral.scoped_cache(spark.range(9))
+    main.count()
+    proceed.set()
+    t.join(timeout=30)
+    assert main.storageLevel.useMemory, "stream scope released a main-thread cache"
+    lvl = stream_df["df"].storageLevel
+    assert not (lvl.useMemory or lvl.useDisk), "stream scope leaked its own cache"
+    assert ephemeral.release_caches() == 1  # exactly the main registration
 
 
 def test_synthetic_rejects_nonpositive_rows(spark):

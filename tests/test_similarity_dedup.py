@@ -489,6 +489,43 @@ def test_ivf_bucketed_probe_prunes_partitions(spark, sf_dir, tmp_path):
     assert g[["query_id", "neighbor_id", "rnk"]].equals(e[["query_id", "neighbor_id", "rnk"]])
 
 
+def test_ivf_probe_isin_to_join_dispatch(spark, sf_dir, tmp_path, monkeypatch):
+    """Past PROBE_ISIN_MAX_CELLS distinct probed cells the bucketed
+    probe must stop collecting a driver IN-list (a 10⁵-literal
+    predicate bloats the plan and per-file evaluation — docs/SCALE.md)
+    and prune the bucketed scan with a broadcast LEFT SEMI join on
+    cell_id, letting dynamic partition pruning skip unprobed
+    directories at runtime. Below the bound the plan keeps the IN-list
+    partition filter and no pruning join. Results identical either
+    way — only the pruning mechanism dispatches."""
+    import mapreduce_framework_simple_spark.operators.similarity as S
+    from mapreduce_framework_simple_spark.plans.explain import formatted_plan
+
+    path = str(tmp_path / "ivf_dispatch_idx")
+    S.write_ivf_index(spark, sf_dir, path)
+    cols = ["query_id", "neighbor_id", "rnk"]
+
+    below = S.ivf_probe_bucketed(spark, sf_dir, path)
+    below_plan = formatted_plan(below)
+    pf = below_plan.split("PartitionFilters", 1)[1][:300]
+    # literal IN-list pruning (Catalyst renders large lists as INSET)
+    assert "cell_id" in pf and ("INSET" in pf or " IN " in pf)
+    assert "LeftSemi" not in below_plan      # no join-based pruning below bound
+    b = below.toPandas().sort_values(cols).reset_index(drop=True)
+
+    monkeypatch.setattr(S, "PROBE_ISIN_MAX_CELLS", 1)
+    past = S.ivf_probe_bucketed(spark, sf_dir, path)
+    past_plan = formatted_plan(past)
+    assert "LeftSemi" in past_plan  # distributed pruning join on cell_id
+    # the collect is gated behind the bound: no IN-list literal survives
+    pf_past = past_plan.split("PartitionFilters", 1)[1][:300]
+    assert "INSET" not in pf_past and " IN (" not in pf_past
+    # DPP: the bucketed scan's partition filter is the runtime subquery
+    assert "dynamicpruning" in past_plan.lower()
+    p = past.toPandas().sort_values(cols).reset_index(drop=True)
+    assert p[cols].equals(b[cols])
+
+
 def test_incremental_lsh_candidates_equal_batch_recompute(spark, sf_dir, tmp_path):
     """Splitting the corpus into indexed-old + new-batch and probing the
     persisted index must find exactly the cross (old, new) candidate
