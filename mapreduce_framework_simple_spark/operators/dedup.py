@@ -181,13 +181,15 @@ def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Worst-case safe: the candidate join touches ~(1−t) of each doc's
     shingles in rarest-first order, so frequency skew cannot go
-    quadratic. Measured both regimes (tools/scale_probe.py):
+    quadratic. Measured cold-for-cold (tools/jaccard_crossover.py,
+    round 9 — replacing round-5 warm-vs-cold-biased figures):
 
-    * normal corpus (max shingle df ≈ 25, sf0.1): naive 2.6 s,
-      prefix 4.4 s — bookkeeping outweighs the blowup it prevents;
-    * dup-heavy corpus (10× replicas, every doc has 9 exact copies):
-      naive 65.8 s, prefix 43.1 s — the quadratic term bites and the
-      prefix wins.
+    * ordinary corpora (fan-out 4.9–53 measured at 1×–10× replicas):
+      naive wins (1.80 s vs 3.79 s at 1×; 20.46 s vs 23.54 s at 10×)
+      — bookkeeping outweighs the blowup it prevents;
+    * dup-heavy corpora (fan-out ≥ 75, 14×+ replicas): the quadratic
+      term bites and the prefix wins (28.4 s vs 35.4 s at 14×,
+      50.7 s vs 71.8 s at 20×).
 
     q36 dispatches between the two kernels automatically on the measured
     join fan-out (see :func:`_jaccard_join_fanout`); this entry point
@@ -253,12 +255,24 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
 
 
 # Kernel dispatch threshold for q36: mean naive-self-join fan-out
-# (emitted pairs per shingle-set row, Σ C(df,2) / Σ df). Measured:
-# normal corpora sit at 0.54 (sf0.01) – 4.9 (sf0.1) where the naive
-# kernel wins (2.6 s vs 4.4 s at sf0.1); the 10× dup-heavy replica sits
-# at 53.1 where the prefix kernel wins (43 s vs 66 s). 16 splits the two
-# regimes with >3× headroom on both sides.
-JACCARD_FANOUT_DISPATCH = 16.0
+# (emitted pairs per shingle-set row, Σ C(df,2) / Σ df). Re-derived
+# round 9 COLD-FOR-COLD (tools/jaccard_crossover.py — both kernels
+# warmed then cache-cleared per timed run, min of 2, documents-only
+# offset replicas of sf0.1; the round-5 figures this replaces were
+# warm-vs-cold biased and put the crossover at 16):
+#
+#   fan-out  4.9 (1×):  naive 1.80 s   prefix  3.79 s  → naive
+#   fan-out 21.0 (4×):  naive 4.64 s   prefix  8.12 s  → naive
+#   fan-out 53.2 (10×): naive 20.46 s  prefix 23.54 s  → naive
+#   fan-out 74.7 (14×): naive 35.39 s  prefix 28.40 s  → prefix
+#   fan-out 106.8 (20×): naive 71.78 s prefix 50.66 s  → prefix
+#
+# Crossover bracket (53.2, 74.7); 60 sits inside it, deliberately
+# nearer the naive-wins bound because the mis-routing costs are
+# asymmetric: prefix-when-naive-was-better caps at ~2× measured,
+# while naive grows quadratically in dup-heaviness past the
+# crossover (71.8 s vs 50.7 s already at fan-out 107, and widening).
+JACCARD_FANOUT_DISPATCH = 60.0
 
 # The fan-out probe measures a 1-in-8 deterministic ROW-hash sample
 # (hash of (sid, doc_id)): the per-sid groupBy would otherwise shuffle
@@ -275,10 +289,10 @@ JACCARD_FANOUT_DISPATCH = 16.0
 # miss it with probability 7/8. Per-sid counts c_s ~ Binomial(df_s, p)
 # are then debiased with the standard second-moment estimator
 # E[c²] = p²df² + p(1−p)df  ⇒  df²̂ = (c² − (1−p)c)/p², giving an
-# unbiased Σ C(df,2)/Σ df — the same statistic the sf0.01/sf0.1/10×
-# crossover was measured on, so JACCARD_FANOUT_DISPATCH carries over.
-# An empty sample (tiny corpus) reads as 0.0 → naive kernel, the right
-# call at that size.
+# unbiased Σ C(df,2)/Σ df — the same statistic tools/jaccard_crossover.py
+# reports per regime, so JACCARD_FANOUT_DISPATCH compares like with
+# like. An empty sample (tiny corpus) reads as 0.0 → naive kernel, the
+# right call at that size.
 _FANOUT_SAMPLE_MOD = 8
 
 # (applicationId, sf_dir, input fingerprint) -> measured fan-out. The
@@ -358,9 +372,9 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``JACCARD_FANOUT_DISPATCH`` — faster on ordinary corpora, where
     prefix bookkeeping outweighs the blow-up it prevents — and the
     PPJoin-style prefix kernel (:func:`_jaccard_prefix_pairs`) above it,
-    where frequency skew would make the naive join quadratic (both
-    regimes measured in tools/scale_probe.py; the kernels are
-    equality-tested). q38's MinHash-LSH is the 100 TB path and this
+    where frequency skew would make the naive join quadratic (crossover
+    measured cold-for-cold in tools/jaccard_crossover.py; the kernels
+    are equality-tested). q38's MinHash-LSH is the 100 TB path and this
     operator is its ground-truth verifier."""
     sh = scoped_cache(shingle_id_sets(spark, sf_dir))
     memo_key = (

@@ -1046,13 +1046,15 @@ def test_q36_dispatches_kernels_by_fanout(spark, sf_dir, tmp_path, monkeypatch):
     D.q36_ngram_jaccard(spark, sf_dir).count()
     assert calls == []
 
-    # dup-heavy planted corpus: 50 exact copies + twins → fan-out >> 16
+    # dup-heavy planted corpus: 160 exact copies + twins → fan-out
+    # ≈ 159/2 ≈ 80, clear of the measured-crossover threshold (60)
+    # with headroom for the 1/8-sample probe's estimation noise
     rows = [
         {"doc_id": i,
          "text": "subscribe to our newsletter terms apply all rights "
                  "reserved contact us privacy policy cookie settings",
          "lang": "en", "source": "web", "n_chars": 100}
-        for i in range(50)
+        for i in range(160)
     ] + [
         {"doc_id": 100 + i,
          "text": f"twin document shared words alpha beta gamma delta {i % 2}",
@@ -1093,7 +1095,10 @@ def test_fanout_probe_sees_single_hot_shingle(spark, tmp_path):
 
     from mapreduce_framework_simple_spark.operators import dedup as D
 
-    n = 400
+    # exact fan-out ≈ (n-1)/10 (one hot sid of df=n among ~5n sids):
+    # n=1000 → ~99.9, clear of the threshold (60) with margin for the
+    # 1/8-sample estimator's noise (±~17% at this df)
+    n = 1000
     rows = [
         {"doc_id": i,
          "text": f"u{i}a u{i}b shared boiler plate u{i}c u{i}d",
