@@ -67,7 +67,12 @@ def cache_scope():
     invoking a queries()-wrapped callable inside the block, or a
     concurrent thread hitting a query boundary) neither drops the
     scope's caches mid-flight nor causes the exit to release anything
-    another thread registered."""
+    another thread registered. The trade-off is deliberate: in-scope
+    registrations are HELD until exit (a mid-scope global drain no
+    longer frees them), so a scope should wrap ONE self-contained pass
+    or microbatch — wrapping a long multi-query session in a single
+    scope would accumulate every query's caches until exit, which is
+    the global registry's job to bound, not a scope's."""
     scope: tuple[list, list] = ([], [])  # (frames, broadcasts)
     stack = getattr(_TLS, "scopes", None)
     if stack is None:

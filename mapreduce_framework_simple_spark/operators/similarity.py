@@ -1386,11 +1386,17 @@ def write_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     # is what lets ivf_probe_bucketed's past-bound branch state
     # `cell_id >= 0` as the selective predicate Catalyst's dynamic
     # partition pruning requires, without ever silently dropping a cell.
-    if cents.where(F.col("cell_id") < 0).limit(1).count() > 0:
+    bad = F.col("cell_id").isNull() | (F.col("cell_id") < 0)
+    if cents.where(bad).limit(1).count() > 0:
+        # NULL is as fatal as negative: NULL rows land in the
+        # __HIVE_DEFAULT_PARTITION__ directory, and NEITHER probe branch
+        # can select them (NULL isin [...] is never true; NULL >= 0
+        # filters out) — every vector in that cell would silently vanish
+        # from candidate sets
         raise ValueError(
-            "centroid frame carries negative cell_id values; the IVF "
-            "index contract requires non-negative cell ids (probe-side "
-            "partition pruning states cell_id >= 0)"
+            "centroid frame carries NULL or negative cell_id values; the "
+            "IVF index contract requires non-negative cell ids (probe-"
+            "side partition pruning states cell_id >= 0)"
         )
     if meta_centroids is None:
         meta_centroids = _auto_meta_centroids(spark, sf_dir, cents)
@@ -1465,8 +1471,9 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     measured-size dispatch (``PROBE_ISIN_MAX_CELLS``): a driver-collected
     ``isin`` IN-list while the distinct-cell list is planner-sized, a
     broadcast LEFT SEMI join on ``cell_id`` (dynamic partition pruning
-    skips unprobed directories at runtime) past it — the collect is
-    gated behind the bound, so no driver structure ever exceeds it.
+    skips unprobed directories at runtime) past it — the dispatch and
+    the IN-list share one collect capped at bound+1 rows, so no driver
+    structure ever exceeds the bound.
     The probe geometry comes from the centroids stored WITH the index
     (:func:`_index_centroids`). Tests assert result equality with the
     recompute formulation and the pruning shape of both branches. A
@@ -1485,8 +1492,13 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     # candidate join share one computation of the centroid ranking
     cells = probes.select("cell_id").distinct()
     idx = spark.read.parquet(index_path)
-    if cells.limit(PROBE_ISIN_MAX_CELLS + 1).count() <= PROBE_ISIN_MAX_CELLS:
-        probe_cells = sorted(r["cell_id"] for r in cells.collect())
+    # ONE bounded collect serves both the dispatch and the IN-list: a
+    # separate limit(bound+1).count() probe would re-run the distinct
+    # shuffle a second time for the below-bound collect, and bound+1
+    # int64 rows (~a few MB at the 10⁵ bound) is driver-safe either way
+    rows = cells.limit(PROBE_ISIN_MAX_CELLS + 1).collect()
+    if len(rows) <= PROBE_ISIN_MAX_CELLS:
+        probe_cells = sorted(r["cell_id"] for r in rows)
         idx = idx.where(F.col("cell_id").isin(probe_cells))
     else:
         # `cell_id >= 0` is the index CONTRACT (enforced at build by

@@ -1056,7 +1056,10 @@ def test_q36_dispatches_kernels_by_fanout(spark, sf_dir, tmp_path, monkeypatch):
          "lang": "en", "source": "web", "n_chars": 100}
         for i in range(160)
     ] + [
-        {"doc_id": 100 + i,
+        # ids start clear of the 0..159 boilerplate block — an overlap
+        # would merge both texts' shingles under one doc_id and destroy
+        # the twin fixture
+        {"doc_id": 1000 + i,
          "text": f"twin document shared words alpha beta gamma delta {i % 2}",
          "lang": "en", "source": "web", "n_chars": 50}
         for i in range(4)
