@@ -525,6 +525,20 @@ def test_ivf_probe_isin_to_join_dispatch(spark, sf_dir, tmp_path, monkeypatch):
     p = past.toPandas().sort_values(cols).reset_index(drop=True)
     assert p[cols].equals(b[cols])
 
+    # DPP is a PERFORMANCE layer for the join branch, never a
+    # correctness dependency: with the optimizer rule disabled the
+    # semi-join alone must still produce the identical answer
+    dpp_key = "spark.sql.optimizer.dynamicPartitionPruning.enabled"
+    old = spark.conf.get(dpp_key)
+    spark.conf.set(dpp_key, "false")
+    try:
+        nodpp = S.ivf_probe_bucketed(spark, sf_dir, path)
+        assert "dynamicpruning" not in formatted_plan(nodpp).lower()
+        nd = nodpp.toPandas().sort_values(cols).reset_index(drop=True)
+        assert nd[cols].equals(b[cols])
+    finally:
+        spark.conf.set(dpp_key, old)
+
 
 def test_incremental_lsh_candidates_equal_batch_recompute(spark, sf_dir, tmp_path):
     """Splitting the corpus into indexed-old + new-batch and probing the
