@@ -126,7 +126,10 @@ def kmeans(spark: SparkSession, sf_dir: str, k: int | None = K,
         # loudly instead of UnboundLocalError deep in the tail
         raise ValueError(f"kmeans: n_iter must be >= 1, got {n_iter}")
     if k is None:
-        k = max(1, math.isqrt(n))
+        # ⌈√n⌉ exactly (isqrt(n-1)+1 for n ≥ 1) — the documented IVF
+        # sizing; bare isqrt is the floor and under-sized every
+        # non-perfect-square corpus by one cell vs the stated contract
+        k = math.isqrt(n - 1) + 1
     stride = max(n // k, 1)
     seeds = (
         em.where(F.col("vec_id") % stride == 0)
@@ -313,10 +316,8 @@ def q104_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the edge build is two broadcast-free equi-joins feeding a
     distinct; each PR round shuffles the edge list once — the Pregel
     shape, linear per round."""
-    from mapreduce_framework_simple_spark.sources.io import load_table as _lt
-
-    o = _lt(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    li = _lt(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
+    o = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_suppkey")
     pairs = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.window import WindowSpec
 
 from mapreduce_framework_simple_spark.registry import query
 from mapreduce_framework_simple_spark.sources.io import load_table
@@ -37,7 +38,7 @@ def _duck_bucket(expr: str, buckets: int) -> str:
     return f"('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 4))::BIGINT % {buckets}"
 
 
-def md5_rank_window(partition_col: str, id_col: str) -> Window:
+def md5_rank_window(partition_col: str, id_col: str) -> WindowSpec:
     """The ONE definition of the "top-K per stratum by hash permutation"
     ordering (q84 strata, q106 quotas): row_number over
     ``ORDER BY md5(CAST(id AS string)), id`` within the stratum — the

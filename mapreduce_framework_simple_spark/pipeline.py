@@ -42,7 +42,11 @@ from mapreduce_framework_simple_spark.operators.dedup import (
     norm_expr,
     shingle_sets_from,
 )
-from mapreduce_framework_simple_spark.operators.text import q98_gopher_rules
+from mapreduce_framework_simple_spark.operators.text import (
+    q98_gopher_rules,
+    shingles_expr,
+    tokens_expr,
+)
 from mapreduce_framework_simple_spark.sources.io import load_table
 
 CONTAMINATION_MAX = 0.5  # drop docs with > 50% probe-shingle overlap
@@ -135,10 +139,15 @@ def curate(spark: SparkSession, sf_dir: str, out_dir: str,
         #    The distinct is agg-derived, so AQE plans the join from its
         #    TRUE size at the stage boundary: broadcast while genuinely
         #    small, shuffled join beyond.
-        sh_all = shingle_sets_from(docs)
+        #    Built from the expr helpers directly — NOT via
+        #    shingle_sets_from — because the probe only needs DISTINCT
+        #    SHINGLES: routing through the (doc_id, shingle)-level
+        #    distinct would pay a second exchange+aggregate whose
+        #    per-doc dedup the next .distinct() immediately discards.
         probe = (
-            sh_all.where(F.col("doc_id") % 97 == 0)
-            .select("shingle")
+            docs.where(F.col("doc_id") % 97 == 0)
+            .select(tokens_expr().alias("toks"))
+            .select(F.explode(shingles_expr(F.col("toks"))).alias("shingle"))
             .distinct()
             .withColumn("hit", F.lit(1))
         )

@@ -1383,7 +1383,7 @@ def test_kmeans_centroid_ivf_recall(spark, sf_dir):
 
     n = S.load_table(spark, "embeddings", sf_dir).count()
     cents = S.kmeans_centroid_frame(spark, sf_dir)
-    assert cents.count() == max(1, math.isqrt(n))  # K = ceil-ish sqrt(N)
+    assert cents.count() == math.isqrt(n - 1) + 1  # K = ⌈√N⌉, the documented sizing
 
     exact = {
         (r["query_id"], r["neighbor_id"])
