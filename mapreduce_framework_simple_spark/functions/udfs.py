@@ -411,15 +411,23 @@ def q80_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         # interpolate; retuning CHUNK_TOKENS retunes both sides
         N = CHUNK_TOKENS
 
-        def eval(self, text: str):
-            if not text:  # NULL/empty doc: no chunks (oracle emits none)
-                return
+        def __init__(self):
             import re
 
+            # compiled ONCE per UDTF instance, not per row: eval runs
+            # once per document, and the per-call `import re` +
+            # pattern-cache lookup is pure overhead in the chunking hot
+            # path (cloudpickle ships the class self-contained; the
+            # import stays inside so executors need no module global).
             # ASCII-only \s ≙ the canonical Java/RE2 tokenizer (Python's
             # str.split()/default \s are unicode-aware and would diverge
             # on NBSP/ideographic spaces)
-            toks = [t for t in re.split(r"\s+", text.lower(), flags=re.ASCII) if t]
+            self._ws = re.compile(r"\s+", flags=re.ASCII)
+
+        def eval(self, text: str):
+            if not text:  # NULL/empty doc: no chunks (oracle emits none)
+                return
+            toks = [t for t in self._ws.split(text.lower()) if t]
             n = self.N
             for i in range(0, len(toks), n):
                 piece = toks[i : i + n]

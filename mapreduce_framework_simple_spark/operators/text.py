@@ -138,9 +138,13 @@ def q31_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # and ANSI mode (Spark 4 default) aborts the whole query on x/0
         # while the DuckDB oracle yields NULL — try_divide IS that NULL
         F.try_divide(
-            F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
-                "double"
-            ),
+            # long accumulator (the q98 discipline): an int fold
+            # overflows — and under ANSI mode aborts the query — on a
+            # document whose total token length exceeds 2^31, where the
+            # oracle's list_sum (HUGEINT) just returns the value
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ).cast("double"),
             F.size(toks),
         ).alias("avg_token_len"),
         F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[a-z0-9]+"), 0)).alias(
@@ -671,7 +675,9 @@ def scrub_pii(df: DataFrame, col: str = "text",
                JOIN cw ON split_part(b.bg, ' ', 1) = cw.w1)
     SELECT doc_id,
            CAST(count(*) AS BIGINT) AS n_bigrams,
-           round(-avg(lp), 6)       AS cross_entropy
+           round(-(list_reduce(list_prepend(0.0, list(lp ORDER BY lp)),
+                               (a, b) -> a + b)
+                   / count(*)), 6) AS cross_entropy
     FROM scored GROUP BY doc_id
     """,
 )
@@ -689,8 +695,9 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs' TRUE output sizes at the stage boundary: broadcast at
     realistic vocabulary sizes, shuffle hash join past the threshold
     (no unconditional hint — see the in-body note); the only corpus-sized shuffle is the final
-    per-doc aggregation on doc_id. ln() output is averaged then rounded to 6 dp before hashing
-    (raw libm transcendentals differ by 1 ULP across engines)."""
+    per-doc aggregation on doc_id. The per-doc mean is a sequential
+    fold over the SORTED ln() terms (see the in-body note) and rounds
+    to 6 dp before hashing."""
     docs = load_table(spark, "documents", sf_dir)
     # tokens materialized BEFORE the bigram lambda — inlining tokens_expr
     # into bigrams_expr would re-split the text once per element_at
@@ -728,9 +735,23 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.col("c_bg").cast("double") / F.col("c_w1")).alias("lp"),
         )
     )
-    return scored.groupBy("doc_id").agg(
+    # per-doc mean via a SEQUENTIAL fold over the SORTED lp list (the
+    # q122/q123 determinism pattern): a plain avg() merges partial sums
+    # in partition-arrival order, so its last ULP is partitioning- and
+    # engine-dependent — a mean landing within that error of a 0.5e-6
+    # rounding boundary would hash-flip between engines or between two
+    # Spark runs. Sorting makes both engines add the identical float
+    # sequence in the identical order; the list is doc-sized (~hundreds
+    # of doubles), map-side after the same doc_id shuffle avg() needed.
+    agg = scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
-        F.round(-F.avg("lp"), 6).alias("cross_entropy"),
+        F.array_sort(F.collect_list("lp")).alias("lps"),
+    )
+    s = F.aggregate(F.col("lps"), F.lit(0.0), lambda a, b: a + b)
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(-(s / F.col("n_bigrams")), 6).alias("cross_entropy"),
     )
 
 

@@ -269,19 +269,21 @@ def test_null_and_blank_text_cross_engine_consistent(spark, tmp_path):
 
 
 def test_unicode_lowercase_cross_engine_canary(spark):
-    """Canary for the one KNOWN cross-engine unicode divergence (KNOWN
+    """Canary for the KNOWN cross-engine unicode divergences (KNOWN
     LIMITS #16): Spark's Java toLowerCase and DuckDB's utf8proc agree on
-    accented Latin, ß, Greek, Cyrillic, CJK, and emoji — and disagree
-    ONLY on Turkish dotted İ (combining-dot vs plain i). If this set
-    ever shifts (engine upgrade), the determinism story must be
-    re-audited."""
+    accented Latin, ß, non-final Greek, Cyrillic, CJK, and emoji — and
+    disagree on (a) Turkish dotted İ (combining-dot vs plain i) and
+    (b) WORD-FINAL Greek Σ (Java applies the contextual Final_Sigma
+    SpecialCasing rule → ς; utf8proc maps per-codepoint → σ; found
+    round 9). If this set ever shifts (engine upgrade), the determinism
+    story must be re-audited."""
     import duckdb
 
     from pyspark.sql import functions as F
 
     agree = ["Émile Zölå ÊTRE", "STRASSE ß", "ΣΟΦΙΑ σοφια", "日本語 テスト",
              "naïve Café", "ЛЕВ Толстой", "🎉 PARTY 🎉"]
-    diverge = ["İstanbul DİYARBAKIR"]
+    diverge = ["İstanbul DİYARBAKIR", "ΟΔΥΣΣΕΥΣ"]
     sdf = spark.createDataFrame(
         [(i, s) for i, s in enumerate(agree + diverge)], "i long, t string"
     )
