@@ -155,56 +155,79 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
             raise IOError(f"upsert recovery: cannot restore {backup} → {target}")
 
     current = spark.read.parquet(target)
-    # MERGE contract: at most one update row per key. Duplicate keys in
-    # the batch would silently land BOTH rows after the anti-join,
-    # corrupting key-uniqueness for every later upsert — fail loudly
-    # instead (Delta/DuckDB MERGE error on multiple matches too). The
-    # check is one small aggregate over the (by-premise small) batch.
-    dup = (
-        updates.groupBy(key)
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") > 1)
-        .limit(1)
-        .collect()
-    )
-    if dup:
-        raise ValueError(
-            f"upsert: updates batch has multiple rows for {key}="
-            f"{dup[0][key]!r}; deduplicate the batch before merging"
+    # updates feeds THREE computations (the validation aggregate, the
+    # anti-join's broadcast key set, the merge write) — cached for the
+    # call so an expensive update lineage computes once, unpersisted in
+    # the finally (this is a sink, fully materialized before return)
+    updates = updates.cache()
+    try:
+        # MERGE contract, ONE validation job for both rules (each used
+        # to be its own job over the full updates lineage):
+        # * at most one update row per key — duplicates would silently
+        #   land BOTH rows after the anti-join, corrupting
+        #   key-uniqueness for every later upsert (Delta/DuckDB MERGE
+        #   error on multiple matches too);
+        # * no NULL keys — the anti-join's NULL = NULL never matches, so
+        #   a NULL-key target row would be RETAINED and the NULL-key
+        #   update row inserted BESIDE it (Delta MERGE conditions reject
+        #   NULL the same way, by never matching).
+        bad = (
+            updates.groupBy(key)
+            .agg(F.count("*").alias("n"))
+            .where((F.col("n") > 1) | F.col(key).isNull())
+            .limit(1)
+            .collect()
         )
-    # NULL keys can never MERGE: the anti-join's NULL = NULL comparison
-    # never matches, so a NULL-key target row would be RETAINED and the
-    # NULL-key update row inserted BESIDE it — silent key duplication.
-    # Fail loudly instead (Delta MERGE conditions reject NULL the same
-    # way, by never matching).
-    if updates.where(F.col(key).isNull()).limit(1).count():
-        raise ValueError(
-            f"upsert: updates batch has a NULL {key}; NULL join keys "
-            "never match — assign real keys before merging"
+        if bad:
+            if bad[0][key] is None:
+                raise ValueError(
+                    f"upsert: updates batch has a NULL {key}; NULL join "
+                    "keys never match — assign real keys before merging"
+                )
+            raise ValueError(
+                f"upsert: updates batch has multiple rows for {key}="
+                f"{bad[0][key]!r}; deduplicate the batch before merging"
+            )
+        remaining = current.join(
+            F.broadcast(updates.select(key).distinct()), key, "left_anti"
         )
-    remaining = current.join(
-        F.broadcast(updates.select(key).distinct()), key, "left_anti"
-    )
-    merged = remaining.unionByName(updates.select(*current.columns))
-    # staging write reads the ORIGINAL target path — no self-overwrite
-    merged.write.mode("overwrite").parquet(staging)
-    if fs.exists(_p(backup)):
+        merged = remaining.unionByName(updates.select(*current.columns))
+        try:
+            # staging write reads the ORIGINAL target path — no
+            # self-overwrite
+            merged.write.mode("overwrite").parquet(staging)
+            if fs.exists(_p(backup)):
+                fs.delete(_p(backup), True)
+            if not fs.rename(_p(target), _p(backup)):
+                raise IOError(f"upsert swap: cannot move {target} aside")
+            if not fs.rename(_p(staging), _p(target)):
+                # put the original back rather than leaving no dataset —
+                # and report what ACTUALLY happened if that rename fails
+                # too (the next call's recovery branch restores the
+                # backup then)
+                restored = fs.rename(_p(backup), _p(target))
+                raise IOError(
+                    f"upsert swap: cannot promote {staging}; "
+                    + ("original restored"
+                       if restored
+                       else f"RESTORE ALSO FAILED — data is intact at "
+                            f"{backup} and the next upsert call restores it")
+                )
+        except BaseException:
+            # never strand a table-sized .staging copy: a failed merge
+            # write or swap used to leave it on disk forever, making the
+            # disk pressure that (often) caused the failure permanently
+            # worse. After a successful promote the path no longer
+            # exists and this delete is a no-op; the merged data is
+            # always reproducible from the (intact) original + updates.
+            try:
+                fs.delete(_p(staging), True)
+            except Exception:
+                pass
+            raise
         fs.delete(_p(backup), True)
-    if not fs.rename(_p(target), _p(backup)):
-        raise IOError(f"upsert swap: cannot move {target} aside")
-    if not fs.rename(_p(staging), _p(target)):
-        # put the original back rather than leaving no dataset — and
-        # report what ACTUALLY happened if that rename fails too (the
-        # next call's recovery branch restores the backup then)
-        restored = fs.rename(_p(backup), _p(target))
-        raise IOError(
-            f"upsert swap: cannot promote {staging}; "
-            + ("original restored"
-               if restored
-               else f"RESTORE ALSO FAILED — data is intact at {backup} "
-                    "and the next upsert call restores it")
-        )
-    fs.delete(_p(backup), True)
+    finally:
+        updates.unpersist(blocking=False)
 
 
 def write_range_partitioned(df: DataFrame, path: str, col: str,

@@ -1775,6 +1775,17 @@ def q92_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     # any other custom ceiling is left alone.
     cur = spark.conf.get("spark.sql.cteRecursionRowLimit", None)
     if cur is None or int(cur) == 1_000_000:
+        # surfaced, not silent (the sources/io.py timezone-pin pattern):
+        # a sticky session-global conf raise is a side effect the
+        # session operator should be able to see in the logs
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "q92: raising session spark.sql.cteRecursionRowLimit "
+            "%s -> %d for the recursive chain query (sticky: the lazy "
+            "result reads it at execution time)",
+            cur or "unset", Q92_RECURSION_ROW_LIMIT,
+        )
         spark.conf.set("spark.sql.cteRecursionRowLimit", str(Q92_RECURSION_ROW_LIMIT))
     return spark.sql(
         """
@@ -2564,7 +2575,8 @@ def q125_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 3600000000.0
     )
     term = (
-        (F.round(F.col("value") * 100).cast("long") / F.lit(100.0))
+        # the shared cents_l() rule, not an inline respell of it
+        (cents_l("value") / F.lit(100.0))
         * F.pow(F.lit(2.0), -age_h / F.lit(DECAY_HALFLIFE_H))
     )
     terms = ev.crossJoin(F.broadcast(mx)).select(

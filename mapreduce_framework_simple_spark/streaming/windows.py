@@ -21,6 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from mapreduce_framework_simple_spark.operators.relational import (
+    cents,
+    cents_l,
     duck_cents,
     duck_cents_l,
 )
@@ -37,10 +39,10 @@ from mapreduce_framework_simple_spark.sources.io import SCHEMAS, load_table
 # DuckDB would agree only to the last ULPs. Integer-cents sums are exact
 # under any order; one double conversion at the end (the q128 discipline).
 def _sum_value_cents(alias: str = "sum_value") -> "F.Column":
-    return (
-        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
-        / 100
-    ).alias(alias)
+    # THE shared cents() rule (relational.py) — a respelled copy here
+    # had already drifted risk-wise: a HALF_UP/rounding fix applied to
+    # cents() must reach the batch≡stream equality surface too
+    return (F.sum(cents("value")).cast("double") / 100).alias(alias)
 
 
 @query(
@@ -183,12 +185,14 @@ def q53_stateful_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    cents = F.round(F.col("value") * 100).cast("long")
     return e.select(
         "event_id",
         "user_id",
         F.count("*").over(w).cast("long").alias("running_count"),
-        (F.sum(cents).over(w).cast("double") / 100).alias("running_value"),
+        # the shared cents_l() rule (relational.py), not a local respell
+        (F.sum(cents_l("value")).over(w).cast("double") / 100).alias(
+            "running_value"
+        ),
     )
 
 
@@ -298,21 +302,36 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
         if d.startswith(stage_prefix) or legacy_fmt.match(d):
             shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
                           ignore_errors=True)
-    # the _SUCCESS probe rejects a partially-written stage from a crashed
-    # prior run (the atomic rename makes that near-impossible, but cheap)
-    if not os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
+    # completeness probe: rejects a partially-written stage from a
+    # crashed prior run (the atomic rename makes that near-impossible,
+    # but cheap). The probe accepts EITHER Spark's _SUCCESS or our own
+    # marker — depending on _SUCCESS alone breaks under
+    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false (a common
+    # object-store tuning): every call would then read a COMPLETED
+    # stage as broken, rmtree it out from under any concurrently
+    # draining peer stream, and rewrite the table each time. Our marker
+    # is written after the tmp write returns, before the rename, so it
+    # is committer-conf-independent.
+    def _complete(dz: str) -> bool:
+        return os.path.exists(os.path.join(dz, "_MFSS_STAGE_COMPLETE")) or (
+            os.path.exists(os.path.join(dz, "_SUCCESS"))
+        )
+
+    if not _complete(drop_zone):
         tmp = f"{drop_zone}.tmp.{os.getpid()}"
         try:
             load_table(spark, table, sf_dir).repartition(n_files).write.mode(
                 "overwrite"
             ).parquet(tmp)
+            with open(os.path.join(tmp, "_MFSS_STAGE_COMPLETE"), "w"):
+                pass
             try:
                 os.rename(tmp, drop_zone)
             except OSError:
                 # Either a concurrent process won the rename, or a BROKEN
-                # stage (exists but no _SUCCESS — e.g. /tmp aged out files
-                # inside it) is blocking the slot. Distinguish by
-                # re-probing the marker: trusting "a winner exists" here
+                # stage (exists but no completion marker — e.g. /tmp aged
+                # out files inside it) is blocking the slot. Distinguish
+                # by re-probing: trusting "a winner exists" here
                 # would silently stream a truncated stage forever. The
                 # probe/remove/rename sequence is retried a few times —
                 # two processes repairing concurrently can interleave so
@@ -320,7 +339,7 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
                 # re-probes, so a completed peer stage is adopted rather
                 # than deleted-and-raced again.
                 for _ in range(4):
-                    if os.path.exists(os.path.join(drop_zone, "_SUCCESS")):
+                    if _complete(drop_zone):
                         shutil.rmtree(tmp, ignore_errors=True)
                         break
                     shutil.rmtree(drop_zone, ignore_errors=True)
