@@ -68,6 +68,16 @@ def asof_backward(
             f"asof_backward: alias {alias!r} collides with a left column; "
             "pick a name not present on the left side"
         )
+    if alias in ("__on", "__ts", "__kind", "__carry", "__row", "__m"):
+        # the operator's internal sentinel columns: withColumn(alias)
+        # would REPLACE one of them mid-pipeline — e.g. alias='__kind'
+        # overwrites the side tag so the final where(__kind == 1)
+        # filters on carry values, silently returning wrong rows rather
+        # than erroring
+        raise ValueError(
+            f"asof_backward: alias {alias!r} collides with an internal "
+            "sentinel column; pick another name"
+        )
     carry_type = right.schema[carry].dataType
     row_struct = F.struct(*[F.col(c) for c in left.columns])
     lsel = left.select(
@@ -182,7 +192,14 @@ def q103_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Timestamps pass through exactly (no arithmetic), so the oracle
     comparison needs no rounding discipline."""
     e = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NULLS LAST pinned IN CODE (the module invariant): Spark's
+    # ascending default is NULLS FIRST while the oracle's ORDER BY uses
+    # DuckDB's NULLS LAST — a NULL-ts purchase would sort to opposite
+    # ends and shift every lead(). Latent (the generators emit no NULL
+    # ts) but the pin costs nothing.
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), F.asc_nulls_last("event_id")
+    )
     nxt = F.lead("ts").over(w)
     return (
         e.where(F.col("event_type") == "purchase")

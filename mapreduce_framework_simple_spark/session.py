@@ -23,7 +23,27 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+def _env_shuffle_partitions() -> int:
+    """SPARK_GRAFT_SHUFFLE_PARTITIONS with the SAME >=1 validation the
+    explicit-argument path gets — the env path used to bypass it, so
+    a misread '0' silently configured zero shuffle partitions and a
+    non-integer crashed at import with a bare ValueError."""
+    raw = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    try:
+        n = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be an integer >= 1, "
+            f"got {raw!r}"
+        ) from None
+    if n < 1:
+        raise ValueError(
+            f"SPARK_GRAFT_SHUFFLE_PARTITIONS must be >= 1, got {n}"
+        )
+    return n
+
+
+DEFAULT_SHUFFLE_PARTITIONS = _env_shuffle_partitions()
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "*")
 
 
