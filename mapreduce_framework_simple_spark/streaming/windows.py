@@ -303,19 +303,38 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
             shutil.rmtree(os.path.join(tempfile.gettempdir(), d),
                           ignore_errors=True)
     # completeness probe: rejects a partially-written stage from a
-    # crashed prior run (the atomic rename makes that near-impossible,
-    # but cheap). The probe accepts EITHER Spark's _SUCCESS or our own
-    # marker — depending on _SUCCESS alone breaks under
-    # mapreduce.fileoutputcommitter.marksuccessfuljobs=false (a common
-    # object-store tuning): every call would then read a COMPLETED
-    # stage as broken, rmtree it out from under any concurrently
-    # draining peer stream, and rewrite the table each time. Our marker
-    # is written after the tmp write returns, before the rename, so it
-    # is committer-conf-independent.
+    # crashed prior run AND a stage /tmp aging has hollowed out. The
+    # stage carries a MANIFEST marker (_MFSS_STAGE_COMPLETE: one
+    # "name:size" line per data file, written after the tmp write
+    # returns, before the rename) and the probe verifies every listed
+    # file still exists at its recorded size — stronger than the old
+    # _SUCCESS-existence check on both axes: it is committer-conf-
+    # independent (mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    # false — a common object-store tuning — suppresses _SUCCESS, which
+    # used to make every call read a COMPLETED stage as broken, rmtree
+    # it out from under a draining peer stream, and rewrite the table),
+    # and it detects aged-out DATA files even when the marker itself
+    # survived. A manifest-less stage with _SUCCESS (pre-manifest
+    # layout) keeps the legacy existence check.
     def _complete(dz: str) -> bool:
-        return os.path.exists(os.path.join(dz, "_MFSS_STAGE_COMPLETE")) or (
-            os.path.exists(os.path.join(dz, "_SUCCESS"))
-        )
+        try:
+            with open(os.path.join(dz, "_MFSS_STAGE_COMPLETE")) as fh:
+                entries = [ln.rstrip("\n") for ln in fh if ln.strip()]
+        except FileNotFoundError:
+            return os.path.exists(os.path.join(dz, "_SUCCESS"))
+        except OSError:
+            return False
+        if not entries:  # a real stage always has >= 1 data file
+            return False
+        for ent in entries:
+            name, _, size = ent.rpartition(":")
+            p = os.path.join(dz, name)
+            try:
+                if not name or os.path.getsize(p) != int(size):
+                    return False
+            except (OSError, ValueError):
+                return False
+        return True
 
     if not _complete(drop_zone):
         tmp = f"{drop_zone}.tmp.{os.getpid()}"
@@ -323,8 +342,13 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
             load_table(spark, table, sf_dir).repartition(n_files).write.mode(
                 "overwrite"
             ).parquet(tmp)
-            with open(os.path.join(tmp, "_MFSS_STAGE_COMPLETE"), "w"):
-                pass
+            manifest = [
+                f"{f}:{os.path.getsize(os.path.join(tmp, f))}"
+                for f in sorted(os.listdir(tmp))
+                if not f.startswith(("_", "."))
+            ]
+            with open(os.path.join(tmp, "_MFSS_STAGE_COMPLETE"), "w") as fh:
+                fh.write("\n".join(manifest) + "\n")
             try:
                 os.rename(tmp, drop_zone)
             except OSError:

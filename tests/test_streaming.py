@@ -520,6 +520,49 @@ def test_stage_stream_source_repairs_broken_stage(spark, sf_dir):
     assert spark.read.parquet(zone2).count() == n_good  # full data back
 
 
+def test_stage_completeness_is_manifest_verified(spark, sf_dir):
+    """The completeness probe verifies the MANIFEST (every data file at
+    its recorded size), not marker existence: (a) a stage whose marker
+    survived /tmp aging but lost a data file must be restaged — a
+    marker-existence probe would trust the truncated stage forever;
+    (b) a stage with a valid manifest but NO _SUCCESS (committer conf
+    mapreduce.fileoutputcommitter.marksuccessfuljobs=false) must be
+    TRUSTED — the old _SUCCESS-only probe rewrote such stages on every
+    call and could rmtree them out from under a draining peer."""
+    import os
+
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        _stage_stream_source,
+    )
+
+    zone = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    n_good = spark.read.parquet(zone).count()
+    manifest = os.path.join(zone, "_MFSS_STAGE_COMPLETE")
+    assert os.path.exists(manifest)
+
+    # (a) marker survives, a data file ages out → restage
+    parts = [f for f in os.listdir(zone) if f.endswith(".parquet")]
+    os.remove(os.path.join(zone, parts[0]))
+    assert os.path.exists(manifest)  # the marker alone still claims done
+    zone2 = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    assert zone2 == zone
+    assert spark.read.parquet(zone2).count() == n_good  # full data back
+
+    # (b) _SUCCESS suppressed, manifest valid → stage is trusted as-is
+    os.remove(os.path.join(zone, "_SUCCESS"))
+    mtime = os.path.getmtime(manifest)
+    zone3 = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    assert zone3 == zone
+    assert os.path.getmtime(manifest) == mtime  # no rewrite happened
+    assert spark.read.parquet(zone3).count() == n_good
+
+    # leave no _SUCCESS-less stage behind for later tests in this
+    # session (the stage key is shared per (src, n_files))
+    import shutil
+
+    shutil.rmtree(zone, ignore_errors=True)
+
+
 def test_stage_stream_source_gcs_superseded_and_keys_recursively(
     spark, tmp_path, monkeypatch
 ):
