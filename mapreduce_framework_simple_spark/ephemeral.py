@@ -72,7 +72,15 @@ def cache_scope():
     longer frees them), so a scope should wrap ONE self-contained pass
     or microbatch — wrapping a long multi-query session in a single
     scope would accumulate every query's caches until exit, which is
-    the global registry's job to bound, not a scope's."""
+    the global registry's job to bound, not a scope's.
+
+    SAME-THREAD contract: registrations count toward a scope only when
+    issued on the thread that opened it. A helper thread spawned INSIDE
+    the block sees no active scope and registers into the global
+    :func:`release_caches` registry, where its caches outlive scope
+    exit until the next global drain — worker threads that need
+    scope-bounded lifetimes must open their own ``cache_scope`` around
+    their work (scopes nest freely and are per-thread stacks)."""
     scope: tuple[list, list] = ([], [])  # (frames, broadcasts)
     stack = getattr(_TLS, "scopes", None)
     if stack is None:

@@ -158,8 +158,16 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
     # updates feeds THREE computations (the validation aggregate, the
     # anti-join's broadcast key set, the merge write) — cached for the
     # call so an expensive update lineage computes once, unpersisted in
-    # the finally (this is a sink, fully materialized before return)
-    updates = updates.cache()
+    # the finally (this is a sink, fully materialized before return).
+    # UNLESS the caller already persisted it: cache() on a cached
+    # handle is a no-op on the SAME handle, so the finally's unpersist
+    # would silently drop the CALLER's persisted data (their later
+    # actions recompute — slow, not wrong). Caller-cached frames keep
+    # caller-owned lifetime.
+    sl = updates.storageLevel
+    caller_cached = sl.useMemory or sl.useDisk
+    if not caller_cached:
+        updates = updates.cache()
     try:
         # MERGE contract, ONE validation job for both rules (each used
         # to be its own job over the full updates lineage):
@@ -227,7 +235,8 @@ def upsert_parquet(spark: SparkSession, target_path: str, updates: DataFrame,
             raise
         fs.delete(_p(backup), True)
     finally:
-        updates.unpersist(blocking=False)
+        if not caller_cached:
+            updates.unpersist(blocking=False)
 
 
 def write_range_partitioned(df: DataFrame, path: str, col: str,

@@ -1452,14 +1452,19 @@ def _index_meta_centroids(spark: SparkSession,
 # Scan-pruning dispatch bound for ivf_probe_bucketed: up to this many
 # DISTINCT probed cells the scan predicate is a driver-collected
 # `isin` IN-list (planner-evaluated partition pruning — the cheapest
-# read when the deduplicated list stays planner-sized; docs/SCALE.md
-# derives the ≈10⁵ regime from Q ≈ 10⁴–10⁵ queries at N_PROBE=6).
-# Past it an IN-list bloats the plan and per-file predicate evaluation,
-# so the probe frame stays DISTRIBUTED and a broadcast semi-join on
-# cell_id prunes the bucketed scan instead (dynamic partition pruning
-# does the file skipping) — same bound class as MAX_BROADCAST_QUERIES:
-# 10⁵ int64 cell ids ≈ sub-MB broadcast, never corpus-sized.
-PROBE_ISIN_MAX_CELLS = 100_000
+# read when the deduplicated list stays planner-sized). The bound is
+# 10⁴, NOT the 10⁵ the driver could physically hold: an IN-list is a
+# plan literal, so its cost is paid per file-footer predicate
+# evaluation and plan serialization — at 10⁵ literals that is exactly
+# the plan-bloat regime this dispatch exists to avoid, and 10⁵
+# collected Row objects are tens of MB of Python heap besides. Past
+# the bound the probe frame stays DISTRIBUTED and a broadcast semi-join
+# on cell_id prunes the bucketed scan instead (dynamic partition
+# pruning does the file skipping) — the join side is the same bound
+# class as MAX_BROADCAST_QUERIES: cell ids ≈ sub-MB broadcast, never
+# corpus-sized. Typical probe sets (Q ≈ 10³–10⁴ queries × N_PROBE=6,
+# heavily overlapping cells) stay on the IN-list branch.
+PROBE_ISIN_MAX_CELLS = 10_000
 
 
 def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
@@ -1495,7 +1500,8 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     # ONE bounded collect serves both the dispatch and the IN-list: a
     # separate limit(bound+1).count() probe would re-run the distinct
     # shuffle a second time for the below-bound collect, and bound+1
-    # int64 rows (~a few MB at the 10⁵ bound) is driver-safe either way
+    # single-int64 rows (~a few MB at the 10⁴ bound) is driver-safe
+    # either way
     rows = cells.limit(PROBE_ISIN_MAX_CELLS + 1).collect()
     if len(rows) <= PROBE_ISIN_MAX_CELLS:
         probe_cells = sorted(r["cell_id"] for r in rows)

@@ -222,6 +222,7 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     import re
     import shutil
     import tempfile
+    import time
 
     from mapreduce_framework_simple_spark.operators.dedup import (
         _input_fingerprint,
@@ -317,12 +318,24 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     # survived. A manifest-less stage with _SUCCESS (pre-manifest
     # layout) keeps the legacy existence check.
     def _complete(dz: str) -> bool:
-        try:
-            with open(os.path.join(dz, "_MFSS_STAGE_COMPLETE")) as fh:
-                entries = [ln.rstrip("\n") for ln in fh if ln.strip()]
-        except FileNotFoundError:
-            return os.path.exists(os.path.join(dz, "_SUCCESS"))
-        except OSError:
+        entries = None
+        for attempt in (0, 1):
+            try:
+                with open(os.path.join(dz, "_MFSS_STAGE_COMPLETE")) as fh:
+                    entries = [ln.rstrip("\n") for ln in fh if ln.strip()]
+                break
+            except FileNotFoundError:
+                return os.path.exists(os.path.join(dz, "_SUCCESS"))
+            except OSError:
+                # A transient read failure on an EXISTING manifest
+                # (EACCES/EINTR bursts on shared /tmp) must not condemn
+                # the stage: the incomplete branch rmtrees it out from
+                # under any draining peer stream. Re-probe once after a
+                # beat; only a REPEATED failure reads as broken.
+                if attempt:
+                    return False
+                time.sleep(0.05)
+        if entries is None:  # unreachable; keeps the contract explicit
             return False
         if not entries:  # a real stage always has >= 1 data file
             return False

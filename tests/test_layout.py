@@ -119,6 +119,31 @@ def test_upsert_parquet_replaces_and_inserts(spark, sf_dir, tmp_path):
     assert after.where(F.col("o_orderkey") == keys[1]).count() == 1  # untouched
 
 
+def test_upsert_keeps_caller_cached_updates_persisted(spark, tmp_path):
+    """A caller-cached updates frame must STAY cached after upsert:
+    cache() on an already-cached handle is a no-op on the SAME handle,
+    so an unconditional finally-unpersist would silently drop the
+    caller's persisted data (their later actions recompute). The sink
+    only owns the cache lifetime when it created the cache."""
+    from mapreduce_framework_simple_spark.operators.layout import upsert_parquet
+
+    target = str(tmp_path / "upsert_cached")
+    spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string").write.parquet(
+        target
+    )
+    updates = spark.createDataFrame([(1, "x"), (3, "c")], "k long, v string").cache()
+    try:
+        updates.count()  # materialize the caller's cache
+        upsert_parquet(spark, target, updates, key="k")
+        assert updates.storageLevel.useMemory, (
+            "upsert dropped the CALLER's cache — it may only unpersist "
+            "a cache it created itself"
+        )
+        assert spark.read.parquet(target).count() == 3
+    finally:
+        updates.unpersist()
+
+
 def test_range_partitioned_write_has_disjoint_file_ranges(spark, sf_dir, tmp_path):
     import glob
 

@@ -42,6 +42,25 @@ def test_every_query_has_runnable_spark_impl():
     assert set(QUERIES) - set(ORACLES) == ROWS_ONLY
 
 
+def test_every_rows_only_query_has_a_bounded_matrix_check():
+    """The full-matrix artifact must never carry a bare `no_oracle` row:
+    every rows-only query needs an inline machine-checked bound
+    (error/recall/invariant vs an independent DuckDB exact side) wired
+    into tools/full_matrix.py — a new rows-only query without one fails
+    here before it can ship an unverified artifact row."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "full_matrix",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "full_matrix.py"),
+    )
+    fm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(fm)
+    assert set(fm.BOUNDED_CHECKS) == ROWS_ONLY
+    assert set(fm.ROWS_ONLY_TWINS) == ROWS_ONLY
+
+
 @pytest.fixture(scope="module")
 def duck(sf_dir):
     """One DuckDB connection (+ parquet views) for all ~125 oracle cases —

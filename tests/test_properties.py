@@ -333,3 +333,14 @@ def test_money_aggregates_partition_order_independent(spark, sf_dir):
         spark.conf.set("spark.sql.files.maxPartitionBytes", before_bytes)
         spark.conf.set("spark.sql.shuffle.partitions", before_parts)
         con.close()  # a leaked native connection pins parquet handles
+
+
+def test_bench_calibration_kernel_is_pinned():
+    """The bench's cross-round environment anchor is only comparable if
+    the work is bit-identical every round — the pinned digest fails
+    loudly on any size/content edit, and calibrate() itself re-checks it
+    per run. (No timing asserted here: this pins WHAT is measured.)"""
+    import bench
+
+    assert bench._calib_kernel(bench.CALIB_MB) == bench.CALIB_DIGEST
+    assert bench.CALIB_REF_1T_S > 0 and bench.CALIB_REF_32T_S > 0

@@ -8,8 +8,9 @@ column-sorted/dtype-sensitive value compare) and writes one row per
 query in the driver's exact format, as a committed per-round artifact
 the judge can audit without rerunning.
 
-Usage:  python tools/full_matrix.py [out_path]
-        SPARK_GRAFT_SF_DIR overrides the scale-factor directory.
+Usage:  python tools/full_matrix.py [--out PATH] [--sf-dir DIR]
+        (--sf-dir defaults to $SPARK_GRAFT_SF_DIR, then
+        /root/testdata/sf0.01; unknown arguments exit non-zero)
 
 Must be run with cwd OUTSIDE the repo only if you want the closure-
 serialization check too (tests/drive_entry.py covers that); this tool
@@ -18,6 +19,7 @@ focuses on the compare matrix.
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -27,12 +29,14 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 sys.path.insert(0, os.path.join(REPO, "tests"))
 
-SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "CORRECTNESS_full.json")
-
-# The only queries allowed to lack a DuckDB oracle — each annotated with
-# the stronger check that stands in for the hash compare (mirrors
+# The only queries allowed to lack a DuckDB oracle (mirrors
 # tests/test_oracle.py::ROWS_ONLY, which pins this set against growth).
+# Each gets a BOUNDED CHECK computed inline below — a machine-verified
+# error/recall/invariant bound recorded per row as
+# {"bounded_check": ..., "bound_pass": ...} that FAILS the matrix when
+# violated, so no row in the artifact is ever "unverified by
+# construction"; the test-suite twins (recall, convergence,
+# determinism) remain the deeper checks.
 ROWS_ONLY_TWINS = {
     "q41_ann_ivf": "recall >= 0.6 vs exact q40 (tests/test_similarity_dedup.py)",
     "q45_approx_distinct": "HLL sketch; exact twin q12 oracle-checked",
@@ -42,7 +46,155 @@ ROWS_ONLY_TWINS = {
 }
 
 
+# ---- inline bounded checks for the rows-only queries ----
+# Each takes (sdf: pandas result of the Spark query, con: the DuckDB
+# connection with the sf tables registered, oracles: the oracle_sql
+# dict) and returns (description, passed, detail). The exact side is
+# recomputed in DUCKDB (independent engine), so a bound failure can
+# never be a shared-bug artifact.
+
+def _check_q45(sdf, con, oracles):
+    exact = con.execute(
+        "SELECT o_orderstatus, count(DISTINCT o_custkey) AS n"
+        " FROM orders GROUP BY 1"
+    ).fetchdf().set_index("o_orderstatus")["n"]
+    worst = 0.0
+    for _, r in sdf.iterrows():
+        e = float(exact[r["o_orderstatus"]])
+        worst = max(worst, abs(float(r["n_custs_approx"]) - e) / e)
+    ok = set(sdf["o_orderstatus"]) == set(exact.index) and worst <= 0.05
+    return (
+        "HLL(rsd=0.01) relative error vs DuckDB exact distinct <= 5% per group",
+        ok,
+        f"max_rel_err={worst:.4f}, groups={len(sdf)}/{len(exact)}",
+    )
+
+
+def _check_q72(sdf, con, oracles):
+    # percentile_approx returns an ACTUAL element whose rank is within
+    # the sketch tolerance of the target — so the bound is on the RANK
+    # of the returned value inside its group, tie-aware:
+    # frac(< v) <= target + tol  AND  frac(<= v) >= target - tol.
+    tol, worst = 0.01, 0.0
+    ok = True
+    for _, r in sdf.iterrows():
+        for col, target, val_col in (
+            ("l_quantity", 0.5, "med_qty_approx"),
+            ("l_extendedprice", 0.9, "p90_price_approx"),
+        ):
+            v = float(r[val_col])
+            lt, le, n = con.execute(
+                f"SELECT count(*) FILTER (WHERE {col} < ?),"
+                f" count(*) FILTER (WHERE {col} <= ?), count(*)"
+                f" FROM lineitem WHERE l_returnflag = ?",
+                [v, v, r["l_returnflag"]],
+            ).fetchone()
+            if not n:
+                ok = False
+                continue
+            excess = max(lt / n - target, target - le / n, 0.0)
+            worst = max(worst, excess)
+            ok = ok and excess <= tol
+    return (
+        "approx_percentile(accuracy=10000) rank error vs DuckDB <= 1% (tie-aware)",
+        ok,
+        f"max_rank_err={worst:.4f}",
+    )
+
+
+def _check_q41(sdf, con, oracles):
+    exact = con.execute(oracles["q40_cosine_topk"]).fetchdf()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(sdf["query_id"], sdf["neighbor_id"]))
+    recall = len(e & a) / len(e) if e else 0.0
+    all_answered = set(sdf["query_id"]) == set(exact["query_id"])
+    return (
+        "IVF ANN recall vs DuckDB-exact q40 top-k >= 0.6, every query answered",
+        recall >= 0.6 and all_answered,
+        f"recall={recall:.3f}, all_queries_answered={all_answered}",
+    )
+
+
+def _check_q68(sdf, con, oracles):
+    n_vecs = con.execute("SELECT count(*) FROM embeddings").fetchone()[0]
+    from mapreduce_framework_simple_spark.operators.iterative import K
+
+    full = int(sdf["n_members"].sum()) == int(n_vecs)
+    sized = 1 <= len(sdf) <= K
+    cos_ok = bool(
+        ((sdf["mean_sim"] >= -1 - 1e-9) & (sdf["mean_sim"] <= 1 + 1e-9)).all()
+    )
+    return (
+        f"k-means partition invariants: sum(n_members)==N({n_vecs}), "
+        f"1<=clusters<={K}, mean cosine in [-1,1]",
+        full and sized and cos_ok,
+        f"sum_members={int(sdf['n_members'].sum())}, clusters={len(sdf)}, "
+        f"cos_in_range={cos_ok}",
+    )
+
+
+def _check_q104(sdf, con, oracles):
+    n_supp = con.execute(
+        "SELECT count(DISTINCT l_suppkey) FROM lineitem"
+    ).fetchone()[0]
+    valid_keys = {
+        r[0]
+        for r in con.execute("SELECT s_suppkey FROM supplier").fetchall()
+    }
+    ranks = list(sdf["rank"])
+    expected_rows = min(10, int(n_supp))
+    checks = {
+        "row_count": len(sdf) == expected_rows,
+        "keys_valid": set(sdf["suppkey"]).issubset(valid_keys),
+        "ranks_positive": all(x > 0 for x in ranks),
+        "sorted_desc": all(
+            ranks[i] >= ranks[i + 1] for i in range(len(ranks) - 1)
+        ),
+    }
+    return (
+        "pagerank top-10 invariants: rows==min(10, distinct suppliers in "
+        "lineitem), suppkeys exist in supplier, ranks positive + sorted desc",
+        all(checks.values()),
+        ", ".join(f"{k}={v}" for k, v in checks.items()),
+    )
+
+
+BOUNDED_CHECKS = {
+    "q45_approx_distinct": _check_q45,
+    "q72_approx_percentile": _check_q72,
+    "q41_ann_ivf": _check_q41,
+    "q68_kmeans": _check_q68,
+    "q104_pagerank": _check_q104,
+}
+
+
 def main() -> int:
+    # explicit flags, strict parsing: a bare positional out-path used to
+    # silently accept flag-looking arguments (an `--sf ...` invocation
+    # wrote the matrix to a file literally named `--sf`) — for a
+    # protocol-critical artifact writer that's too fragile. argparse
+    # rejects unknown args with usage + non-zero exit, and the out dir
+    # is validated BEFORE the Spark session spends minutes running.
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument(
+        "--out",
+        default=os.path.join(REPO, "CORRECTNESS_full.json"),
+        help="artifact path (default: <repo>/CORRECTNESS_full.json)",
+    )
+    ap.add_argument(
+        "--sf-dir",
+        default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"),
+        help="scale-factor parquet directory "
+        "(default: $SPARK_GRAFT_SF_DIR, then /root/testdata/sf0.01)",
+    )
+    args = ap.parse_args()
+    out_path, sf_dir = args.out, args.sf_dir
+    out_dir = os.path.dirname(os.path.abspath(out_path))
+    if not os.path.isdir(out_dir):
+        ap.error(f"--out directory does not exist: {out_dir}")
+    if not os.path.isdir(sf_dir):
+        ap.error(f"--sf-dir is not a directory: {sf_dir}")
+
     from pyspark.sql import SparkSession
 
     spark = (
@@ -60,7 +212,7 @@ def main() -> int:
 
     qs = E.queries()
     oracles = E.oracle_sql()
-    con = duck_connection(SF_DIR)
+    con = duck_connection(sf_dir)
 
     results: dict[str, dict] = {}
     n_fail = 0
@@ -75,7 +227,7 @@ def main() -> int:
             "err": None,
         }
         try:
-            sdf = qs[name](spark, SF_DIR).toPandas()
+            sdf = qs[name](spark, sf_dir).toPandas()
             row["spark_rows"] = int(len(sdf))
         except Exception as ex:  # noqa: BLE001 — the artifact records the error
             row["err"] = f"spark: {type(ex).__name__}: {str(ex)[:300]}"
@@ -88,8 +240,32 @@ def main() -> int:
             row["rows_only_check"] = ROWS_ONLY_TWINS.get(
                 name, "UNDOCUMENTED rows-only query — add a twin/recall check"
             )
+            checker = BOUNDED_CHECKS.get(name)
+            if checker is None:
+                # a rows-only query without a bounded check is itself a
+                # matrix FAILURE — "unverified by construction" rows are
+                # exactly what this block exists to eliminate
+                row["bounded_check"] = "MISSING — add one to BOUNDED_CHECKS"
+                row["bound_pass"] = False
+                n_fail += 1
+                print(f"  {name}: NO BOUNDED CHECK ({row['spark_rows']} rows)")
+            else:
+                try:
+                    desc, passed, detail = checker(sdf, con, oracles)
+                except Exception as ex:  # noqa: BLE001 — record, don't abort
+                    desc, passed, detail = (
+                        "bounded check crashed",
+                        False,
+                        f"{type(ex).__name__}: {str(ex)[:200]}",
+                    )
+                row["bounded_check"] = f"{desc} [{detail}]"
+                row["bound_pass"] = bool(passed)
+                if not passed:
+                    row["err"] = f"bounded_check FAILED: {desc} [{detail}]"
+                    n_fail += 1
+                status = "bound OK" if passed else "BOUND FAIL"
+                print(f"  {name}: {status} ({detail})")
             results[name] = row
-            print(f"  {name}: rows-only ({row['spark_rows']} rows)")
             continue
         try:
             ddf = con.execute(oracles[name]).fetchdf()
@@ -162,7 +338,7 @@ def main() -> int:
     artifact = {
         "_meta": {
             "git_head": git_head,
-            "sf_dir": SF_DIR,
+            "sf_dir": sf_dir,
             "n_queries": len(qs),
             "n_oracle_checked": sum(
                 1 for r in results.values() if r["hash_match"] is not None
@@ -171,20 +347,27 @@ def main() -> int:
             "n_rows_only": sum(
                 1 for r in results.values() if r["err"] == "no_oracle"
             ),
+            # rows-only queries carrying a PASSED machine-checked bound
+            # (error/recall/invariant vs an independent DuckDB exact
+            # side) — a failed or missing bound counts into n_fail
+            "n_bound_pass": sum(
+                1 for r in results.values() if r.get("bound_pass") is True
+            ),
             "n_fail": n_fail,
             "wall_s": round(time.time() - t_all, 1),
             "protocol": "strict compare_frames (exact floats, dtype kinds), "
-                        "columns sorted by name — mirrors the driver hash",
+                        "columns sorted by name — mirrors the driver hash; "
+                        "rows-only queries carry inline bounded checks",
         },
         **results,
     }
-    with open(OUT, "w") as f:
+    with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1)
     m = artifact["_meta"]
     print(
         f"\n{m['n_pass']}/{m['n_oracle_checked']} oracle-checked pass, "
-        f"{m['n_rows_only']} rows-only, {n_fail} failures "
-        f"({m['wall_s']}s) -> {OUT}"
+        f"{m['n_rows_only']} rows-only ({m['n_bound_pass']} bound-checked "
+        f"pass), {n_fail} failures ({m['wall_s']}s) -> {out_path}"
     )
     return 1 if n_fail else 0
 

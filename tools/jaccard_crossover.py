@@ -28,6 +28,7 @@ Usage: python tools/jaccard_crossover.py [factors...]   (default 1 4 10)
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -46,7 +47,12 @@ def main() -> None:
     from mapreduce_framework_simple_spark.session import get_session
     from mapreduce_framework_simple_spark.sources.io import load_table
 
-    factors = [int(a) for a in sys.argv[1:]] or [1, 4, 10]
+    ap = argparse.ArgumentParser(
+        description="measure the naive-vs-prefix jaccard kernel crossover"
+    )
+    ap.add_argument("factors", type=int, nargs="*", default=[1, 4, 10],
+                    help="replication factors to probe (default: 1 4 10)")
+    factors = ap.parse_args().factors or [1, 4, 10]
     runs = int(os.environ.get("SPARK_GRAFT_CROSSOVER_RUNS", "2"))
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("jaccard-crossover")

@@ -6,10 +6,13 @@ the plan parallelizes; a super-linear ratio flags a scale bug
 (quadratic operator, driver collect, broadcast overflow).
 
 Usage: python tools/scale_probe.py [N] [queries...]
+       (typed positionals via argparse — a flag-looking argument exits
+       non-zero with usage instead of being swallowed as data)
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
@@ -32,8 +35,14 @@ def main() -> None:
     from mapreduce_framework_simple_spark.sources.io import load_table
     from mapreduce_framework_simple_spark.registry import QUERIES, load_all
 
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = sys.argv[2:] or DEFAULT_QUERIES
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("n", type=int, nargs="?", default=10,
+                    help="replication factor (default 10)")
+    ap.add_argument("queries", nargs="*", default=[],
+                    help=f"query names (default: {' '.join(DEFAULT_QUERIES)})")
+    args = ap.parse_args()
+    n = args.n
+    names = args.queries or DEFAULT_QUERIES
     load_all()
     spark = get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
