@@ -38,7 +38,9 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 # construction"; the test-suite twins (recall, convergence,
 # determinism) remain the deeper checks.
 ROWS_ONLY_TWINS = {
-    "q41_ann_ivf": "recall >= 0.6 vs exact q40 (tests/test_similarity_dedup.py)",
+    "q41_ann_ivf": "recall == probe-coverage ceiling (inline bound); "
+                   "recall >= 0.6 vs exact q40 at test SF "
+                   "(tests/test_similarity_dedup.py)",
     "q45_approx_distinct": "HLL sketch; exact twin q12 oracle-checked",
     "q68_kmeans": "deterministic seeding + convergence trace (tests/test_iterative.py)",
     "q72_approx_percentile": "sketch; exact twin q58 oracle-checked",
@@ -103,15 +105,79 @@ def _check_q72(sdf, con, oracles):
 
 
 def _check_q41(sdf, con, oracles):
+    # The scale-invariant IVF correctness bound: an exact top-k neighbor
+    # whose assigned cell IS among the query's probed cells must appear
+    # in the approx top-k (it is a candidate, and it ranks <= k among
+    # any subset under the same comparator), so recall must EQUAL the
+    # coverage ceiling — the fraction of exact neighbors that lie in
+    # probed cells, computed here entirely in DuckDB with the engine's
+    # ranking rule (cos rounded 6 dp, ties by cell_id). A flat recall
+    # threshold is NOT scale-invariant on the weakly-clustered synthetic
+    # embeddings (fixed N_PROBE=6 covers 6/17 cells at sf0.01 but 6/65
+    # at sf0.1 — recall 0.62 vs 0.36, both with conditional recall 1.0),
+    # so the bound is recall ~= ceiling, not recall >= constant.
+    from mapreduce_framework_simple_spark.operators.similarity import (
+        N_CELLS_STRIDE,
+        N_PROBE,
+        QUERY_STRIDE,
+        _duck_dot,
+        _duck_norm,
+    )
+
     exact = con.execute(oracles["q40_cosine_topk"]).fetchdf()
     e = set(zip(exact["query_id"], exact["neighbor_id"]))
     a = set(zip(sdf["query_id"], sdf["neighbor_id"]))
     recall = len(e & a) / len(e) if e else 0.0
     all_answered = set(sdf["query_id"]) == set(exact["query_id"])
+
+    def cos(x, y):
+        return f"round({_duck_dot(x, y)} / ({_duck_norm(x)} * {_duck_norm(y)}), 6)"
+
+    con.register("exact_topk", exact)
+    try:
+        # assignment only for the <= Q*k distinct exact neighbors (the
+        # ceiling needs no other vector), probes for the Q queries —
+        # both O(Q*k*K) cosines, never corpus-quadratic
+        covered, total = con.execute(f"""
+        WITH cents AS (SELECT vec_id AS cell_id, embedding AS c_emb
+                       FROM embeddings WHERE vec_id % {N_CELLS_STRIDE} = 0),
+        nb AS (SELECT DISTINCT neighbor_id FROM exact_topk),
+        nbv AS (SELECT e.vec_id, e.embedding FROM embeddings e
+                JOIN nb ON nb.neighbor_id = e.vec_id),
+        assign AS (SELECT vec_id, cell_id FROM (
+            SELECT v.vec_id, c.cell_id,
+                   row_number() OVER (PARTITION BY v.vec_id
+                      ORDER BY {cos("v.embedding", "c.c_emb")} DESC,
+                               c.cell_id) AS rn
+            FROM nbv v CROSS JOIN cents c) t WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS q_emb
+              FROM embeddings WHERE vec_id % {QUERY_STRIDE} = 0),
+        probes AS (SELECT query_id, cell_id FROM (
+            SELECT q.query_id, c.cell_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                      ORDER BY {cos("q.q_emb", "c.c_emb")} DESC,
+                               c.cell_id) AS rn
+            FROM q CROSS JOIN cents c) t WHERE rn <= {N_PROBE})
+        SELECT count(*) FILTER (WHERE p.cell_id IS NOT NULL), count(*)
+        FROM exact_topk x
+        JOIN assign a ON a.vec_id = x.neighbor_id
+        LEFT JOIN probes p ON p.query_id = x.query_id
+                          AND p.cell_id = a.cell_id
+        """).fetchone()
+    finally:
+        con.unregister("exact_topk")
+    ceiling = covered / total if total else 0.0
+    # |recall - ceiling| <= 0.02: a shortfall means the engine missed a
+    # neighbor inside a probed cell (ranking bug); an excess means the
+    # check's geometry diverged from the engine's. 0.02 absorbs rare
+    # 6-dp cosine ties that rank differently across engines.
+    ok = total > 0 and abs(recall - ceiling) <= 0.02 and all_answered
     return (
-        "IVF ANN recall vs DuckDB-exact q40 top-k >= 0.6, every query answered",
-        recall >= 0.6 and all_answered,
-        f"recall={recall:.3f}, all_queries_answered={all_answered}",
+        "IVF ANN recall == DuckDB-computed probe-coverage ceiling (+-0.02), "
+        "every query answered",
+        ok,
+        f"recall={recall:.3f}, ceiling={ceiling:.3f} ({covered}/{total}), "
+        f"all_queries_answered={all_answered}",
     )
 
 
