@@ -69,6 +69,14 @@ def main() -> None:
 
     spark.range(1, 1000).withColumnRenamed("id", "n").where(is_prime(F.col("n"))).count()  # warm workers
 
+    # same pinned CPU anchor as bench.py, timed right before the
+    # measurement: cross-round prime-bench figures (1.6 s one round,
+    # 4.6-5.5 s the next, identical code) are only interpretable next
+    # to the box's concurrent multi-core throughput
+    import bench as _bench
+
+    calib_1t, calib_mt = _bench.calibrate(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
     t0 = time.perf_counter()
     row = (
         spark.range(LO, HI)
@@ -78,8 +86,12 @@ def main() -> None:
         .collect()[0]
     )
     dt = time.perf_counter() - t0
+    ratio = calib_mt / _bench.CALIB_REF_32T_S
     print(f"prime_sum={row['prime_sum']} n_primes={row['n_primes']} wall={dt:.2f}s "
-          f"(reference: ~60s serial, ~10s on ~40 remote cores)")
+          f"(reference: ~60s serial, ~10s on ~40 remote cores) "
+          f"calibration_1t={calib_1t:.3f}s calibration_32t={calib_mt:.3f}s "
+          f"(refs {_bench.CALIB_REF_1T_S}/{_bench.CALIB_REF_32T_S}, "
+          f"ratio_32t={ratio:.3f}, wall_normalized={dt / ratio:.2f}s)")
 
 
 if __name__ == "__main__":
