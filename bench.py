@@ -52,6 +52,12 @@ CALIB_DIGEST = "e4df41e65555a12fcafa8ff3010e144dd14ab557a50e462ef528923214ad8f1f
 # Anchor values: minima measured on this box, round 10, quiet launch.
 CALIB_REF_1T_S = 0.199
 CALIB_REF_32T_S = 0.316
+# The thread count is part of the PINNED workload definition — always
+# 32, NEVER $SPARK_GRAFT_CPUS: a run with CPUS=16 would otherwise stamp
+# a 16-thread time into calibration_32t_s and divide it by the
+# 32-thread reference, fabricating a ~2× "faster box" in every
+# normalized field.
+CALIB_THREADS = 32
 
 
 def _calib_kernel(mb: int = CALIB_MB) -> str:
@@ -64,16 +70,19 @@ def _calib_kernel(mb: int = CALIB_MB) -> str:
     return h.hexdigest()
 
 
-def calibrate(cpus: int) -> tuple[float, float]:
-    """(seconds for ONE kernel, wall seconds for `cpus` concurrent
-    kernels). ~1 s total on the anchor box. min-of-2 for the 1t figure;
-    the multi-thread run is single-shot (it already averages `cpus`
-    concurrent executions of the same fixed work)."""
+def calibrate() -> tuple[float, float]:
+    """(seconds for ONE kernel, wall seconds for CALIB_THREADS
+    concurrent kernels). ~1.5 s total on the anchor box. BOTH figures
+    are min-of-2: a single-shot multi-thread run would let one
+    transient blip (cron tick, JVM GC from the live session) inside
+    its ~0.3 s window skew the ratio and every *_normalized field —
+    concurrent threads average contention across cores at one instant,
+    not across time."""
     import threading
 
     if _calib_kernel(32) is None:  # warm turbo/i-cache, untimed
         raise AssertionError("unreachable")
-    one_t = None
+    one_t = multi_t = None
     for _ in range(2):
         t0 = time.perf_counter()
         dig = _calib_kernel()
@@ -85,15 +94,18 @@ def calibrate(cpus: int) -> tuple[float, float]:
                 "is bit-identical; re-pin CALIB_* together"
             )
         one_t = dt if one_t is None else min(one_t, dt)
-    threads = [
-        threading.Thread(target=_calib_kernel) for _ in range(cpus)
-    ]
-    t0 = time.perf_counter()
-    for th in threads:
-        th.start()
-    for th in threads:
-        th.join()
-    multi_t = time.perf_counter() - t0
+    for _ in range(2):
+        threads = [
+            threading.Thread(target=_calib_kernel)
+            for _ in range(CALIB_THREADS)
+        ]
+        t0 = time.perf_counter()
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        dt = time.perf_counter() - t0
+        multi_t = dt if multi_t is None else min(multi_t, dt)
     return one_t, multi_t
 
 # The round-1 headline set — kept stable forever so round-over-round
@@ -217,7 +229,7 @@ def main() -> None:
 
     # calibration anchor: timed AFTER warm-up, immediately before the
     # sweep — it samples the box state the queries actually run under
-    calib_1t, calib_32t = calibrate(int(CPUS))
+    calib_1t, calib_32t = calibrate()
     print(
         f"# calibration: 1t {calib_1t:.3f}s (ref {CALIB_REF_1T_S}), "
         f"32t {calib_32t:.3f}s (ref {CALIB_REF_32T_S})",

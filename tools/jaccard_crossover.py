@@ -52,7 +52,7 @@ def main() -> None:
     )
     ap.add_argument("factors", type=int, nargs="*", default=[1, 4, 10],
                     help="replication factors to probe (default: 1 4 10)")
-    factors = ap.parse_args().factors or [1, 4, 10]
+    factors = ap.parse_args().factors
     runs = int(os.environ.get("SPARK_GRAFT_CROSSOVER_RUNS", "2"))
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("jaccard-crossover")

@@ -75,7 +75,7 @@ def main() -> None:
     # to the box's concurrent multi-core throughput
     import bench as _bench
 
-    calib_1t, calib_mt = _bench.calibrate(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    calib_1t, calib_mt = _bench.calibrate()
 
     t0 = time.perf_counter()
     row = (
