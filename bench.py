@@ -50,6 +50,19 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CALIB_MB = 256
 CALIB_DIGEST = "e4df41e65555a12fcafa8ff3010e144dd14ab557a50e462ef528923214ad8f1f"
 # Anchor values: minima measured on this box, round 10, quiet launch.
+#
+# RE-PIN POLICY (round 11): these reference values are the DENOMINATOR
+# of every *_normalized figure ever stamped — silently changing them
+# would re-base the whole cross-round performance series without any
+# artifact showing it. They may therefore only be re-pinned in a commit
+# that (a) records the old refs, the new refs, and WHY (e.g. the anchor
+# box was replaced), (b) includes a same-tree bridging run stamping
+# BOTH ratios on one box state (old-ref ratio and new-ref ratio from
+# the same calibrate() sample) so the series can be spliced, and
+# (c) updates tests/test_properties.py::
+# test_bench_calibration_kernel_is_pinned, which pins these constants —
+# a quiet re-pin is impossible because the test fails until it is
+# edited in the same review-visible change.
 CALIB_REF_1T_S = 0.199
 CALIB_REF_32T_S = 0.316
 # The thread count is part of the PINNED workload definition — always
@@ -80,8 +93,7 @@ def calibrate() -> tuple[float, float]:
     not across time."""
     import threading
 
-    if _calib_kernel(32) is None:  # warm turbo/i-cache, untimed
-        raise AssertionError("unreachable")
+    _calib_kernel(32)  # warm turbo/i-cache, untimed; result discarded
     one_t = multi_t = None
     for _ in range(2):
         t0 = time.perf_counter()
@@ -265,6 +277,17 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     load_end = os.getloadavg()
+    # post-sweep anchor re-read: the PRE-sweep sample normalizes the
+    # totals, but a multi-minute sweep gives the environment time to
+    # shift underneath it (docs/calibration_r10.json shows the box
+    # ratio swinging 1.07-1.42 same-day) — without a second sample such
+    # a shift is silently baked into *_normalized as if it were code.
+    # Readers gate on calibration_ratio_drift: near 0 → the pre-sweep
+    # ratio held and the normalized totals are trustworthy; large →
+    # the environment moved MID-sweep and the normalized figures carry
+    # that movement (quote the raw numbers with a caveat instead).
+    post_1t, post_32t = calibrate()
+    ratio_32t = round(calib_32t / CALIB_REF_32T_S, 6)
     # guarded: a path like .../sf0.1.bak matches '0.1.' and float() would
     # raise AFTER the whole bench ran, losing the artifact line
     m = re.search(r"sf([0-9.]+)", SF_DIR)
@@ -317,17 +340,31 @@ def main() -> None:
         "calibration_32t_s": round(calib_32t, 3),
         "calibration_ref_1t_s": CALIB_REF_1T_S,
         "calibration_ref_32t_s": CALIB_REF_32T_S,
-        "calibration_ratio_32t": round(calib_32t / CALIB_REF_32T_S, 3),
-        # raw totals divided by the 32t ratio — the cross-round
-        # comparable figures (raw `value`/`shared12_total` stay the
-        # quotable same-box numbers)
-        "value_normalized": round(
-            sum(timings.values()) / (calib_32t / CALIB_REF_32T_S), 3
+        # the ratio is stamped at 6 dp and the *_normalized fields are
+        # computed FROM the stamped value, so a reader recomputing
+        # value/ratio from the artifact reproduces the stamped figures
+        # exactly (a 3-dp stamp next to full-precision normalization
+        # left a small reader-visible inconsistency)
+        "calibration_ratio_32t": ratio_32t,
+        # post-sweep re-read of the same anchor + drift vs the
+        # pre-sweep sample that normalizes the totals: |drift| small →
+        # the environment held through the sweep; large → *_normalized
+        # carries a mid-sweep environment shift and the raw figures
+        # should be quoted with that caveat
+        "calibration_post_1t_s": round(post_1t, 3),
+        "calibration_post_32t_s": round(post_32t, 3),
+        "calibration_ratio_32t_post": round(post_32t / CALIB_REF_32T_S, 6),
+        "calibration_ratio_drift": round(
+            (post_32t - calib_32t) / CALIB_REF_32T_S, 6
         ),
+        # raw totals divided by the (pre-sweep) 32t ratio — the
+        # cross-round comparable figures (raw `value`/`shared12_total`
+        # stay the quotable same-box numbers). Pre-sweep stays the
+        # normalizer for series continuity with rounds <= 10; the post
+        # fields exist to VALIDATE it, not replace it.
+        "value_normalized": round(sum(timings.values()) / ratio_32t, 3),
         "shared12_normalized": round(
-            sum(timings[q] for q in SHARED_12)
-            / (calib_32t / CALIB_REF_32T_S),
-            3,
+            sum(timings[q] for q in SHARED_12) / ratio_32t, 3
         ),
     }
     print(json.dumps(out))

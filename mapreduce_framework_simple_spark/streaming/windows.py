@@ -318,22 +318,41 @@ def _stage_stream_source(spark: SparkSession, table: str, sf_dir: str,
     # survived. A manifest-less stage with _SUCCESS (pre-manifest
     # layout) keeps the legacy existence check.
     def _complete(dz: str) -> bool:
+        manifest = os.path.join(dz, "_MFSS_STAGE_COMPLETE")
         entries = None
         for attempt in (0, 1):
             try:
-                with open(os.path.join(dz, "_MFSS_STAGE_COMPLETE")) as fh:
+                with open(manifest) as fh:
                     entries = [ln.rstrip("\n") for ln in fh if ln.strip()]
                 break
             except FileNotFoundError:
                 return os.path.exists(os.path.join(dz, "_SUCCESS"))
             except OSError:
                 # A transient read failure on an EXISTING manifest
-                # (EACCES/EINTR bursts on shared /tmp) must not condemn
-                # the stage: the incomplete branch rmtrees it out from
-                # under any draining peer stream. Re-probe once after a
-                # beat; only a REPEATED failure reads as broken.
+                # (EACCES/locking flaps on shared /tmp; EINTR is NOT in
+                # this class — PEP 475 retries it inside open()) must
+                # not condemn the stage: False routes into the rmtree-
+                # and-restage branch, destroying a possibly-COMPLETE
+                # stage under any draining peer stream. Re-probe once
+                # after a beat; if the failure REPEATS while the
+                # manifest still exists, the stage cannot be proven
+                # incomplete — fail safe by raising (surface the /tmp
+                # fault loudly) rather than returning False into the
+                # destructive branch. False is reserved for PROVABLY
+                # incomplete stages (manifest absent / empty / sizes
+                # drifted). A manifest that vanished between attempts
+                # was removed by a peer: fall back to the legacy probe.
                 if attempt:
-                    return False
+                    if os.path.exists(manifest):
+                        raise RuntimeError(
+                            f"stage manifest {manifest!r} exists but "
+                            "failed to read twice: cannot prove the "
+                            "stage incomplete, refusing to restage "
+                            "over it (a draining peer stream may be "
+                            "reading it) — clear the /tmp fault and "
+                            "retry"
+                        )
+                    return os.path.exists(os.path.join(dz, "_SUCCESS"))
                 time.sleep(0.05)
         if entries is None:  # unreachable; keeps the contract explicit
             return False

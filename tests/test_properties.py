@@ -339,8 +339,18 @@ def test_bench_calibration_kernel_is_pinned():
     """The bench's cross-round environment anchor is only comparable if
     the work is bit-identical every round — the pinned digest fails
     loudly on any size/content edit, and calibrate() itself re-checks it
-    per run. (No timing asserted here: this pins WHAT is measured.)"""
+    per run. (No timing asserted here: this pins WHAT is measured.)
+
+    The REFERENCE values are pinned too (not just >0): they are the
+    denominator of every *_normalized figure ever stamped, so a silent
+    re-pin would re-base the whole cross-round series. Re-pinning is
+    legal ONLY via the policy block next to CALIB_REF_* in bench.py
+    (record old+new refs and a same-tree bridging run) — and it must
+    edit these constants below, making the re-base review-visible."""
     import bench
 
     assert bench._calib_kernel(bench.CALIB_MB) == bench.CALIB_DIGEST
-    assert bench.CALIB_REF_1T_S > 0 and bench.CALIB_REF_32T_S > 0
+    assert bench.CALIB_MB == 256
+    assert bench.CALIB_THREADS == 32
+    assert bench.CALIB_REF_1T_S == 0.199
+    assert bench.CALIB_REF_32T_S == 0.316

@@ -563,6 +563,49 @@ def test_stage_completeness_is_manifest_verified(spark, sf_dir):
     shutil.rmtree(zone, ignore_errors=True)
 
 
+def test_stage_unreadable_existing_manifest_refuses_destruction(
+    spark, sf_dir
+):
+    """A manifest that EXISTS but cannot be read (persistent OSError —
+    e.g. an EACCES/locking flap on shared /tmp outlasting the 50 ms
+    re-probe) must NOT read as 'incomplete': that branch rmtrees the
+    stage and restages it, destroying a possibly-COMPLETE stage under
+    any draining peer stream. The probe must fail SAFE: raise loudly,
+    leave the stage untouched. (Simulated with a directory in the
+    manifest slot — open() on it raises IsADirectoryError, a persistent
+    OSError on an existing path, on every attempt.)"""
+    import os
+    import shutil
+
+    import pytest
+
+    from mapreduce_framework_simple_spark.streaming.windows import (
+        _stage_stream_source,
+    )
+
+    zone = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    manifest = os.path.join(zone, "_MFSS_STAGE_COMPLETE")
+    parts = sorted(
+        f for f in os.listdir(zone) if f.endswith(".parquet")
+    )
+    assert parts
+
+    os.remove(manifest)
+    os.mkdir(manifest)  # exists, but every open() raises OSError
+    try:
+        with pytest.raises(RuntimeError, match="refusing to restage"):
+            _stage_stream_source(spark, "events", sf_dir, n_files=1)
+        # the stage survived: no rmtree, every data file still present
+        assert sorted(
+            f for f in os.listdir(zone) if f.endswith(".parquet")
+        ) == parts
+    finally:
+        # leave a clean slate for later tests sharing this stage key
+        shutil.rmtree(zone, ignore_errors=True)
+    zone2 = _stage_stream_source(spark, "events", sf_dir, n_files=1)
+    assert zone2 == zone and os.path.isfile(manifest)
+
+
 def test_stage_stream_source_gcs_superseded_and_keys_recursively(
     spark, tmp_path, monkeypatch
 ):

@@ -134,12 +134,20 @@ def _check_q41(sdf, con, oracles, oracle_frames):
     # embeddings (fixed N_PROBE=6 covers 6/17 cells at sf0.01 but 6/65
     # at sf0.1 — recall 0.62 vs 0.36, both with conditional recall 1.0),
     # so the bound is recall ~= ceiling, not recall >= constant.
+    # What is INDEPENDENT here and what is deliberately SHARED: the
+    # cosine below is DuckDB's native list_cosine_similarity kernel —
+    # an implementation the engine never touches (the engine scores in
+    # Spark expressions; its ORACLES use the repo's _duck_dot/_duck_norm
+    # lambda SQL; this check uses neither) — so a bug in the repo's
+    # shared cosine helpers cannot pass both sides of this bound. The
+    # GEOMETRY constants (centroid stride, query stride, N_PROBE) are
+    # intentionally shared: they are the probe CONTRACT being checked
+    # (which cells the engine promises to look in), not a computation
+    # that could silently agree by common code.
     from mapreduce_framework_simple_spark.operators.similarity import (
         N_CELLS_STRIDE,
         N_PROBE,
         QUERY_STRIDE,
-        _duck_dot,
-        _duck_norm,
     )
 
     exact = oracle_frames.get("q40_cosine_topk")
@@ -151,7 +159,15 @@ def _check_q41(sdf, con, oracles, oracle_frames):
     all_answered = set(sdf["query_id"]) == set(exact["query_id"])
 
     def cos(x, y):
-        return f"round({_duck_dot(x, y)} / ({_duck_norm(x)} * {_duck_norm(y)}), 6)"
+        # independently written: DuckDB's native cosine over
+        # double-cast lists, same 6-dp rounding as the engine's
+        # declared ranking rule (verified to agree with the lambda
+        # formulation at 6 dp; no zero-norm vectors in the corpus)
+        return (
+            f"round(list_cosine_similarity("
+            f"list_transform({x}, v -> CAST(v AS DOUBLE)), "
+            f"list_transform({y}, v -> CAST(v AS DOUBLE))), 6)"
+        )
 
     con.register("exact_topk", exact)
     try:

@@ -86,12 +86,14 @@ def main() -> None:
         .collect()[0]
     )
     dt = time.perf_counter() - t0
-    ratio = calib_mt / _bench.CALIB_REF_32T_S
+    # stamped at 6 dp and wall_normalized computed FROM the stamped
+    # value, so wall/ratio recomputed from this line reproduces it
+    ratio = round(calib_mt / _bench.CALIB_REF_32T_S, 6)
     print(f"prime_sum={row['prime_sum']} n_primes={row['n_primes']} wall={dt:.2f}s "
           f"(reference: ~60s serial, ~10s on ~40 remote cores) "
           f"calibration_1t={calib_1t:.3f}s calibration_32t={calib_mt:.3f}s "
           f"(refs {_bench.CALIB_REF_1T_S}/{_bench.CALIB_REF_32T_S}, "
-          f"ratio_32t={ratio:.3f}, wall_normalized={dt / ratio:.2f}s)")
+          f"ratio_32t={ratio:.6f}, wall_normalized={dt / ratio:.2f}s)")
 
 
 if __name__ == "__main__":
