@@ -1452,19 +1452,35 @@ def _index_meta_centroids(spark: SparkSession,
 # Scan-pruning dispatch bound for ivf_probe_bucketed: up to this many
 # DISTINCT probed cells the scan predicate is a driver-collected
 # `isin` IN-list (planner-evaluated partition pruning — the cheapest
-# read when the deduplicated list stays planner-sized). The bound is
-# 10⁴, NOT the 10⁵ the driver could physically hold: an IN-list is a
-# plan literal, so its cost is paid per file-footer predicate
-# evaluation and plan serialization — at 10⁵ literals that is exactly
-# the plan-bloat regime this dispatch exists to avoid, and 10⁵
-# collected Row objects are tens of MB of Python heap besides. Past
-# the bound the probe frame stays DISTRIBUTED and a broadcast semi-join
-# on cell_id prunes the bucketed scan instead (dynamic partition
-# pruning does the file skipping) — the join side is the same bound
-# class as MAX_BROADCAST_QUERIES: cell ids ≈ sub-MB broadcast, never
-# corpus-sized. Typical probe sets (Q ≈ 10³–10⁴ queries × N_PROBE=6,
-# heavily overlapping cells) stay on the IN-list branch.
-PROBE_ISIN_MAX_CELLS = 10_000
+# read when the deduplicated list stays planner-sized). Past the bound
+# the probe frame stays DISTRIBUTED and a broadcast semi-join on
+# cell_id prunes the bucketed scan instead (dynamic partition pruning
+# does the file skipping) — the join side is the same bound class as
+# MAX_BROADCAST_QUERIES: cell ids ≈ sub-MB broadcast, never
+# corpus-sized.
+#
+# The bound is MEASURED, not reasoned (round 11; the earlier 10⁴ rested
+# on a plan-literal-cost argument that was directionally right but ~20×
+# high): tools/probe_crossover.py times both branches cold-for-cold
+# over a 10⁵-cell bucketed layout across distinct-cell counts —
+# committed as docs/probe_crossover_r11.json (a contended full sweep
+# plus a quiet at-anchor confirmation, calibration ratio 1.006). The
+# IN-list branch wins below ~300 cells (its only rival cost is the
+# semi branch's flat ~0.1–0.2 s DPP-subquery + broadcast overhead) and
+# LOSES from ~500 up, with a penalty that grows ~linearly in the
+# literal count (0.83 s vs 0.59 s at 10³; 8.2 s vs 3.6 s at 10⁴;
+# 73 s vs 33 s at 10⁵): expression construction, planner
+# partition-pruning evaluation and plan serialization are all
+# per-literal. The costs are ASYMMETRIC around the measured [300, 500]
+# crossover bracket — picking too LOW costs at most the semi branch's
+# flat overhead once per probe; picking too HIGH costs an unbounded
+# linearly-growing planner stall — so the bound sits at 384, inside
+# the bracket and nearer its isin-wins edge, erring toward the
+# bounded-regret side. Typical probe sets (heavily overlapping query
+# cells; 17–65 distinct cells at the test SFs) stay on the IN-list
+# branch; both branches remain equality- and plan-tested either side
+# of the bound.
+PROBE_ISIN_MAX_CELLS = 384
 
 
 def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> DataFrame:
@@ -1500,7 +1516,7 @@ def ivf_probe_bucketed(spark: SparkSession, sf_dir: str, index_path: str) -> Dat
     # ONE bounded collect serves both the dispatch and the IN-list: a
     # separate limit(bound+1).count() probe would re-run the distinct
     # shuffle a second time for the below-bound collect, and bound+1
-    # single-int64 rows (~a few MB at the 10⁴ bound) is driver-safe
+    # single-int64 rows (a few KB at the measured 384 bound) is driver-safe
     # either way
     rows = cells.limit(PROBE_ISIN_MAX_CELLS + 1).collect()
     if len(rows) <= PROBE_ISIN_MAX_CELLS:
