@@ -1476,10 +1476,14 @@ def _index_meta_centroids(spark: SparkSession,
 # flat overhead once per probe; picking too HIGH costs an unbounded
 # linearly-growing planner stall — so the bound sits at 384, inside
 # the bracket and nearer its isin-wins edge, erring toward the
-# bounded-regret side. Typical probe sets (heavily overlapping query
-# cells; 17–65 distinct cells at the test SFs) stay on the IN-list
-# branch; both branches remain equality- and plan-tested either side
-# of the bound.
+# bounded-regret side. A second sweep at K=10⁴ total cells shows the
+# crossover is K-sensitive DOWNWARD (the semi branch's flat overhead
+# shrinks with index size while the IN-list penalty is roughly
+# K-independent), so 384's low-side regret stays ≤0.25 s at both
+# measured Ks — a K-aware bound buys nothing. Typical probe sets
+# (heavily overlapping query cells; 17–65 distinct cells at the test
+# SFs) stay on the IN-list branch; both branches remain equality- and
+# plan-tested either side of the bound.
 PROBE_ISIN_MAX_CELLS = 384
 
 
