@@ -120,6 +120,41 @@ def calibrate() -> tuple[float, float]:
         multi_t = dt if multi_t is None else min(multi_t, dt)
     return one_t, multi_t
 
+
+def calibrate_gated(
+    threshold: float = 1.15, budget_s: float = 300.0
+) -> tuple[float, float, float]:
+    """calibrate(), re-trying on a contended reading: returns
+    (one_t, multi_t, seconds_waited). The loadavg quiet-wait is a
+    COARSE filter that keeps missing sub-gate shadows by hundredths
+    (round 8: 5-min 2.42–2.50 vs gate 2.5; round 11 run 1: 5-min 1.96
+    vs gate 2.0 — pre-sweep ratio 2.17 while the box read "quiet").
+    The anchor itself is the authoritative signal: it measures the
+    exact quantity that inflates the queries (concurrent multi-core
+    throughput), so when the pre-sweep ratio exceeds the ~1.15 band
+    the verdict protocol treats as anchor-state, wait a beat and
+    re-measure rather than stamping a polluted denominator into every
+    *_normalized field. Bounded: after budget_s (default 300 s,
+    $SPARK_GRAFT_CALIB_WAIT_S) the last reading is returned anyway —
+    the honest ratio stays in the artifact, exactly like the
+    contended=true fallback."""
+    budget_s = float(os.environ.get("SPARK_GRAFT_CALIB_WAIT_S", budget_s))
+    waited = 0.0
+    one_t, multi_t = calibrate()
+    while multi_t / CALIB_REF_32T_S > threshold and waited < budget_s:
+        print(
+            f"# calibration contended: ratio_32t "
+            f"{multi_t / CALIB_REF_32T_S:.3f} > {threshold} "
+            f"({waited:.0f}/{budget_s:.0f}s waited), re-measuring",
+            file=sys.stderr,
+        )
+        step = min(30.0, budget_s - waited)
+        time.sleep(step)
+        waited += step
+        one_t, multi_t = calibrate()
+    return one_t, multi_t, waited
+
+
 # The round-1 headline set — kept stable forever so round-over-round
 # comparison is ONE field ("shared12_total"), not judge arithmetic.
 SHARED_12 = [
@@ -240,11 +275,15 @@ def main() -> None:
     spark.catalog.clearCache()  # warm-up caches must not serve sf0.1 data
 
     # calibration anchor: timed AFTER warm-up, immediately before the
-    # sweep — it samples the box state the queries actually run under
-    calib_1t, calib_32t = calibrate()
+    # sweep — it samples the box state the queries actually run under.
+    # GATED (round 11): a reading above the anchor band re-measures
+    # after a beat instead of stamping a polluted denominator — see
+    # calibrate_gated.
+    calib_1t, calib_32t, calib_waited = calibrate_gated()
     print(
         f"# calibration: 1t {calib_1t:.3f}s (ref {CALIB_REF_1T_S}), "
-        f"32t {calib_32t:.3f}s (ref {CALIB_REF_32T_S})",
+        f"32t {calib_32t:.3f}s (ref {CALIB_REF_32T_S}), "
+        f"waited {calib_waited:.0f}s",
         file=sys.stderr,
     )
 
@@ -338,6 +377,9 @@ def main() -> None:
         # with ratio moving the same way is ENVIRONMENT, not code.
         "calibration_1t_s": round(calib_1t, 3),
         "calibration_32t_s": round(calib_32t, 3),
+        # seconds the calibration gate waited for an at-anchor reading
+        # before the sweep (0.0 = first reading was inside the band)
+        "calibration_wait_s": round(calib_waited, 1),
         "calibration_ref_1t_s": CALIB_REF_1T_S,
         "calibration_ref_32t_s": CALIB_REF_32T_S,
         # the ratio is stamped at 6 dp and the *_normalized fields are

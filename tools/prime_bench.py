@@ -72,10 +72,13 @@ def main() -> None:
     # same pinned CPU anchor as bench.py, timed right before the
     # measurement: cross-round prime-bench figures (1.6 s one round,
     # 4.6-5.5 s the next, identical code) are only interpretable next
-    # to the box's concurrent multi-core throughput
+    # to the box's concurrent multi-core throughput. Gated like the
+    # bench: a contended reading re-measures (bounded) rather than
+    # timing the workload under a transient the artifact then has to
+    # explain away.
     import bench as _bench
 
-    calib_1t, calib_mt = _bench.calibrate()
+    calib_1t, calib_mt, _ = _bench.calibrate_gated()
 
     t0 = time.perf_counter()
     row = (
