@@ -1,0 +1,287 @@
+"""Pure-stdlib media codecs — real PNG and WAV/PCM, zero third-party deps.
+
+The container has no PIL/ffmpeg/torchaudio (re-probed every round), which
+kept the multimodal decode paths stubbed behind ``fake=True``. But the two
+formats that matter for exercising the pipeline end-to-end need nothing
+beyond the standard library: PNG is zlib (stdlib) plus five per-scanline
+byte filters, and WAV PCM is a RIFF struct — both implementable EXACTLY,
+with numpy for the pixel/sample math. These are correctness-first codecs:
+they make the decode → transform → encode plumbing REAL (actual bytes,
+actual pixels, actual samples, strict round-trip tests, oracle-checkable
+queries), while production at 100 TB would swap a native codec into the
+same ``mapInPandas`` kernels — the Arrow batching, NULL propagation and
+output schemas are unchanged by that swap.
+
+Supported surface (validated, fail-loud outside it):
+
+* PNG: 8-bit depth, color types 0 (grey), 2 (RGB), 4 (grey+alpha),
+  6 (RGBA); non-interlaced; all five scanline filters on DECODE
+  (encode emits filter 0); CRC-verified chunks; decompression output
+  capped at the size IHDR implies (bomb guard).
+* WAV: RIFF/WAVE, PCM (format 1), 8- or 16-bit, any channel count
+  (decoded to mono float64 in [-1, 1), 16-bit scale 1/32768).
+* MFCC: 13 coefficients, 26-filter mel bank, 25 ms / 10 ms Hann frames,
+  orthonormal DCT-II — the standard recipe, hand-rolled in numpy.
+
+Factory pattern: each ``*_codec()`` returns nested functions that
+reference nothing module-global, so a ``mapInPandas`` closure capturing
+them ships them BY VALUE (cloudpickle) and executors need neither this
+package on PYTHONPATH nor an addPyFile — the same self-containment
+discipline as every other Python kernel in this repo.
+"""
+
+from __future__ import annotations
+
+# Decoded images are capped at this many pixels: IHDR dimensions are
+# attacker-controlled bytes, and the zlib payload is only allowed to
+# inflate to the size those dimensions imply — together they bound
+# memory per row regardless of input. 16M pixels ≈ 64 MB RGBA.
+MAX_PIXELS = 1 << 24
+
+
+def png_codec():
+    """Return ``(encode, decode, meta)``.
+
+    ``encode(arr)``: HxW or HxWxC uint8 numpy array (C in 1,2,3,4) →
+    PNG bytes (filter 0 scanlines, one IDAT).
+    ``decode(data)``: PNG bytes → ``(arr HxWxC uint8, width, height,
+    channels)``; raises ``ValueError`` on anything outside the supported
+    surface (bad magic/CRC, interlace, palette, non-8-bit, bomb).
+    ``meta(data)``: ``(width, height, channels)`` from the IHDR alone —
+    the first chunk by spec, so metadata never pays decompression.
+
+    ALL THREE are nested (not module-level) so a mapInPandas closure
+    that captures them ships them by value — a module-level helper
+    would pickle by reference and require the package on executors.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    max_pixels = MAX_PIXELS
+    _color_to_ch = {0: 1, 2: 3, 4: 2, 6: 4}
+    _ch_to_color = {1: 0, 2: 4, 3: 2, 4: 6}
+
+    def _chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    def encode(arr) -> bytes:
+        a = np.asarray(arr, dtype=np.uint8)
+        if a.ndim == 2:
+            a = a[:, :, None]
+        if a.ndim != 3 or a.shape[2] not in _ch_to_color:
+            raise ValueError(f"unsupported array shape {a.shape}")
+        h, w, c = a.shape
+        if h < 1 or w < 1:
+            raise ValueError("empty image")
+        # filter 0 on every scanline: simplest valid stream; decode
+        # handles all five filters regardless of what encode emits
+        body = np.empty((h, 1 + w * c), dtype=np.uint8)
+        body[:, 0] = 0
+        body[:, 1:] = a.reshape(h, w * c)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, _ch_to_color[c], 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(body.tobytes()))
+            + _chunk(b"IEND", b"")
+        )
+
+    def decode(data):
+        buf = bytes(data)
+        if buf[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG (bad signature)")
+        pos, ihdr, idat, ended = 8, None, [], False
+        while pos + 8 <= len(buf):
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            body = buf[pos + 8 : pos + 8 + length]
+            if len(body) != length or pos + 12 + length > len(buf):
+                raise ValueError("truncated chunk")
+            (crc,) = struct.unpack(
+                ">I", buf[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+                raise ValueError(f"CRC mismatch in {tag!r}")
+            if tag == b"IHDR":
+                ihdr = body
+            elif tag == b"IDAT":
+                idat.append(body)
+            elif tag == b"IEND":
+                ended = True
+                break
+            pos += 12 + length
+        if ihdr is None or not idat or not ended:
+            raise ValueError("missing IHDR/IDAT/IEND")
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if depth != 8 or color not in _color_to_ch:
+            raise ValueError(f"unsupported depth/color {depth}/{color}")
+        if comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError("unsupported compression/filter/interlace")
+        c = _color_to_ch[color]
+        if not (1 <= w and 1 <= h) or w * h > max_pixels:
+            raise ValueError(f"dimensions {w}x{h} outside supported bound")
+        stride = w * c
+        expected = h * (1 + stride)
+        # bomb guard: never inflate past the size IHDR implies
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+        if d.decompress(b"", 1) or len(raw) != expected:
+            raise ValueError("IDAT size does not match dimensions")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            ftype = int(rows[y, 0])
+            cur = rows[y, 1:].astype(np.int32)
+            if ftype == 0:
+                rec = cur
+            elif ftype == 2:  # Up — vectorizes (no intra-row dependency)
+                rec = (cur + prev) & 0xFF
+            elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential
+                rec = np.zeros(stride, dtype=np.int32)
+                for i in range(stride):
+                    a = int(rec[i - c]) if i >= c else 0
+                    b = int(prev[i])
+                    if ftype == 1:
+                        pred = a
+                    elif ftype == 3:
+                        pred = (a + b) // 2
+                    else:
+                        cc = int(prev[i - c]) if i >= c else 0
+                        p = a + b - cc
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                        pred = a if pa <= pb and pa <= pc else (
+                            b if pb <= pc else cc
+                        )
+                    rec[i] = (int(cur[i]) + pred) & 0xFF
+            else:
+                raise ValueError(f"unknown scanline filter {ftype}")
+            out[y] = rec.astype(np.uint8)
+            prev = rec
+        return out.reshape(h, w, c), w, h, c
+
+    def meta(data):
+        buf = bytes(data)
+        if buf[:8] != b"\x89PNG\r\n\x1a\n" or buf[12:16] != b"IHDR":
+            raise ValueError("not a PNG (bad signature/IHDR)")
+        w, h, depth, color, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", buf[16:29]
+        )
+        if depth != 8 or color not in _color_to_ch or interlace != 0:
+            raise ValueError("unsupported depth/color/interlace")
+        return w, h, _color_to_ch[color]
+
+    return encode, decode, meta
+
+
+def wav_codec():
+    """Return ``(encode, decode)``.
+
+    ``encode(pcm, rate)``: int16 numpy array (mono) → WAV bytes.
+    ``decode(data)``: WAV bytes → ``(mono float64 array in [-1, 1),
+    sample_rate)``; multi-channel input is averaged to mono; 16-bit
+    scale is 1/32768, 8-bit is (x-128)/128. Raises ``ValueError``
+    outside RIFF/WAVE PCM 8/16-bit.
+    """
+    import struct
+
+    import numpy as np
+
+    def encode(pcm, rate: int) -> bytes:
+        x = np.asarray(pcm, dtype=np.int16)
+        data = x.tobytes()
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        riff = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+    def decode(data):
+        buf = bytes(data)
+        if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE file")
+        pos, fmt, pcm = 12, None, None
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + length]
+            if len(body) != length:
+                raise ValueError("truncated chunk")
+            if tag == b"fmt ":
+                fmt = body
+            elif tag == b"data":
+                pcm = body
+            pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if fmt is None or pcm is None:
+            raise ValueError("missing fmt/data chunk")
+        audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+        if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
+            raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        if bits == 16:
+            x = np.frombuffer(pcm[: len(pcm) - len(pcm) % (2 * n_ch)],
+                              dtype="<i2").astype(np.float64) / 32768.0
+        else:
+            x = (np.frombuffer(pcm[: len(pcm) - len(pcm) % n_ch],
+                               dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        if n_ch > 1:
+            x = x[: len(x) - len(x) % n_ch].reshape(-1, n_ch).mean(axis=1)
+        return x, rate
+
+    return encode, decode
+
+
+def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
+    """Return ``mfcc(x, rate) -> list[float]`` — the mean MFCC vector of
+    a mono float signal: 25 ms Hann frames at 10 ms hop, power FFT, mel
+    filterbank, log, orthonormal DCT-II, mean over frames. Pure numpy;
+    deterministic; short signals are zero-padded to one frame."""
+    import numpy as np
+
+    def mfcc(x, rate: int):
+        x = np.asarray(x, dtype=np.float64)
+        frame = max(1, int(round(rate * 0.025)))
+        hop = max(1, int(round(rate * 0.010)))
+        if len(x) < frame:
+            x = np.pad(x, (0, frame - len(x)))
+        n = 1 + (len(x) - frame) // hop
+        idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+        frames = x[idx] * np.hanning(frame)[None, :]
+        power = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+        # mel filterbank 0..rate/2, triangular, n_mels filters
+        def hz_to_mel(f):
+            return 2595.0 * np.log10(1.0 + f / 700.0)
+
+        def mel_to_hz(m):
+            return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+
+        pts = mel_to_hz(
+            np.linspace(hz_to_mel(0.0), hz_to_mel(rate / 2.0), n_mels + 2)
+        )
+        bins = np.floor((n_fft + 1) * pts / rate).astype(int)
+        fb = np.zeros((n_mels, n_fft // 2 + 1))
+        for m in range(1, n_mels + 1):
+            lo, ce, hi = bins[m - 1], bins[m], bins[m + 1]
+            for k in range(lo, ce):
+                if ce > lo:
+                    fb[m - 1, k] = (k - lo) / (ce - lo)
+            for k in range(ce, hi):
+                if hi > ce:
+                    fb[m - 1, k] = (hi - k) / (hi - ce)
+        logmel = np.log(power @ fb.T + 1e-10)
+        # orthonormal DCT-II, first n_mfcc rows
+        k = np.arange(n_mels)
+        dct = np.cos(np.pi * np.arange(n_mfcc)[:, None] * (2 * k + 1) / (2 * n_mels))
+        dct *= np.sqrt(2.0 / n_mels)
+        dct[0] /= np.sqrt(2.0)
+        return [float(v) for v in (logmel @ dct.T).mean(axis=0)]
+
+    return mfcc

@@ -12,11 +12,29 @@ Design for 100 TB:
   for rows that survive predicates;
 * decode / feature-extract run as ``mapInPandas`` over Arrow batches —
   one Python worker per partition, bytes never pass through the driver;
-* actual codec work (PIL/ffmpeg/torchaudio) is STUBBED here (libs absent
-  in this container, per task brief): ``decode_image_meta`` raises
-  NotImplementedError unless ``fake=True``, whose deterministic
-  md5-derived pseudo-decoder keeps the Spark-side plumbing (schema,
-  batching, partitioning) real and oracle-checkable.
+* codec work is REAL since round 11 for the formats the standard library
+  can carry: PNG (zlib + scanline filters) and WAV/PCM (RIFF struct),
+  implemented dependency-free in ``operators/codecs.py`` — decode,
+  nearest-neighbor resize + re-encode, and audio features (duration,
+  RMS, 13 MFCCs in numpy) all run on actual bytes, exercised end-to-end
+  by oracle-checked queries (q130/q131) whose expected values DuckDB
+  derives arithmetically from the deterministic generators. The
+  ``fake=True`` md5 pseudo-decoder paths remain for format-agnostic
+  plumbing tests (q70's oracle reproduces them in SQL). PIL/ffmpeg/
+  torchaudio remain absent from this container; swapping a native codec
+  for JPEG/MP4/etc. into these same mapInPandas kernels changes no
+  schema, batching, or NULL semantics.
+
+Error semantics on the real paths: a NULL payload decodes to NULL
+outputs (the oracle's NULL propagation), and an UNDECODABLE payload —
+corrupt bytes, unsupported subformat, a class every production crawl
+contains — also yields NULL outputs rather than failing the query;
+``decode_ok`` in the metadata schema makes the distinction queryable so
+a pipeline can count, quarantine, or fail on decode loss explicitly
+(fail-fast on per-row media corruption would let one bad crawl byte
+kill a 100 TB pass — the loud-but-local contract is deliberate, and
+KNOWN_LIMITS §7's fail-fast rule is about silently DISCARDING rows,
+which NULL-with-flag does not do).
 """
 
 from __future__ import annotations
@@ -38,6 +56,10 @@ IMAGE_META_SCHEMA = T.StructType([
     T.StructField("width", T.IntegerType()),
     T.StructField("height", T.IntegerType()),
     T.StructField("channels", T.IntegerType()),
+    # True = decoded; False = payload present but undecodable (NULL
+    # dims); NULL = payload itself NULL. Makes decode loss queryable
+    # instead of silent — see module doc's error-semantics paragraph.
+    T.StructField("decode_ok", T.BooleanType()),
 ])
 
 
@@ -60,12 +82,45 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 def decode_image_meta(df: DataFrame, payload_col: str = "payload",
                       id_col: str = "doc_id", fake: bool = False) -> DataFrame:
     """Extract (width, height, channels) from a binary image column via
-    mapInPandas. Real codec path is stubbed (see module doc)."""
+    mapInPandas. The REAL path (default) parses the PNG IHDR — header
+    bytes only, no decompression (``codecs.png_codec``); undecodable
+    payloads yield NULL dims with ``decode_ok=False`` (module doc).
+    ``fake=True`` keeps the md5 pseudo-decoder for format-agnostic
+    plumbing tests (q70's SQL oracle reproduces it)."""
     if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake=True for the deterministic pseudo-decoder"
+        from mapreduce_framework_simple_spark.operators.codecs import (
+            png_codec,
         )
+
+        _, _, png_meta = png_codec()  # nested fns ship by value
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                n_b, ws, hs, cs, ok = [], [], [], [], []
+                for p in pdf[payload_col]:
+                    if p is None:
+                        n_b.append(None); ws.append(None); hs.append(None)
+                        cs.append(None); ok.append(None)
+                        continue
+                    b = bytes(p)
+                    n_b.append(len(b))
+                    try:
+                        w, h, c = png_meta(b)
+                        ws.append(w); hs.append(h); cs.append(c)
+                        ok.append(True)
+                    except ValueError:
+                        ws.append(None); hs.append(None); cs.append(None)
+                        ok.append(False)
+                yield pd.DataFrame({
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": pd.array(n_b, dtype="Int32"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "channels": pd.array(cs, dtype="Int32"),
+                    "decode_ok": pd.array(ok, dtype="boolean"),
+                })
+
+        return df.mapInPandas(run_real, IMAGE_META_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # self-contained closure: no references to this module's globals,
@@ -95,6 +150,12 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
                 "width": pd.array([m[0] for m in metas], dtype="Int32"),
                 "height": pd.array([m[1] for m in metas], dtype="Int32"),
                 "channels": pd.array([m[2] for m in metas], dtype="Int32"),
+                # the pseudo-decoder "decodes" any non-NULL bytes
+                "decode_ok": pd.array(
+                    [None if p is None else True
+                     for p in pdf[payload_col]],
+                    dtype="boolean",
+                ),
             })
 
     return df.mapInPandas(run, IMAGE_META_SCHEMA)
@@ -114,7 +175,8 @@ def with_binary_payload(docs: DataFrame) -> DataFrame:
            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
            CAST(1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 64 AS INT) AS width,
            CAST(1 + ('0x' || substr(md5(text), 3, 2))::BIGINT % 64 AS INT) AS height,
-           CAST(CASE WHEN text IS NULL THEN NULL ELSE 3 END AS INT) AS channels
+           CAST(CASE WHEN text IS NULL THEN NULL ELSE 3 END AS INT) AS channels,
+           CASE WHEN text IS NULL THEN NULL ELSE TRUE END AS decode_ok
     FROM documents
     """,
 )
@@ -176,15 +238,47 @@ RESIZED_SCHEMA = T.StructType([
 def resize_images(df: DataFrame, width: int, height: int,
                   payload_col: str = "payload", id_col: str = "doc_id",
                   fake: bool = False) -> DataFrame:
-    """Resize stub over binary image payloads (real codec absent in this
-    container). The Spark-side contract is real: binary in → binary out
-    with typed target dims, Arrow-batched; the fake path emits a
-    deterministic md5-tagged payload so downstream plumbing is testable."""
+    """Resize binary image payloads, Arrow-batched. The REAL path
+    (default) decodes PNG, nearest-neighbor-resamples in numpy
+    (index map ``src_i = floor(dst_i * src_size / dst_size)`` — the
+    arithmetic the q130 oracle reproduces in SQL), and re-encodes PNG;
+    undecodable payloads yield a NULL row (module doc). ``fake=True``
+    keeps the md5-tagged pseudo-resize for format-agnostic tests."""
+    if width < 1 or height < 1:
+        raise ValueError(f"target dims must be >= 1, got {width}x{height}")
     if not fake:
-        raise NotImplementedError(
-            "image codecs are not available in this environment; "
-            "pass fake=True for the deterministic pseudo-resize"
+        from mapreduce_framework_simple_spark.operators.codecs import (
+            png_codec,
         )
+
+        png_encode, png_decode, _ = png_codec()  # ship by value
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                ws, hs, out = [], [], []
+                for p in pdf[payload_col]:
+                    if p is None:
+                        ws.append(None); hs.append(None); out.append(None)
+                        continue
+                    try:
+                        arr, w0, h0, _c = png_decode(bytes(p))
+                    except ValueError:
+                        ws.append(None); hs.append(None); out.append(None)
+                        continue
+                    ys = (np.arange(height) * h0) // height
+                    xs = (np.arange(width) * w0) // width
+                    out.append(png_encode(arr[ys][:, xs]))
+                    ws.append(width); hs.append(height)
+                yield pd.DataFrame({
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    "payload": out,
+                })
+
+        return df.mapInPandas(run_real, RESIZED_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -224,15 +318,47 @@ AUDIO_FEATURES_SCHEMA = T.StructType([
 
 def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                            id_col: str = "doc_id", fake: bool = False) -> DataFrame:
-    """Audio feature-extraction stub (duration/RMS/MFCC-shaped vector).
-    Real torchaudio/librosa work is stubbed; the fake path derives
-    deterministic features from the payload bytes so the schema,
-    batching and array-column handling are exercised for real."""
+    """Audio features (duration seconds, RMS, 13 MFCCs) from a binary
+    audio column. The REAL path (default) parses WAV/PCM and computes
+    the features in numpy (``codecs.wav_codec``/``mfcc_fn`` — duration
+    = mono samples / rate, RMS on the [-1,1) float signal, standard
+    mel/DCT MFCC recipe); undecodable payloads yield NULL features
+    (module doc). ``fake=True`` keeps the md5-derived pseudo-extractor
+    for format-agnostic tests."""
     if not fake:
-        raise NotImplementedError(
-            "audio codecs are not available in this environment; "
-            "pass fake=True for the deterministic pseudo-extractor"
+        from mapreduce_framework_simple_spark.operators.codecs import (
+            mfcc_fn,
+            wav_codec,
         )
+
+        _, wav_decode = wav_codec()  # nested fns ship by value
+        mfcc = mfcc_fn()
+
+        def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
+
+            for pdf in batches:
+                dur, rms, mf = [], [], []
+                for p in pdf[payload_col]:
+                    if p is None:
+                        dur.append(None); rms.append(None); mf.append(None)
+                        continue
+                    try:
+                        x, rate = wav_decode(bytes(p))
+                    except ValueError:
+                        dur.append(None); rms.append(None); mf.append(None)
+                        continue
+                    dur.append(len(x) / rate)
+                    rms.append(float(np.sqrt((x * x).mean())) if len(x) else 0.0)
+                    mf.append(mfcc(x, rate))
+                yield pd.DataFrame({
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "duration_s": dur,
+                    "rms": rms,
+                    "mfcc": mf,
+                })
+
+        return df.mapInPandas(run_real, AUDIO_FEATURES_SCHEMA)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib as _hashlib
@@ -255,3 +381,187 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
             })
 
     return df.mapInPandas(run, AUDIO_FEATURES_SCHEMA)
+
+
+PAYLOAD_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("payload", T.BinaryType()),
+])
+
+
+def synth_png_corpus(docs: DataFrame) -> DataFrame:
+    """REAL PNG payloads, deterministically derived from doc_id so a SQL
+    oracle can predict every decoded property arithmetically: width
+    1+doc_id%16, height 1+(doc_id//16)%16, channels cycling 1/3/4
+    (grey, RGB, RGBA — all supported color types), every channel of
+    pixel (x, y) = (doc_id%256 + x + 3*y) % 256. Encoded through the
+    actual codec (``codecs.png_codec``) in mapInPandas, so the bytes on
+    the wire are genuine zlib-compressed PNG scanlines."""
+    from mapreduce_framework_simple_spark.operators.codecs import png_codec
+
+    png_encode, _, _ = png_codec()  # nested fn ships by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            out = []
+            for doc_id in ids:
+                d = int(doc_id)
+                w, h = 1 + d % 16, 1 + (d // 16) % 16
+                c = (1, 3, 4)[d % 3]
+                grid = (d % 256 + np.arange(w)[None, :]
+                        + 3 * np.arange(h)[:, None]) % 256
+                arr = np.repeat(
+                    grid.astype(np.uint8)[:, :, None], c, axis=2
+                )
+                out.append(png_encode(arr))
+            yield pd.DataFrame({"doc_id": ids, "payload": out})
+
+    return docs.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+def synth_wav_corpus(docs: DataFrame) -> DataFrame:
+    """REAL WAV/PCM payloads from doc_id: 16 kHz mono, 1600+(doc_id%10)*160
+    samples (0.100–0.190 s), constant int16 amplitude (1+doc_id%9)*3000 —
+    constant because its RMS is then EXACT in binary floating point
+    (amplitude/32768, a dyadic rational), so the oracle can state it in
+    SQL to full precision. Encoded through ``codecs.wav_codec``."""
+    from mapreduce_framework_simple_spark.operators.codecs import wav_codec
+
+    wav_encode, _ = wav_codec()  # nested fn ships by value
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            out = []
+            for doc_id in ids:
+                d = int(doc_id)
+                n = 1600 + (d % 10) * 160
+                amp = (1 + d % 9) * 3000
+                out.append(wav_encode(
+                    np.full(n, amp, dtype=np.int16), 16000
+                ))
+            yield pd.DataFrame({"doc_id": ids, "payload": out})
+
+    return docs.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+@query(
+    "q130_png_codec_roundtrip",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 256 AS v,
+                      1 + doc_id % 16 AS w,
+                      1 + (doc_id // 16) % 16 AS h,
+                      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+               FROM documents),
+    px AS (SELECT d.doc_id,
+                  avg(CAST((v + x.x + 3 * y.y) % 256 AS DOUBLE)) AS mean_px
+           FROM d, generate_series(0, 15) x(x), generate_series(0, 15) y(y)
+           WHERE x.x < d.w AND y.y < d.h
+           GROUP BY d.doc_id),
+    rs AS (SELECT d.doc_id,
+                  avg(CAST((v + ((xd.x * w) // 4) + 3 * ((yd.y * h) // 3)) % 256
+                           AS DOUBLE)) AS rs_mean_px
+           FROM d, generate_series(0, 3) xd(x), generate_series(0, 2) yd(y)
+           GROUP BY d.doc_id)
+    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+           CAST(d.c AS INT) AS channels, TRUE AS decode_ok,
+           round(px.mean_px, 6) AS mean_px,
+           CAST(4 AS INT) AS rs_width, CAST(3 AS INT) AS rs_height,
+           round(rs.rs_mean_px, 6) AS rs_mean_px
+    FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)
+    """,
+)
+def q130_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL image codec, oracle-checked end-to-end: synthesize
+    genuine PNG bytes per document (dims/pixels arithmetic in doc_id),
+    then run encode → IHDR meta parse → full pixel decode → nearest-
+    neighbor resize → re-encode → decode again, and report properties
+    DuckDB predicts WITHOUT any codec — if any stage (zlib framing,
+    CRCs, filter reconstruction, the resize index map) is wrong, the
+    means and dims hash-mismatch. Plan shape: one generated payload
+    frame feeds three Arrow-batched kernels joined on doc_id — at scale
+    each kernel is a narrow per-row pass, no shuffle beyond the final
+    broadcast-sized joins of per-doc scalars."""
+    from mapreduce_framework_simple_spark.ephemeral import scoped_cache
+    from mapreduce_framework_simple_spark.operators.codecs import png_codec
+
+    docs = load_table(spark, "documents", sf_dir)
+    gen = scoped_cache(synth_png_corpus(docs))
+
+    meta = decode_image_meta(gen).select(
+        "doc_id", "width", "height", "channels", "decode_ok"
+    )
+
+    _, png_decode, _ = png_codec()  # ships by value into mean_of()
+
+    def mean_of(prefix: str):
+        out_schema = T.StructType([
+            T.StructField("doc_id", T.LongType()),
+            T.StructField(f"{prefix}mean_px", T.DoubleType()),
+        ])
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                means = []
+                for p in pdf["payload"]:
+                    arr, _w, _h, _c = png_decode(bytes(p))
+                    means.append(round(float(arr.mean()), 6))
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"].astype("int64"),
+                     f"{prefix}mean_px": means}
+                )
+
+        return run, out_schema
+
+    full_run, full_schema = mean_of("")
+    full_mean = gen.mapInPandas(full_run, full_schema)
+
+    rs = resize_images(gen, 4, 3).select(
+        "doc_id",
+        F.col("width").alias("rs_width"),
+        F.col("height").alias("rs_height"),
+        "payload",
+    )
+    rs_run, rs_schema = mean_of("rs_")
+    rs_mean = rs.select("doc_id", "payload").mapInPandas(rs_run, rs_schema)
+
+    return (
+        meta.join(full_mean, "doc_id")
+        .join(rs.select("doc_id", "rs_width", "rs_height"), "doc_id")
+        .join(rs_mean, "doc_id")
+        .select("doc_id", "width", "height", "channels", "decode_ok",
+                "mean_px", "rs_width", "rs_height", "rs_mean_px")
+    )
+
+
+@query(
+    "q131_wav_codec_features",
+    oracle="""
+    SELECT doc_id,
+           round(CAST(1600 + (doc_id % 10) * 160 AS DOUBLE) / 16000.0, 6)
+               AS duration_s,
+           round(CAST((1 + doc_id % 9) * 3000 AS DOUBLE) / 32768.0, 6)
+               AS rms
+    FROM documents
+    """,
+)
+def q131_wav_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL audio codec, oracle-checked end-to-end: synthesize
+    genuine WAV bytes (constant-amplitude PCM16, duration arithmetic in
+    doc_id), decode with the RIFF parser and report duration and RMS —
+    both EXACT dyadic rationals the oracle states arithmetically
+    (amplitude/32768 survives square/mean/sqrt exactly in IEEE754 for a
+    constant signal). The 13 real MFCCs ride the same decode pass and
+    are bounds-tested in the unit suite (not SQL-expressible)."""
+    docs = load_table(spark, "documents", sf_dir)
+    feats = extract_audio_features(synth_wav_corpus(docs))
+    return feats.select(
+        "doc_id",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -1,0 +1,214 @@
+"""Pure-stdlib codec correctness (operators/codecs.py) + the real
+multimodal paths end-to-end on Spark.
+
+The PNG decoder is additionally checked against an INDEPENDENT forward
+implementation of all five scanline filters written here in the test
+(the encoder only ever emits filter 0, so without this the decoder's
+Sub/Up/Average/Paeth reconstruction would be dead code verified by
+nothing)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from mapreduce_framework_simple_spark.operators.codecs import (
+    mfcc_fn,
+    png_codec,
+    wav_codec,
+)
+
+
+def _manual_png(a: np.ndarray, ftype: int) -> bytes:
+    """Independent PNG writer applying filter ``ftype`` to every
+    scanline — the test-side forward transform the decoder must invert."""
+    h, w, c = a.shape
+    rows = []
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        raw = a[y].reshape(-1).astype(np.int32)
+        f = np.zeros_like(raw)
+        for i in range(len(raw)):
+            left = raw[i - c] if i >= c else 0
+            up = prev[i]
+            ul = prev[i - c] if i >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = left
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (left + up) // 2
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (
+                    up if pb <= pc else ul
+                )
+            f[i] = (raw[i] - pred) & 0xFF
+        rows.append(bytes([ftype]) + bytes(f.astype(np.uint8)))
+        prev = raw
+
+    def chunk(tag, d):
+        return (struct.pack(">I", len(d)) + tag + d
+                + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c],
+                       0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_all_shapes_and_meta():
+    enc, dec, meta = png_codec()
+    rng = np.random.default_rng(7)
+    for shape in [(5, 3), (1, 1, 1), (4, 7, 3), (8, 2, 4), (3, 3, 2),
+                  (64, 64, 3)]:
+        a = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        data = enc(a)
+        out, w, h, c = dec(data)
+        exp = a if a.ndim == 3 else a[:, :, None]
+        assert np.array_equal(out, exp)
+        assert (w, h, c) == (exp.shape[1], exp.shape[0], exp.shape[2])
+        assert meta(data) == (w, h, c)
+
+
+def test_png_decoder_inverts_all_five_filters():
+    _, dec, _ = png_codec()
+    rng = np.random.default_rng(11)
+    for c in (1, 3, 4):
+        a = rng.integers(0, 256, size=(6, 5, c), dtype=np.uint8)
+        for ftype in range(5):
+            out, _, _, _ = dec(_manual_png(a, ftype))
+            assert np.array_equal(out, a), f"filter {ftype}, channels {c}"
+
+
+def test_png_rejects_corrupt_and_bombs():
+    enc, dec, meta = png_codec()
+    good = enc(np.zeros((4, 4, 3), dtype=np.uint8))
+    for bad in (
+        b"",                                   # empty
+        b"not a png at all",                   # bad signature
+        good[:30],                             # truncated mid-chunk
+        good[:-4] + b"\x00\x00\x00\x00",       # IEND CRC corrupted
+        good[:33] + bytes([good[33] ^ 0xFF]) + good[34:],  # flipped byte
+    ):
+        with pytest.raises(ValueError):
+            dec(bad)
+        with pytest.raises(ValueError):
+            meta(bad) if len(bad) < 29 else dec(bad)
+    # bomb guard: IHDR claims 1x1 but IDAT inflates to far more
+    def chunk(tag, d):
+        return (struct.pack(">I", len(d)) + tag + d
+                + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+            + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        dec(bomb)
+
+
+def test_wav_roundtrip_and_channel_mixdown():
+    enc, dec = wav_codec()
+    pcm = (np.sin(2 * np.pi * 440 * np.arange(16000) / 16000) * 12000
+           ).astype(np.int16)
+    x, rate = dec(enc(pcm, 16000))
+    assert rate == 16000 and len(x) == 16000
+    assert np.allclose(x, pcm / 32768.0)
+    # stereo mixdown: hand-build a 2-channel PCM16 file
+    stereo = np.empty(200, dtype=np.int16)
+    stereo[0::2], stereo[1::2] = 1000, 3000
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data = stereo.tobytes()
+    buf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    x2, rate2 = dec(buf)
+    assert rate2 == 8000 and len(x2) == 100
+    assert np.allclose(x2, 2000 / 32768.0)
+    for bad in (b"", b"RIFFxxxxNOPE", buf[:20]):
+        with pytest.raises(ValueError):
+            dec(bad)
+
+
+def test_mfcc_is_deterministic_and_discriminative():
+    mf = mfcc_fn()
+    rng = np.random.default_rng(3)
+    sine = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000)
+    v1, v2 = mf(sine, 16000), mf(sine, 16000)
+    assert v1 == v2 and len(v1) == 13
+    noise = rng.normal(0, 0.3, 16000)
+    assert abs(v1[1] - mf(noise, 16000)[1]) > 0.1  # tonal vs broadband
+    assert mf(sine * 0.01, 16000)[0] < v1[0]  # c0 tracks energy
+    assert len(mf(np.zeros(10), 16000)) == 13  # sub-frame input padded
+
+
+def test_real_resize_pixels_match_numpy_reference(spark):
+    """resize_images (real path) must produce EXACTLY the nearest-
+    neighbor sample the index map promises — checked pixel-for-pixel
+    against numpy on the driver, through the full Spark round trip."""
+    from mapreduce_framework_simple_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    enc, dec, _ = png_codec()
+    rng = np.random.default_rng(5)
+    imgs = {i: rng.integers(0, 256, size=(7 + i, 5 + i, 3), dtype=np.uint8)
+            for i in range(3)}
+    df = spark.createDataFrame(
+        [(i, bytearray(enc(a))) for i, a in imgs.items()],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in resize_images(df, 4, 3).collect()}
+    for i, a in imgs.items():
+        h0, w0 = a.shape[:2]
+        ys, xs = (np.arange(3) * h0) // 3, (np.arange(4) * w0) // 4
+        got, w, h, c = dec(bytes(out[i]["payload"]))
+        assert (w, h, c) == (4, 3, 3)
+        assert np.array_equal(got, a[ys][:, xs])
+
+
+def test_real_paths_null_and_corrupt_propagation(spark):
+    """REAL decode/resize/features over a mixed batch: NULL payload →
+    NULL outputs (decode_ok NULL), corrupt payload → NULL outputs
+    (decode_ok False), valid payload → decoded. One query, no failure."""
+    from mapreduce_framework_simple_spark.operators.multimodal import (
+        decode_image_meta,
+        extract_audio_features,
+        resize_images,
+    )
+
+    enc, _, _ = png_codec()
+    wenc, _ = wav_codec()
+    png = bytearray(enc(np.full((2, 3, 3), 9, dtype=np.uint8)))
+    wav = bytearray(wenc(np.full(1600, 3000, dtype=np.int16), 16000))
+    df = spark.createDataFrame(
+        [(1, png), (2, bytearray(b"garbage")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    meta = {r["doc_id"]: r for r in decode_image_meta(df).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["channels"],
+            meta[1]["decode_ok"]) == (3, 2, 3, True)
+    assert meta[2]["decode_ok"] is False and meta[2]["width"] is None
+    assert meta[3]["decode_ok"] is None and meta[3]["n_bytes"] is None
+
+    rz = {r["doc_id"]: r for r in resize_images(df, 2, 2).collect()}
+    assert rz[1]["payload"] is not None and rz[1]["width"] == 2
+    assert rz[2]["payload"] is None and rz[3]["payload"] is None
+
+    adf = spark.createDataFrame(
+        [(1, wav), (2, bytearray(b"garbage")), (3, None)],
+        "doc_id long, payload binary",
+    )
+    au = {r["doc_id"]: r for r in extract_audio_features(adf).collect()}
+    assert au[1]["duration_s"] == 0.1
+    assert au[1]["rms"] == 3000 / 32768.0  # exact dyadic rational
+    assert len(au[1]["mfcc"]) == 13
+    assert au[2]["duration_s"] is None and au[3]["mfcc"] is None

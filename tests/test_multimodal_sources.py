@@ -2,7 +2,6 @@
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -18,12 +17,19 @@ from mapreduce_framework_simple_spark.sources.io import (
 )
 
 
-def test_decode_stub_raises_without_fake(spark, sf_dir):
-    """Real codecs are stubbed (absent in this container): default path
-    must fail loudly, not fake silently."""
+def test_real_decode_flags_undecodable_bytes(spark, sf_dir):
+    """The REAL decode path (default since round 11) over bytes that are
+    NOT a PNG (documents.text as payload) must not fake anything and
+    must not fail the query: every row comes back decode_ok=False with
+    NULL dims but a real n_bytes — decode loss is queryable, never
+    silent (module doc's error-semantics contract)."""
     docs = with_binary_payload(load_table(spark, "documents", sf_dir))
-    with pytest.raises(NotImplementedError):
-        decode_image_meta(docs)
+    pdf = decode_image_meta(docs).toPandas()
+    has_payload = pdf.n_bytes.notna()
+    assert has_payload.any()
+    assert (pdf.loc[has_payload, "decode_ok"] == False).all()  # noqa: E712
+    assert pdf.loc[has_payload, "width"].isna().all()
+    assert (pdf.loc[has_payload, "n_bytes"] > 0).all()
 
 
 def test_fake_decode_is_deterministic_and_typed(spark, sf_dir):
@@ -90,12 +96,13 @@ def test_in_memory_source(spark):
     assert df.agg(F.sum("v")).collect()[0][0] == sum(v for _, v in data)
 
 
-def test_resize_stub(spark, sf_dir):
+def test_resize_real_and_fake_paths(spark, sf_dir):
     from mapreduce_framework_simple_spark.operators.multimodal import resize_images
 
     docs = with_binary_payload(load_table(spark, "documents", sf_dir))
-    with pytest.raises(NotImplementedError):
-        resize_images(docs, 32, 32)
+    # the REAL path over non-PNG bytes NULLs the row instead of failing
+    real = resize_images(docs.limit(5), 32, 32).toPandas()
+    assert real.payload.isna().all() and real.width.isna().all()
     out = resize_images(docs, 32, 32, fake=True)
     assert isinstance(out.schema["payload"].dataType, T.BinaryType)
     pdf = out.toPandas()
@@ -103,14 +110,15 @@ def test_resize_stub(spark, sf_dir):
     assert pdf.payload.map(len).eq(20).all()  # md5 + 2x2 dim bytes
 
 
-def test_audio_features_stub(spark, sf_dir):
+def test_audio_features_real_and_fake_paths(spark, sf_dir):
     from mapreduce_framework_simple_spark.operators.multimodal import (
         extract_audio_features,
     )
 
     docs = with_binary_payload(load_table(spark, "documents", sf_dir))
-    with pytest.raises(NotImplementedError):
-        extract_audio_features(docs)
+    # the REAL path over non-WAV bytes NULLs the row instead of failing
+    real = extract_audio_features(docs.limit(5)).toPandas()
+    assert real.duration_s.isna().all() and real.mfcc.isna().all()
     pdf = extract_audio_features(docs, fake=True).toPandas()
     assert pdf.mfcc.map(len).eq(13).all()
     assert pdf.duration_s.gt(0).all()
