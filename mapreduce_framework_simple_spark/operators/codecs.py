@@ -285,3 +285,48 @@ def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
         return [float(v) for v in (logmel @ dct.T).mean(axis=0)]
 
     return mfcc
+
+
+def video_container():
+    """Return ``(pack, unpack)`` for the minimal multi-frame container
+    the frame-sampling operator consumes — a length-prefixed PNG
+    sequence (magic ``MFV1`` + u32 frame count, then per frame u32
+    length + PNG bytes). Real video formats need native demuxers this
+    container stands in for; the part that must be right at scale —
+    byte-range framing, per-frame decode, sample stride — is identical,
+    and ``unpack`` validates framing strictly (magic, counts, lengths)
+    so corrupt payloads fail as one NULL row, not a crash.
+
+    Nested functions ship by value into mapInPandas closures, like the
+    other codecs here."""
+    import struct
+
+    def pack(frames) -> bytes:
+        out = [b"MFV1", struct.pack(">I", len(frames))]
+        for f in frames:
+            b = bytes(f)
+            out.append(struct.pack(">I", len(b)))
+            out.append(b)
+        return b"".join(out)
+
+    def unpack(data):
+        buf = bytes(data)
+        if buf[:4] != b"MFV1" or len(buf) < 8:
+            raise ValueError("not an MFV1 frame container")
+        (n,) = struct.unpack(">I", buf[4:8])
+        if n > 1 << 20:
+            raise ValueError("frame count outside supported bound")
+        pos, frames = 8, []
+        for _ in range(n):
+            if pos + 4 > len(buf):
+                raise ValueError("truncated frame header")
+            (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+            if pos + 4 + ln > len(buf):
+                raise ValueError("truncated frame body")
+            frames.append(buf[pos + 4 : pos + 4 + ln])
+            pos += 4 + ln
+        if pos != len(buf):
+            raise ValueError("trailing bytes after last frame")
+        return frames
+
+    return pack, unpack

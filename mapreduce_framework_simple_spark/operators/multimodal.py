@@ -565,3 +565,124 @@ def q131_wav_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("duration_s", 6).alias("duration_s"),
         F.round("rms", 6).alias("rms"),
     )
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("frame_idx", T.IntegerType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("mean_px", T.DoubleType()),
+])
+
+
+def synth_video_corpus(docs: DataFrame) -> DataFrame:
+    """REAL multi-frame payloads from doc_id: 2 + doc_id%4 PNG frames
+    (4x3 grey, every pixel of frame f = (doc_id + 17*f) % 256) packed
+    into the MFV1 length-prefixed container (``codecs.video_container``)
+    — every sampled frame's mean is oracle arithmetic."""
+    from mapreduce_framework_simple_spark.operators.codecs import (
+        png_codec,
+        video_container,
+    )
+
+    png_encode, _, _ = png_codec()
+    pack, _ = video_container()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            out = []
+            for doc_id in ids:
+                d = int(doc_id)
+                frames = [
+                    png_encode(np.full((3, 4), (d + 17 * f) % 256,
+                                       dtype=np.uint8))
+                    for f in range(2 + d % 4)
+                ]
+                out.append(pack(frames))
+            yield pd.DataFrame({"doc_id": ids, "payload": out})
+
+    return docs.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_k: int = 2,
+                  payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """REAL frame sampling over multi-frame binary payloads: unpack the
+    MFV1 container, keep every ``every_k``-th frame (idx 0, k, 2k, …),
+    decode each kept frame and emit its dims + pixel mean — the
+    video-pipeline shape (demux → stride-sample → per-frame decode)
+    with rows multiplying by the sampled frame count, which is exactly
+    what partition sizing must account for at scale (module doc).
+    Undecodable containers yield one NULL row (frame_idx NULL); a bad
+    FRAME inside a good container yields a NULL row for that frame."""
+    if every_k < 1:
+        raise ValueError(f"every_k must be >= 1, got {every_k}")
+    from mapreduce_framework_simple_spark.operators.codecs import (
+        png_codec,
+        video_container,
+    )
+
+    _, png_decode, _ = png_codec()
+    _, unpack = video_container()
+    k = every_k
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ws, hs, means = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col].astype("int64"),
+                                 pdf[payload_col]):
+                if p is None:
+                    ids.append(doc_id); idxs.append(None)
+                    ws.append(None); hs.append(None); means.append(None)
+                    continue
+                try:
+                    frames = unpack(bytes(p))
+                except ValueError:
+                    ids.append(doc_id); idxs.append(None)
+                    ws.append(None); hs.append(None); means.append(None)
+                    continue
+                for f in range(0, len(frames), k):
+                    ids.append(doc_id); idxs.append(f)
+                    try:
+                        arr, w, h, _c = png_decode(frames[f])
+                    except ValueError:
+                        ws.append(None); hs.append(None); means.append(None)
+                        continue
+                    ws.append(w); hs.append(h)
+                    means.append(round(float(arr.mean()), 6))
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "frame_idx": pd.array(idxs, dtype="Int32"),
+                "width": pd.array(ws, dtype="Int32"),
+                "height": pd.array(hs, dtype="Int32"),
+                "mean_px": pd.array(means, dtype="Float64"),
+            })
+
+    return df.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
+
+
+@query(
+    "q132_frame_extract",
+    oracle="""
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents)
+    SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx,
+           CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
+           CAST((d.doc_id + 17 * f.f) % 256 AS DOUBLE) AS mean_px
+    FROM d, generate_series(0, 5) f(f)
+    WHERE f.f < d.n_frames AND f.f % 2 = 0
+    """,
+)
+def q132_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame sampling, oracle-checked end-to-end: synthesize
+    genuine multi-frame containers (2–5 real PNG frames each, constant
+    pixel value (doc_id + 17*frame) % 256), demux, keep every 2nd
+    frame, decode each kept frame — DuckDB predicts the sampled index
+    set, the dims and every frame mean arithmetically. Replaces-in-
+    spirit q71's hash-identified pseudo-frames (kept for the explode
+    plumbing) with the actual decode path a video pipeline runs."""
+    docs = load_table(spark, "documents", sf_dir)
+    return sample_frames(synth_video_corpus(docs), every_k=2)

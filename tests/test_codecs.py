@@ -212,3 +212,56 @@ def test_real_paths_null_and_corrupt_propagation(spark):
     assert au[1]["rms"] == 3000 / 32768.0  # exact dyadic rational
     assert len(au[1]["mfcc"]) == 13
     assert au[2]["duration_s"] is None and au[3]["mfcc"] is None
+
+
+def test_video_container_roundtrip_and_rejection():
+    from mapreduce_framework_simple_spark.operators.codecs import (
+        video_container,
+    )
+
+    pack, unpack = video_container()
+    frames = [b"one", b"", b"three" * 100]
+    assert unpack(pack(frames)) == frames
+    assert unpack(pack([])) == []
+    good = pack(frames)
+    for bad in (b"", b"NOPE" + good[4:], good[:-3],       # magic/truncation
+                good + b"xx",                              # trailing bytes
+                good[:4] + struct.pack(">I", 99) + good[8:]):  # count lies
+        with pytest.raises(ValueError):
+            unpack(bad)
+
+
+def test_sample_frames_mixed_rows(spark):
+    """One query over a NULL payload, a corrupt container, a container
+    with one corrupt FRAME, and a good container: per-row/per-frame
+    NULLs, never a query failure; stride sampling keeps idx 0,2,4."""
+    from mapreduce_framework_simple_spark.operators.codecs import (
+        png_codec,
+        video_container,
+    )
+    from mapreduce_framework_simple_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    enc, _, _ = png_codec()
+    pack, _ = video_container()
+    f = [enc(np.full((2, 2), v, dtype=np.uint8)) for v in (10, 20, 30, 40, 50)]
+    good = pack(f)                      # 5 frames -> sampled idx 0,2,4
+    one_bad = pack([f[0], b"corrupt", f[2]])  # idx 0 ok, idx 2 ok (stride 2)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a container")),
+         (3, None), (4, bytearray(one_bad))],
+        "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, every_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert [(r["frame_idx"], r["mean_px"]) for r in
+            sorted(by_doc[1], key=lambda r: r["frame_idx"])] == [
+        (0, 10.0), (2, 30.0), (4, 50.0)]
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["frame_idx"] is None
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["frame_idx"] is None
+    assert [(r["frame_idx"], r["mean_px"]) for r in
+            sorted(by_doc[4], key=lambda r: r["frame_idx"])] == [
+        (0, 10.0), (2, 30.0)]
