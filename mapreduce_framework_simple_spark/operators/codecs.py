@@ -129,10 +129,15 @@ def png_codec():
             raise ValueError(f"dimensions {w}x{h} outside supported bound")
         stride = w * c
         expected = h * (1 + stride)
-        # bomb guard: never inflate past the size IHDR implies
+        # bomb guard: never inflate past the size IHDR implies. d.eof is
+        # the authoritative stream-end signal — an output-buffer probe
+        # (decompress(b"", 1)) can read empty even with compressed input
+        # left in unconsumed_tail, so it alone would let a bomb through
+        # when the cap lands on a flush boundary; eof False also rejects
+        # a TRUNCATED stream whose end marker never arrived.
         d = zlib.decompressobj()
         raw = d.decompress(b"".join(idat), expected)
-        if d.decompress(b"", 1) or len(raw) != expected:
+        if not d.eof or d.unconsumed_tail or len(raw) != expected:
             raise ValueError("IDAT size does not match dimensions")
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
         out = np.zeros((h, stride), dtype=np.uint8)

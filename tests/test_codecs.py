@@ -265,3 +265,24 @@ def test_sample_frames_mixed_rows(spark):
     assert [(r["frame_idx"], r["mean_px"]) for r in
             sorted(by_doc[4], key=lambda r: r["frame_idx"])] == [
         (0, 10.0), (2, 30.0)]
+
+
+def test_png_bomb_guard_catches_flush_boundary_bombs():
+    """The decompression cap must reject surplus compressed input even
+    when the cap lands exactly on a zlib flush boundary — there the
+    output-buffer probe reads empty and only the stream-end (eof) check
+    catches the bomb."""
+    _, dec, _ = png_codec()
+    co = zlib.compressobj()
+    part = co.compress(b"\x00\x00") + co.flush(zlib.Z_FULL_FLUSH)
+    rest = co.compress(b"\x00" * 100_000) + co.flush()
+
+    def chunk(tag, d):
+        return (struct.pack(">I", len(d)) + tag + d
+                + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", part + rest) + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        dec(bomb)
