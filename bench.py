@@ -183,6 +183,17 @@ HEADLINE = SHARED_12 + [
     "q110_heavy_hitters",     # Misra-Gries sketch + exact verify
 ]
 
+# Trend-only set (round 12): the real-codec queries had zero bench
+# history — timed with the same min-of-3 protocol and stamped as
+# "trend_queries" so a future codec regression is visible round-over-
+# round, but EXCLUDED from value/shared12/normalized (the headline set
+# stays the stable 19 the whole series compares on).
+TREND = [
+    "q130_png_codec_roundtrip",  # PNG encode→meta→decode→resize→decode
+    "q131_wav_codec_features",   # WAV decode + RMS + 13 MFCCs
+    "q132_frame_extract",        # MFV1 demux → stride sample → decode
+]
+
 
 def main() -> None:
     from mapreduce_framework_simple_spark.ephemeral import release_caches
@@ -267,7 +278,7 @@ def main() -> None:
     # cluster, not single-session JIT cost.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
-        for name in HEADLINE:
+        for name in HEADLINE + TREND:
             try:
                 QUERIES[name](spark, warm_dir).count()
             except Exception as e:  # warm-up must never fail the bench
@@ -294,7 +305,8 @@ def main() -> None:
     # was adjudicated as exactly this noise); caches cleared between runs
     # so every run re-executes the full plan
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    trend_timings: dict[str, float] = {}
+    for name in HEADLINE + TREND:
         fn = QUERIES[name]
         best = None
         for _ in range(3):
@@ -312,8 +324,9 @@ def main() -> None:
             n = df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.2f}s ({n} rows)", file=sys.stderr)
+        tgt = trend_timings if name in TREND else timings
+        tgt[name] = round(best, 3)
+        print(f"# {name}: {tgt[name]:.2f}s ({n} rows)", file=sys.stderr)
 
     load_end = os.getloadavg()
     # post-sweep anchor re-read: the PRE-sweep sample normalizes the
@@ -339,6 +352,9 @@ def main() -> None:
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        # trend-only codec timings (same min-of-3 protocol), NOT in
+        # value/shared12/normalized — see TREND above
+        "trend_queries": trend_timings,
         "sf": sf,
         # round-over-round comparator: the stable r1 subset as one number
         "shared12_total": round(sum(timings[q] for q in SHARED_12), 3),

@@ -36,6 +36,19 @@ from __future__ import annotations
 # attacker-controlled bytes, and the zlib payload is only allowed to
 # inflate to the size those dimensions imply — together they bound
 # memory per row regardless of input. 16M pixels ≈ 64 MB RGBA.
+#
+# DECODE-COST bound at the cap (this codec's worst case, per image):
+# filters 0 (None), 1 (Sub) and 2 (Up) reconstruct fully vectorized in
+# numpy — measured 220-410 MB/s (round 12; Sub was 2 MB/s as a per-byte
+# loop before its cumsum rewrite, ~107x). Filters 3 (Average) and 4
+# (Paeth) are sequential BY DEFINITION (each byte's predictor reads the
+# reconstructed byte one pixel left) and run as a per-scanline Python
+# loop over plain lists — measured 3.0-5.5 MB/s (~2.5x the former
+# numpy-scalar indexing), so an adversarially filtered external PNG at
+# the full MAX_PIXELS/RGBA cap (64 MB) costs up to ~20 s of one core.
+# Bounded and loud, never unbounded: MAX_PIXELS caps the work, and real
+# encoders mix filters per scanline (libpng adaptive filtering), so a
+# whole-image Paeth worst case is rare in practice.
 MAX_PIXELS = 1 << 24
 
 
@@ -117,6 +130,11 @@ def png_codec():
             pos += 12 + length
         if ihdr is None or not idat or not ended:
             raise ValueError("missing IHDR/IDAT/IEND")
+        # validate before unpack: a 13-byte spec violation must surface
+        # as ValueError (the kernels' NULL-row contract), never as
+        # struct.error escaping a mapInPandas batch
+        if len(ihdr) != 13:
+            raise ValueError(f"IHDR body must be 13 bytes, got {len(ihdr)}")
         w, h, depth, color, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", ihdr
         )
@@ -140,6 +158,10 @@ def png_codec():
         if not d.eof or d.unconsumed_tail or len(raw) != expected:
             raise ValueError("IDAT size does not match dimensions")
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
+        if rows[:, 0].max(initial=0) > 4:
+            raise ValueError(
+                f"unknown scanline filter {int(rows[:, 0].max())}"
+            )
         out = np.zeros((h, stride), dtype=np.uint8)
         prev = np.zeros(stride, dtype=np.int32)
         for y in range(h):
@@ -147,27 +169,43 @@ def png_codec():
             cur = rows[y, 1:].astype(np.int32)
             if ftype == 0:
                 rec = cur
+            elif ftype == 1:
+                # Sub: rec[i] = (cur[i] + rec[i-c]) mod 256 — a
+                # per-channel prefix sum; mod 256 commutes with the
+                # cumulative addition, so one vectorized cumsum per
+                # channel replaces the former per-byte Python loop
+                rec = (
+                    np.cumsum(cur.reshape(-1, c), axis=0) & 0xFF
+                ).reshape(stride)
             elif ftype == 2:  # Up — vectorizes (no intra-row dependency)
                 rec = (cur + prev) & 0xFF
-            elif ftype in (1, 3, 4):  # Sub/Average/Paeth — sequential
-                rec = np.zeros(stride, dtype=np.int32)
-                for i in range(stride):
-                    a = int(rec[i - c]) if i >= c else 0
-                    b = int(prev[i])
-                    if ftype == 1:
-                        pred = a
-                    elif ftype == 3:
-                        pred = (a + b) // 2
-                    else:
-                        cc = int(prev[i - c]) if i >= c else 0
+            else:
+                # Average (3) / Paeth (4): sequential BY DEFINITION —
+                # each byte's predictor reads the reconstructed byte one
+                # pixel left. Iterate plain Python lists (several times
+                # faster than per-element numpy indexing); cost bound
+                # documented at MAX_PIXELS above.
+                cur_l = cur.tolist()
+                prev_l = prev.tolist()
+                rec_l = [0] * stride
+                if ftype == 3:
+                    for i in range(stride):
+                        a = rec_l[i - c] if i >= c else 0
+                        rec_l[i] = (cur_l[i] + ((a + prev_l[i]) >> 1)) & 0xFF
+                else:
+                    for i in range(stride):
+                        a = rec_l[i - c] if i >= c else 0
+                        b = prev_l[i]
+                        cc = prev_l[i - c] if i >= c else 0
                         p = a + b - cc
-                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                        pa = p - a if p >= a else a - p
+                        pb = p - b if p >= b else b - p
+                        pc = p - cc if p >= cc else cc - p
                         pred = a if pa <= pb and pa <= pc else (
                             b if pb <= pc else cc
                         )
-                    rec[i] = (int(cur[i]) + pred) & 0xFF
-            else:
-                raise ValueError(f"unknown scanline filter {ftype}")
+                        rec_l[i] = (cur_l[i] + pred) & 0xFF
+                rec = np.asarray(rec_l, dtype=np.int32)
             out[y] = rec.astype(np.uint8)
             prev = rec
         return out.reshape(h, w, c), w, h, c
@@ -176,6 +214,11 @@ def png_codec():
         buf = bytes(data)
         if buf[:8] != b"\x89PNG\r\n\x1a\n" or buf[12:16] != b"IHDR":
             raise ValueError("not a PNG (bad signature/IHDR)")
+        # 8 sig + 4 length + 4 tag + 13 IHDR body = 29: a payload cut
+        # mid-header must raise ValueError (the kernels' NULL-row
+        # contract), not let struct.unpack raise struct.error
+        if len(buf) < 29:
+            raise ValueError("truncated PNG header")
         w, h, depth, color, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", buf[16:29]
         )
@@ -228,9 +271,17 @@ def wav_codec():
             pos += 8 + length + (length & 1)  # chunks are word-aligned
         if fmt is None or pcm is None:
             raise ValueError("missing fmt/data chunk")
+        # validate before unpack: a short fmt chunk must raise
+        # ValueError (NULL-row contract), not struct.error
+        if len(fmt) < 16:
+            raise ValueError(f"fmt chunk too short ({len(fmt)} < 16 bytes)")
         audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
-        if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1:
-            raise ValueError(f"unsupported WAV (fmt={audio_fmt}, bits={bits})")
+        # rate < 1 would make duration = samples/rate divide by zero
+        # downstream — reject it here as the invalid input it is
+        if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1 or rate < 1:
+            raise ValueError(
+                f"unsupported WAV (fmt={audio_fmt}, bits={bits}, rate={rate})"
+            )
         if bits == 16:
             x = np.frombuffer(pcm[: len(pcm) - len(pcm) % (2 * n_ch)],
                               dtype="<i2").astype(np.float64) / 32768.0

@@ -95,6 +95,12 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
         _, _, png_meta = png_codec()  # nested fns ship by value
 
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # the codec contract is ValueError on any invalid input
+            # (tested on a rejection matrix); struct.error is caught as
+            # well so an unforeseen parser escape degrades to the
+            # NULL-row contract instead of killing a 100 TB pass
+            import struct as _struct
+
             for pdf in batches:
                 n_b, ws, hs, cs, ok = [], [], [], [], []
                 for p in pdf[payload_col]:
@@ -108,7 +114,7 @@ def decode_image_meta(df: DataFrame, payload_col: str = "payload",
                         w, h, c = png_meta(b)
                         ws.append(w); hs.append(h); cs.append(c)
                         ok.append(True)
-                    except ValueError:
+                    except (ValueError, _struct.error):
                         ws.append(None); hs.append(None); cs.append(None)
                         ok.append(False)
                 yield pd.DataFrame({
@@ -254,6 +260,8 @@ def resize_images(df: DataFrame, width: int, height: int,
         png_encode, png_decode, _ = png_codec()  # ship by value
 
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import struct as _struct  # see decode_image_meta's note
+
             import numpy as np
 
             for pdf in batches:
@@ -264,7 +272,7 @@ def resize_images(df: DataFrame, width: int, height: int,
                         continue
                     try:
                         arr, w0, h0, _c = png_decode(bytes(p))
-                    except ValueError:
+                    except (ValueError, _struct.error):
                         ws.append(None); hs.append(None); out.append(None)
                         continue
                     ys = (np.arange(height) * h0) // height
@@ -335,6 +343,8 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
         mfcc = mfcc_fn()
 
         def run_real(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import struct as _struct  # see decode_image_meta's note
+
             import numpy as np
 
             for pdf in batches:
@@ -345,7 +355,7 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload",
                         continue
                     try:
                         x, rate = wav_decode(bytes(p))
-                    except ValueError:
+                    except (ValueError, _struct.error):
                         dur.append(None); rms.append(None); mf.append(None)
                         continue
                     dur.append(len(x) / rate)
@@ -389,6 +399,17 @@ PAYLOAD_SCHEMA = T.StructType([
 ])
 
 
+# every 37th doc in the synthetic media corpora carries a TRUNCATED
+# payload (cut at CORRUPT_TRUNC_AT bytes — mid-IHDR for PNG, mid-fmt
+# for WAV, mid-count for MFV1): real crawls contain undecodable media,
+# and with the corrupt fraction IN the corpora the NULL-row /
+# decode_ok=False contract appears in q130–q132's hash-checked results
+# — DuckDB predicts the NULL rows arithmetically (doc_id % 37 = 0)
+# instead of the error path living only in unit tests (VERDICT r11 #2)
+CORRUPT_EVERY = 37
+CORRUPT_TRUNC_AT = 20
+
+
 def synth_png_corpus(docs: DataFrame) -> DataFrame:
     """REAL PNG payloads, deterministically derived from doc_id so a SQL
     oracle can predict every decoded property arithmetically: width
@@ -396,10 +417,14 @@ def synth_png_corpus(docs: DataFrame) -> DataFrame:
     (grey, RGB, RGBA — all supported color types), every channel of
     pixel (x, y) = (doc_id%256 + x + 3*y) % 256. Encoded through the
     actual codec (``codecs.png_codec``) in mapInPandas, so the bytes on
-    the wire are genuine zlib-compressed PNG scanlines."""
+    the wire are genuine zlib-compressed PNG scanlines. Every 37th doc
+    is truncated to 20 bytes (mid-IHDR — exactly the header-cut class
+    the round-12 ValueError hardening covers), so the corpus carries a
+    deterministic undecodable fraction the oracle predicts."""
     from mapreduce_framework_simple_spark.operators.codecs import png_codec
 
     png_encode, _, _ = png_codec()  # nested fn ships by value
+    corrupt_every, trunc_at = CORRUPT_EVERY, CORRUPT_TRUNC_AT
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -416,7 +441,9 @@ def synth_png_corpus(docs: DataFrame) -> DataFrame:
                 arr = np.repeat(
                     grid.astype(np.uint8)[:, :, None], c, axis=2
                 )
-                out.append(png_encode(arr))
+                data = png_encode(arr)
+                out.append(data[:trunc_at] if d % corrupt_every == 0
+                           else data)
             yield pd.DataFrame({"doc_id": ids, "payload": out})
 
     return docs.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
@@ -427,10 +454,14 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     samples (0.100–0.190 s), constant int16 amplitude (1+doc_id%9)*3000 —
     constant because its RMS is then EXACT in binary floating point
     (amplitude/32768, a dyadic rational), so the oracle can state it in
-    SQL to full precision. Encoded through ``codecs.wav_codec``."""
+    SQL to full precision. Encoded through ``codecs.wav_codec``. Every
+    37th doc is truncated to 20 bytes (mid-fmt-chunk — the short-fmt
+    class the round-12 ValueError hardening covers), so the corpus
+    carries a deterministic undecodable fraction the oracle predicts."""
     from mapreduce_framework_simple_spark.operators.codecs import wav_codec
 
     wav_encode, _ = wav_codec()  # nested fn ships by value
+    corrupt_every, trunc_at = CORRUPT_EVERY, CORRUPT_TRUNC_AT
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -442,9 +473,9 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 n = 1600 + (d % 10) * 160
                 amp = (1 + d % 9) * 3000
-                out.append(wav_encode(
-                    np.full(n, amp, dtype=np.int16), 16000
-                ))
+                data = wav_encode(np.full(n, amp, dtype=np.int16), 16000)
+                out.append(data[:trunc_at] if d % corrupt_every == 0
+                           else data)
             yield pd.DataFrame({"doc_id": ids, "payload": out})
 
     return docs.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
@@ -456,7 +487,8 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
     WITH d AS (SELECT doc_id, doc_id % 256 AS v,
                       1 + doc_id % 16 AS w,
                       1 + (doc_id // 16) % 16 AS h,
-                      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c
+                      CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS c,
+                      doc_id % 37 = 0 AS corrupt
                FROM documents),
     px AS (SELECT d.doc_id,
                   avg(CAST((v + x.x + 3 * y.y) % 256 AS DOUBLE)) AS mean_px
@@ -468,11 +500,16 @@ def synth_wav_corpus(docs: DataFrame) -> DataFrame:
                            AS DOUBLE)) AS rs_mean_px
            FROM d, generate_series(0, 3) xd(x), generate_series(0, 2) yd(y)
            GROUP BY d.doc_id)
-    SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
-           CAST(d.c AS INT) AS channels, TRUE AS decode_ok,
-           round(px.mean_px, 6) AS mean_px,
-           CAST(4 AS INT) AS rs_width, CAST(3 AS INT) AS rs_height,
-           round(rs.rs_mean_px, 6) AS rs_mean_px
+    SELECT d.doc_id,
+           CAST(CASE WHEN corrupt THEN NULL ELSE d.w END AS INT) AS width,
+           CAST(CASE WHEN corrupt THEN NULL ELSE d.h END AS INT) AS height,
+           CAST(CASE WHEN corrupt THEN NULL ELSE d.c END AS INT) AS channels,
+           NOT corrupt AS decode_ok,
+           CASE WHEN corrupt THEN NULL ELSE round(px.mean_px, 6) END AS mean_px,
+           CAST(CASE WHEN corrupt THEN NULL ELSE 4 END AS INT) AS rs_width,
+           CAST(CASE WHEN corrupt THEN NULL ELSE 3 END AS INT) AS rs_height,
+           CASE WHEN corrupt THEN NULL ELSE round(rs.rs_mean_px, 6) END
+               AS rs_mean_px
     FROM d JOIN px USING (doc_id) JOIN rs USING (doc_id)
     """,
 )
@@ -483,10 +520,13 @@ def q130_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     neighbor resize → re-encode → decode again, and report properties
     DuckDB predicts WITHOUT any codec — if any stage (zlib framing,
     CRCs, filter reconstruction, the resize index map) is wrong, the
-    means and dims hash-mismatch. Plan shape: one generated payload
-    frame feeds three Arrow-batched kernels joined on doc_id — at scale
-    each kernel is a narrow per-row pass, no shuffle beyond the final
-    broadcast-sized joins of per-doc scalars."""
+    means and dims hash-mismatch. Since round 12 the corpus carries a
+    deterministic UNDECODABLE fraction (every 37th doc truncated
+    mid-IHDR), so the NULL-row / decode_ok=False error contract is in
+    the hash-checked result too, not just unit tests. Plan shape: one
+    generated payload frame feeds three Arrow-batched kernels joined on
+    doc_id — at scale each kernel is a narrow per-row pass, no shuffle
+    beyond the final broadcast-sized joins of per-doc scalars."""
     from mapreduce_framework_simple_spark.ephemeral import scoped_cache
     from mapreduce_framework_simple_spark.operators.codecs import png_codec
 
@@ -506,14 +546,23 @@ def q130_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ])
 
         def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import struct as _struct  # see decode_image_meta's note
+
             for pdf in batches:
                 means = []
                 for p in pdf["payload"]:
-                    arr, _w, _h, _c = png_decode(bytes(p))
+                    if p is None:  # upstream NULL (e.g. resize of corrupt)
+                        means.append(None)
+                        continue
+                    try:
+                        arr, _w, _h, _c = png_decode(bytes(p))
+                    except (ValueError, _struct.error):
+                        means.append(None)
+                        continue
                     means.append(round(float(arr.mean()), 6))
                 yield pd.DataFrame(
                     {"doc_id": pdf["doc_id"].astype("int64"),
-                     f"{prefix}mean_px": means}
+                     f"{prefix}mean_px": pd.array(means, dtype="Float64")}
                 )
 
         return run, out_schema
@@ -543,10 +592,14 @@ def q130_png_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q131_wav_codec_features",
     oracle="""
     SELECT doc_id,
-           round(CAST(1600 + (doc_id % 10) * 160 AS DOUBLE) / 16000.0, 6)
-               AS duration_s,
-           round(CAST((1 + doc_id % 9) * 3000 AS DOUBLE) / 32768.0, 6)
-               AS rms
+           CASE WHEN doc_id % 37 = 0 THEN NULL
+                ELSE round(CAST(1600 + (doc_id % 10) * 160 AS DOUBLE)
+                           / 16000.0, 6)
+           END AS duration_s,
+           CASE WHEN doc_id % 37 = 0 THEN NULL
+                ELSE round(CAST((1 + doc_id % 9) * 3000 AS DOUBLE)
+                           / 32768.0, 6)
+           END AS rms
     FROM documents
     """,
 )
@@ -556,8 +609,10 @@ def q131_wav_codec_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_id), decode with the RIFF parser and report duration and RMS —
     both EXACT dyadic rationals the oracle states arithmetically
     (amplitude/32768 survives square/mean/sqrt exactly in IEEE754 for a
-    constant signal). The 13 real MFCCs ride the same decode pass and
-    are bounds-tested in the unit suite (not SQL-expressible)."""
+    constant signal). Since round 12 every 37th doc is truncated
+    mid-fmt, so the NULL-features error contract is hash-checked too.
+    The 13 real MFCCs ride the same decode pass and are bounds-tested
+    in the unit suite (not SQL-expressible)."""
     docs = load_table(spark, "documents", sf_dir)
     feats = extract_audio_features(synth_wav_corpus(docs))
     return feats.select(
@@ -580,7 +635,11 @@ def synth_video_corpus(docs: DataFrame) -> DataFrame:
     """REAL multi-frame payloads from doc_id: 2 + doc_id%4 PNG frames
     (4x3 grey, every pixel of frame f = (doc_id + 17*f) % 256) packed
     into the MFV1 length-prefixed container (``codecs.video_container``)
-    — every sampled frame's mean is oracle arithmetic."""
+    — every sampled frame's mean is oracle arithmetic. Every 37th doc
+    is truncated to 6 bytes (magic intact, frame count cut), so the
+    corpus carries a deterministic undecodable fraction: those docs
+    surface as ONE NULL row each (frame_idx NULL) in q132, predicted
+    by the oracle."""
     from mapreduce_framework_simple_spark.operators.codecs import (
         png_codec,
         video_container,
@@ -588,6 +647,7 @@ def synth_video_corpus(docs: DataFrame) -> DataFrame:
 
     png_encode, _, _ = png_codec()
     pack, _ = video_container()
+    corrupt_every = CORRUPT_EVERY
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -602,7 +662,8 @@ def synth_video_corpus(docs: DataFrame) -> DataFrame:
                                        dtype=np.uint8))
                     for f in range(2 + d % 4)
                 ]
-                out.append(pack(frames))
+                data = pack(frames)
+                out.append(data[:6] if d % corrupt_every == 0 else data)
             yield pd.DataFrame({"doc_id": ids, "payload": out})
 
     return docs.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
@@ -610,17 +671,26 @@ def synth_video_corpus(docs: DataFrame) -> DataFrame:
 
 def sample_frames(df: DataFrame, every_k: int = 2,
                   payload_col: str = "payload",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  max_frames: int = 1 << 10) -> DataFrame:
     """REAL frame sampling over multi-frame binary payloads: unpack the
     MFV1 container, keep every ``every_k``-th frame (idx 0, k, 2k, …),
     decode each kept frame and emit its dims + pixel mean — the
     video-pipeline shape (demux → stride-sample → per-frame decode)
     with rows multiplying by the sampled frame count, which is exactly
     what partition sizing must account for at scale (module doc).
-    Undecodable containers yield one NULL row (frame_idx NULL); a bad
-    FRAME inside a good container yields a NULL row for that frame."""
+    ``max_frames`` caps the SAMPLED frames per payload (default 1024):
+    the container itself admits up to 2**20 frames (codecs.py), so
+    without this cap one adversarial payload could multiply its row a
+    million-fold inside a single Arrow batch; the cap keeps the
+    worst-case output of a batch bounded at rows × max_frames, which
+    is what partition sizing can actually plan for. Undecodable
+    containers yield one NULL row (frame_idx NULL); a bad FRAME inside
+    a good container yields a NULL row for that frame."""
     if every_k < 1:
         raise ValueError(f"every_k must be >= 1, got {every_k}")
+    if max_frames < 1:
+        raise ValueError(f"max_frames must be >= 1, got {max_frames}")
     from mapreduce_framework_simple_spark.operators.codecs import (
         png_codec,
         video_container,
@@ -628,9 +698,16 @@ def sample_frames(df: DataFrame, every_k: int = 2,
 
     _, png_decode, _ = png_codec()
     _, unpack = video_container()
-    k = every_k
+    k, cap = every_k, max_frames
+
+    def sample_idx(n_frames: int):
+        # stride sample, then the hard per-payload cap (row-explosion
+        # bound — see docstring); range slicing keeps this allocation-free
+        return range(0, n_frames, k)[:cap]
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct  # see decode_image_meta's note
+
         for pdf in batches:
             ids, idxs, ws, hs, means = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col].astype("int64"),
@@ -641,15 +718,15 @@ def sample_frames(df: DataFrame, every_k: int = 2,
                     continue
                 try:
                     frames = unpack(bytes(p))
-                except ValueError:
+                except (ValueError, _struct.error):
                     ids.append(doc_id); idxs.append(None)
                     ws.append(None); hs.append(None); means.append(None)
                     continue
-                for f in range(0, len(frames), k):
+                for f in sample_idx(len(frames)):
                     ids.append(doc_id); idxs.append(f)
                     try:
                         arr, w, h, _c = png_decode(frames[f])
-                    except ValueError:
+                    except (ValueError, _struct.error):
                         ws.append(None); hs.append(None); means.append(None)
                         continue
                     ws.append(w); hs.append(h)
@@ -668,12 +745,19 @@ def sample_frames(df: DataFrame, every_k: int = 2,
 @query(
     "q132_frame_extract",
     oracle="""
-    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames FROM documents)
+    WITH d AS (SELECT doc_id, 2 + doc_id % 4 AS n_frames,
+                      doc_id % 37 = 0 AS corrupt
+               FROM documents)
     SELECT d.doc_id, CAST(f.f AS INT) AS frame_idx,
            CAST(4 AS INT) AS width, CAST(3 AS INT) AS height,
            CAST((d.doc_id + 17 * f.f) % 256 AS DOUBLE) AS mean_px
     FROM d, generate_series(0, 5) f(f)
-    WHERE f.f < d.n_frames AND f.f % 2 = 0
+    WHERE NOT corrupt AND f.f < d.n_frames AND f.f % 2 = 0
+    UNION ALL
+    SELECT doc_id, CAST(NULL AS INT) AS frame_idx,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(NULL AS DOUBLE) AS mean_px
+    FROM d WHERE corrupt
     """,
 )
 def q132_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,8 +765,11 @@ def q132_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine multi-frame containers (2–5 real PNG frames each, constant
     pixel value (doc_id + 17*frame) % 256), demux, keep every 2nd
     frame, decode each kept frame — DuckDB predicts the sampled index
-    set, the dims and every frame mean arithmetically. Replaces-in-
-    spirit q71's hash-identified pseudo-frames (kept for the explode
-    plumbing) with the actual decode path a video pipeline runs."""
+    set, the dims and every frame mean arithmetically. Since round 12
+    every 37th doc's container is truncated mid-count, so each corrupt
+    doc surfaces as ONE all-NULL frame row in the hash-checked result
+    (the undecodable-container contract). Replaces-in-spirit q71's
+    hash-identified pseudo-frames (kept for the explode plumbing) with
+    the actual decode path a video pipeline runs."""
     docs = load_table(spark, "documents", sf_dir)
     return sample_frames(synth_video_corpus(docs), every_k=2)

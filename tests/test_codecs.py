@@ -88,31 +88,78 @@ def test_png_decoder_inverts_all_five_filters():
             assert np.array_equal(out, a), f"filter {ftype}, channels {c}"
 
 
+def test_png_filters_at_realistic_width():
+    """Round-12 filter rewrite at a realistic scanline width (2048 px
+    RGB): Sub must decode through the vectorized per-channel cumsum
+    (measured ~107x the former per-byte loop), Average/Paeth through
+    the list loop — all bit-exact against the independent test-side
+    forward filter."""
+    _, dec, _ = png_codec()
+    rng = np.random.default_rng(19)
+    a = rng.integers(0, 256, size=(4, 2048, 3), dtype=np.uint8)
+    for ftype in (1, 3, 4):
+        out, w, h, c = dec(_manual_png(a, ftype))
+        assert (w, h, c) == (2048, 4, 3)
+        assert np.array_equal(out, a), f"filter {ftype}"
+
+
+def _png_chunk(tag: bytes, d: bytes) -> bytes:
+    return (struct.pack(">I", len(d)) + tag + d
+            + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
+
+
 def test_png_rejects_corrupt_and_bombs():
-    enc, dec, meta = png_codec()
+    enc, dec, _ = png_codec()
     good = enc(np.zeros((4, 4, 3), dtype=np.uint8))
     for bad in (
         b"",                                   # empty
         b"not a png at all",                   # bad signature
+        good[:20],                             # truncated mid-IHDR body
         good[:30],                             # truncated mid-chunk
         good[:-4] + b"\x00\x00\x00\x00",       # IEND CRC corrupted
         good[:33] + bytes([good[33] ^ 0xFF]) + good[34:],  # flipped byte
     ):
         with pytest.raises(ValueError):
             dec(bad)
-        with pytest.raises(ValueError):
-            meta(bad) if len(bad) < 29 else dec(bad)
+    # IHDR length field lies (5-byte body, CRC valid): the spec
+    # violation must surface as ValueError — the pre-round-12 decoder
+    # let struct.unpack raise struct.error here, which escaped the
+    # kernels' NULL-row contract (ADVICE r11)
+    lying = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", b"\x00" * 5)
+             + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+             + _png_chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        dec(lying)
     # bomb guard: IHDR claims 1x1 but IDAT inflates to far more
-    def chunk(tag, d):
-        return (struct.pack(">I", len(d)) + tag + d
-                + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
-    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
-            + chunk(b"IEND", b""))
+    bomb = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 1_000_000))
+            + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         dec(bomb)
+
+
+def test_png_meta_rejection_matrix():
+    """meta() exercised on ITS OWN rejection inputs (ADVICE r11: the
+    old test conditionally fell back to dec(), so meta() was never
+    tested on payloads >= 29 bytes and its truncated-header
+    struct.error escape went unnoticed)."""
+    enc, _, meta = png_codec()
+    good = enc(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert meta(good) == (4, 4, 3)
+    for bad in (
+        b"",                         # empty
+        b"not a png at all",         # bad signature
+        good[:12],                   # sig ok, IHDR tag cut off
+        good[:16],                   # sig + tag, body absent
+        good[:20],                   # truncated mid-IHDR (the ADVICE case)
+        good[:28],                   # one byte short of a full header
+        good[:24] + bytes([7]) + good[25:],   # depth 7 unsupported
+        good[:25] + bytes([3]) + good[26:],   # palette color unsupported
+        good[:28] + bytes([1]) + good[29:],   # interlaced unsupported
+    ):
+        with pytest.raises(ValueError):
+            meta(bad)
 
 
 def test_wav_roundtrip_and_channel_mixdown():
@@ -136,6 +183,34 @@ def test_wav_roundtrip_and_channel_mixdown():
     for bad in (b"", b"RIFFxxxxNOPE", buf[:20]):
         with pytest.raises(ValueError):
             dec(bad)
+
+
+def test_wav_rejection_matrix():
+    """Every invalid-WAV class must raise ValueError — the pre-round-12
+    decoder let a short fmt chunk raise struct.error and accepted
+    rate=0 (ZeroDivisionError downstream at duration = samples/rate),
+    both escaping the kernels' NULL-row contract (ADVICE r11)."""
+    _, dec = wav_codec()
+
+    def riff(fmt_body: bytes, data_body: bytes = b"\x00\x00") -> bytes:
+        inner = (b"WAVE"
+                 + b"fmt " + struct.pack("<I", len(fmt_body)) + fmt_body
+                 + b"data" + struct.pack("<I", len(data_body)) + data_body)
+        return b"RIFF" + struct.pack("<I", len(inner)) + inner
+
+    good = riff(struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16))
+    x, rate = dec(good)
+    assert rate == 8000 and len(x) == 1  # the harness itself is valid
+    for bad_fmt in (
+        struct.pack("<HHI", 1, 1, 16000),                  # 8-byte fmt (short)
+        b"",                                               # empty fmt
+        struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16),         # rate 0
+        struct.pack("<HHIIHH", 1, 0, 16000, 32000, 2, 16),  # 0 channels
+        struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32),  # float PCM
+        struct.pack("<HHIIHH", 1, 1, 16000, 48000, 3, 24),  # 24-bit
+    ):
+        with pytest.raises(ValueError):
+            dec(riff(bad_fmt))
 
 
 def test_mfcc_is_deterministic_and_discriminative():
@@ -189,8 +264,11 @@ def test_real_paths_null_and_corrupt_propagation(spark):
     wenc, _ = wav_codec()
     png = bytearray(enc(np.full((2, 3, 3), 9, dtype=np.uint8)))
     wav = bytearray(wenc(np.full(1600, 3000, dtype=np.int16), 16000))
+    # doc 4: header truncated mid-IHDR (the ADVICE r11 struct.error
+    # escape class — must be a NULL row, not a query crash)
     df = spark.createDataFrame(
-        [(1, png), (2, bytearray(b"garbage")), (3, None)],
+        [(1, png), (2, bytearray(b"garbage")), (3, None),
+         (4, bytearray(bytes(png)[:20]))],
         "doc_id long, payload binary",
     )
     meta = {r["doc_id"]: r for r in decode_image_meta(df).collect()}
@@ -198,13 +276,23 @@ def test_real_paths_null_and_corrupt_propagation(spark):
             meta[1]["decode_ok"]) == (3, 2, 3, True)
     assert meta[2]["decode_ok"] is False and meta[2]["width"] is None
     assert meta[3]["decode_ok"] is None and meta[3]["n_bytes"] is None
+    assert meta[4]["decode_ok"] is False and meta[4]["n_bytes"] == 20
 
     rz = {r["doc_id"]: r for r in resize_images(df, 2, 2).collect()}
     assert rz[1]["payload"] is not None and rz[1]["width"] == 2
     assert rz[2]["payload"] is None and rz[3]["payload"] is None
+    assert rz[4]["payload"] is None
 
+    # doc 4: fmt chunk truncated; doc 5: rate 0 — both former crash
+    # classes (struct.error / ZeroDivisionError), now NULL rows
     adf = spark.createDataFrame(
-        [(1, wav), (2, bytearray(b"garbage")), (3, None)],
+        [(1, wav), (2, bytearray(b"garbage")), (3, None),
+         (4, bytearray(bytes(wav)[:30])),
+         (5, bytearray(
+             b"RIFF" + struct.pack("<I", 38) + b"WAVE"
+             + b"fmt " + struct.pack("<I", 16)
+             + struct.pack("<HHIIHH", 1, 1, 0, 0, 2, 16)
+             + b"data" + struct.pack("<I", 2) + b"\x00\x00"))],
         "doc_id long, payload binary",
     )
     au = {r["doc_id"]: r for r in extract_audio_features(adf).collect()}
@@ -212,6 +300,7 @@ def test_real_paths_null_and_corrupt_propagation(spark):
     assert au[1]["rms"] == 3000 / 32768.0  # exact dyadic rational
     assert len(au[1]["mfcc"]) == 13
     assert au[2]["duration_s"] is None and au[3]["mfcc"] is None
+    assert au[4]["duration_s"] is None and au[5]["duration_s"] is None
 
 
 def test_video_container_roundtrip_and_rejection():
@@ -265,6 +354,31 @@ def test_sample_frames_mixed_rows(spark):
     assert [(r["frame_idx"], r["mean_px"]) for r in
             sorted(by_doc[4], key=lambda r: r["frame_idx"])] == [
         (0, 10.0), (2, 30.0)]
+
+
+def test_sample_frames_max_frames_cap(spark):
+    """The per-payload row-explosion bound: the MFV1 container admits
+    up to 2**20 frames, so max_frames caps what one payload can emit
+    into a batch — 10 frames at stride 2 capped to 3 keeps idx 0,2,4."""
+    from mapreduce_framework_simple_spark.operators.codecs import (
+        png_codec,
+        video_container,
+    )
+    from mapreduce_framework_simple_spark.operators.multimodal import (
+        sample_frames,
+    )
+
+    enc, _, _ = png_codec()
+    pack, _ = video_container()
+    frames = [enc(np.full((1, 1), v, dtype=np.uint8)) for v in range(10)]
+    df = spark.createDataFrame(
+        [(1, bytearray(pack(frames)))], "doc_id long, payload binary",
+    )
+    rows = sample_frames(df, every_k=2, max_frames=3).collect()
+    assert sorted((r["frame_idx"], r["mean_px"]) for r in rows) == [
+        (0, 0.0), (2, 2.0), (4, 4.0)]
+    with pytest.raises(ValueError):
+        sample_frames(df, every_k=2, max_frames=0)
 
 
 def test_png_bomb_guard_catches_flush_boundary_bombs():
