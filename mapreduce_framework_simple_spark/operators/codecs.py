@@ -19,7 +19,9 @@ Supported surface (validated, fail-loud outside it):
   (encode emits filter 0); CRC-verified chunks; decompression output
   capped at the size IHDR implies (bomb guard).
 * WAV: RIFF/WAVE, PCM (format 1), 8- or 16-bit, any channel count
-  (decoded to mono float64 in [-1, 1), 16-bit scale 1/32768).
+  (decoded to mono float64 in [-1, 1), 16-bit scale 1/32768); sample
+  rate capped at 1 MHz (the MFCC framer's memory-bomb guard — see
+  decode()).
 * MFCC: 13 coefficients, 26-filter mel bank, 25 ms / 10 ms Hann frames,
   orthonormal DCT-II — the standard recipe, hand-rolled in numpy.
 
@@ -154,7 +156,14 @@ def png_codec():
         # when the cap lands on a flush boundary; eof False also rejects
         # a TRUNCATED stream whose end marker never arrived.
         d = zlib.decompressobj()
-        raw = d.decompress(b"".join(idat), expected)
+        try:
+            raw = d.decompress(b"".join(idat), expected)
+        except zlib.error as e:
+            # corrupt-but-CRC-valid deflate data (an attacker recomputes
+            # chunk CRCs for free) must surface as ValueError — the
+            # kernels' NULL-row contract — not as zlib.error crashing
+            # the whole mapInPandas batch
+            raise ValueError(f"corrupt IDAT stream: {e}") from None
         if not d.eof or d.unconsumed_tail or len(raw) != expected:
             raise ValueError("IDAT size does not match dimensions")
         rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + stride)
@@ -277,11 +286,18 @@ def wav_codec():
             raise ValueError(f"fmt chunk too short ({len(fmt)} < 16 bytes)")
         audio_fmt, n_ch, rate, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
         # rate < 1 would make duration = samples/rate divide by zero
-        # downstream — reject it here as the invalid input it is
+        # downstream; rate is an attacker-controlled u32, and the MFCC
+        # framer allocates O(rate*0.025) per frame — an unbounded rate
+        # is a per-row memory bomb (4 GHz ⇒ ~800 MB of padding for a
+        # 10-sample clip), the WAV analogue of PNG's MAX_PIXELS. 1 MHz
+        # covers every real audio rate (top standard: 384 kHz) with
+        # headroom; reject beyond it.
         if audio_fmt != 1 or bits not in (8, 16) or n_ch < 1 or rate < 1:
             raise ValueError(
                 f"unsupported WAV (fmt={audio_fmt}, bits={bits}, rate={rate})"
             )
+        if rate > 1_000_000:
+            raise ValueError(f"sample rate {rate} outside supported bound")
         if bits == 16:
             x = np.frombuffer(pcm[: len(pcm) - len(pcm) % (2 * n_ch)],
                               dtype="<i2").astype(np.float64) / 32768.0

@@ -400,3 +400,131 @@ def test_png_bomb_guard_catches_flush_boundary_bombs():
             + chunk(b"IDAT", part + rest) + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         dec(bomb)
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: the NULL-row contract says a corrupt payload yields ValueError
+# (which the mapInPandas kernels turn into a NULL row) — ANY other
+# exception class escaping a decoder crashes the whole query. ADVICE r11
+# found two such escapes by hand (struct.error, ZeroDivisionError);
+# these hypothesis cases search the input space systematically. Two
+# regimes: pure-random bytes (shallow — dies at the magic check) and
+# structure-aware mutations of VALID payloads (penetrate the parsers;
+# PNG chunk CRCs are recomputed after mutation so corruption reaches the
+# deflate layer, the zlib.error path).
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _png_rechunk_crc(buf: bytes) -> bytes:
+    """Recompute every chunk CRC of a (possibly mutated) PNG so the
+    mutation survives past the CRC check — an attacker does exactly
+    this for free."""
+    if buf[:8] != b"\x89PNG\r\n\x1a\n":
+        return buf
+    out, pos = [buf[:8]], 8
+    while pos + 12 <= len(buf):
+        (length,) = struct.unpack(">I", buf[pos:pos + 4])
+        if pos + 12 + length > len(buf):
+            break
+        tag_body = buf[pos + 4:pos + 8 + length]
+        out.append(buf[pos:pos + 8 + length])
+        out.append(struct.pack(">I", zlib.crc32(tag_body) & 0xFFFFFFFF))
+        pos += 12 + length
+    out.append(buf[pos:])
+    return b"".join(out)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.binary(max_size=600))
+def test_fuzz_random_bytes_only_valueerror(data):
+    enc_p, dec_p, meta_p = png_codec()
+    _, dec_w = wav_codec()
+    from mapreduce_framework_simple_spark.operators.codecs import (
+        video_container,
+    )
+    _, unpack = video_container()
+    for fn in (dec_p, meta_p, dec_w, unpack):
+        try:
+            fn(data)
+        except ValueError:
+            pass  # the contract
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    trunc=st.integers(0, 200),
+    flip_at=st.integers(0, 199),
+    flip_to=st.integers(0, 255),
+    rechunk=st.booleans(),
+)
+def test_fuzz_mutated_png_only_valueerror(trunc, flip_at, flip_to, rechunk):
+    enc, dec, meta = png_codec()
+    good = enc(np.arange(48, dtype=np.uint8).reshape(4, 4, 3))
+    buf = bytearray(good)
+    if flip_at < len(buf):
+        buf[flip_at] = flip_to
+    mutated = bytes(buf)[: max(1, min(len(buf), trunc + len(buf) - 200))]
+    if rechunk:  # survive the CRC check → reach deflate/IHDR validation
+        mutated = _png_rechunk_crc(mutated)
+    for fn in (dec, meta):
+        try:
+            out = fn(mutated)
+        except ValueError:
+            continue
+        if fn is dec:  # a survivable mutation must still decode sanely
+            arr, w, h, c = out
+            assert arr.shape == (h, w, c)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    flip_at=st.integers(0, 127),
+    flip_to=st.integers(0, 255),
+    trunc_tail=st.integers(0, 128),
+)
+def test_fuzz_mutated_wav_only_valueerror_and_bounded(flip_at, flip_to,
+                                                     trunc_tail):
+    enc, dec = wav_codec()
+    mfcc = mfcc_fn()
+    good = enc(np.arange(-20, 20, dtype=np.int16), 8000)
+    buf = bytearray(good)
+    if flip_at < len(buf):
+        buf[flip_at] = flip_to
+    mutated = bytes(buf)[: len(buf) - trunc_tail] if trunc_tail else bytes(buf)
+    try:
+        x, rate = dec(mutated)
+    except ValueError:
+        return  # the contract
+    # a survivable mutation must leave the downstream feature path safe:
+    # rate bounded (no ZeroDivision, no MFCC padding bomb), finite signal
+    assert 1 <= rate <= 1_000_000
+    assert len(mfcc(x, rate)) == 13
+
+
+def test_wav_rejects_memory_bomb_rates():
+    """A crafted rate of 4 GHz would make the MFCC framer pad a
+    10-sample clip to ~10^8 samples (~800 MB) — the WAV analogue of the
+    PNG decompression bomb. The decoder must reject it outright."""
+    enc, dec = wav_codec()
+    good = bytearray(enc(np.zeros(10, dtype=np.int16), 8000))
+    # fmt chunk starts at byte 20; sample rate is its u32 at offset +4
+    struct.pack_into("<I", good, 20 + 4, 0xEE6B2800)  # 4_000_000_000 Hz
+    with pytest.raises(ValueError, match="outside supported bound"):
+        dec(bytes(good))
+    dec(bytes(enc(np.zeros(10, dtype=np.int16), 384_000)))  # top real rate ok
+
+
+def test_png_corrupt_idat_with_valid_crc_is_valueerror():
+    """Corrupt deflate data behind a RECOMPUTED (valid) CRC must raise
+    ValueError, not zlib.error — the CRC check is free for an attacker
+    to satisfy, so it is not the layer the contract can rely on."""
+    enc, dec, _ = png_codec()
+    good = bytearray(enc(np.zeros((4, 4, 3), dtype=np.uint8)))
+    # IDAT body starts after sig(8) + IHDR chunk(12+13); corrupt its
+    # middle byte, then fix every CRC
+    idat_body_at = 8 + 25 + 8
+    good[idat_body_at + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        dec(_png_rechunk_crc(bytes(good)))
