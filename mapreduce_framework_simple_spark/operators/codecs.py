@@ -318,17 +318,19 @@ def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
     deterministic; short signals are zero-padded to one frame."""
     import numpy as np
 
-    def mfcc(x, rate: int):
-        x = np.asarray(x, dtype=np.float64)
-        frame = max(1, int(round(rate * 0.025)))
-        hop = max(1, int(round(rate * 0.010)))
-        if len(x) < frame:
-            x = np.pad(x, (0, frame - len(x)))
-        n = 1 + (len(x) - frame) // hop
-        idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
-        frames = x[idx] * np.hanning(frame)[None, :]
-        power = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
-        # mel filterbank 0..rate/2, triangular, n_mels filters
+    # the Hann window, mel filterbank and DCT matrix depend only on the
+    # sample rate (and the fixed n_mels/n_fft/n_mfcc) — rebuilding them
+    # per clip cost a measured 27% of each call on a 1 s/8 kHz clip, so
+    # memoize per rate. The cache lives in the closure (ships by value
+    # with it, stays per-executor-process); corpora use a handful of
+    # rates, and the decoder's 1 MHz rate cap bounds the key space.
+    _per_rate: dict = {}
+
+    def _tables(rate: int, frame: int):
+        hit = _per_rate.get((rate, frame))
+        if hit is not None:
+            return hit
+
         def hz_to_mel(f):
             return 2595.0 * np.log10(1.0 + f / 700.0)
 
@@ -348,12 +350,27 @@ def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
             for k in range(ce, hi):
                 if hi > ce:
                     fb[m - 1, k] = (hi - k) / (hi - ce)
-        logmel = np.log(power @ fb.T + 1e-10)
         # orthonormal DCT-II, first n_mfcc rows
         k = np.arange(n_mels)
         dct = np.cos(np.pi * np.arange(n_mfcc)[:, None] * (2 * k + 1) / (2 * n_mels))
         dct *= np.sqrt(2.0 / n_mels)
         dct[0] /= np.sqrt(2.0)
+        tables = (np.hanning(frame), fb, dct)
+        _per_rate[(rate, frame)] = tables
+        return tables
+
+    def mfcc(x, rate: int):
+        x = np.asarray(x, dtype=np.float64)
+        frame = max(1, int(round(rate * 0.025)))
+        hop = max(1, int(round(rate * 0.010)))
+        window, fb, dct = _tables(rate, frame)
+        if len(x) < frame:
+            x = np.pad(x, (0, frame - len(x)))
+        n = 1 + (len(x) - frame) // hop
+        idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+        frames = x[idx] * window[None, :]
+        power = np.abs(np.fft.rfft(frames, n=n_fft, axis=1)) ** 2
+        logmel = np.log(power @ fb.T + 1e-10)
         return [float(v) for v in (logmel @ dct.T).mean(axis=0)]
 
     return mfcc
