@@ -323,8 +323,13 @@ def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
     # per clip cost a measured 27% of each call on a 1 s/8 kHz clip, so
     # memoize per rate. The cache lives in the closure (ships by value
     # with it, stays per-executor-process); corpora use a handful of
-    # rates, and the decoder's 1 MHz rate cap bounds the key space.
+    # rates. The entry count is hard-capped: ~1M distinct rates fit
+    # under the decoder's 1 MHz bound, at ~200 KB of tables each — an
+    # adversarial corpus cycling rates would otherwise grow the cache
+    # into executor memory. Past the cap, compute uncached (correct,
+    # just slower) rather than evict — real corpora never get there.
     _per_rate: dict = {}
+    _cache_cap = 64
 
     def _tables(rate: int, frame: int):
         hit = _per_rate.get((rate, frame))
@@ -356,7 +361,8 @@ def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
         dct *= np.sqrt(2.0 / n_mels)
         dct[0] /= np.sqrt(2.0)
         tables = (np.hanning(frame), fb, dct)
-        _per_rate[(rate, frame)] = tables
+        if len(_per_rate) < _cache_cap:
+            _per_rate[(rate, frame)] = tables
         return tables
 
     def mfcc(x, rate: int):

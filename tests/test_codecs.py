@@ -528,3 +528,23 @@ def test_png_corrupt_idat_with_valid_crc_is_valueerror():
     good[idat_body_at + 6] ^= 0xFF
     with pytest.raises(ValueError):
         dec(_png_rechunk_crc(bytes(good)))
+
+
+def test_mfcc_table_cache_is_bounded():
+    """The per-rate table cache must not grow with adversarial rate
+    diversity (each entry holds ~200 KB of window/filterbank/DCT; the
+    1 MHz rate cap alone would admit ~10^6 keys). Past the cap the
+    computation falls back to uncached — identical values, no growth."""
+    mfcc = mfcc_fn()
+    x = np.zeros(512)
+    for rate in range(1000, 1000 + 200):  # 200 distinct rates
+        mfcc(x, rate)
+    # _per_rate lives in _tables' closure; reach it through mfcc's cell
+    tables_fn = next(c.cell_contents for c in mfcc.__closure__
+                     if callable(c.cell_contents)
+                     and getattr(c.cell_contents, "__name__", "") == "_tables")
+    caches = [c.cell_contents for c in tables_fn.__closure__
+              if isinstance(c.cell_contents, dict)]
+    assert len(caches) == 1 and len(caches[0]) <= 64
+    # an uncached rate still computes, bit-identical to a fresh factory
+    assert mfcc(x, 999_999) == mfcc_fn()(x, 999_999)
