@@ -308,22 +308,35 @@ def main() -> None:
     trend_timings: dict[str, float] = {}
     for name in HEADLINE + TREND:
         fn = QUERIES[name]
-        best = None
-        for _ in range(3):
-            release_caches()  # drain the scoped-cache registry too —
-            # clearCache() frees storage but not the handle list.
-            # The SESSION MEMO (ephemeral.memo_*) is deliberately NOT
-            # cleared: a long-lived session is this bench's stated
-            # steady-state contract, the first timed run of a memoized
-            # query still pays the full build (clearCache drops the
-            # DATA; only the one-per-session guard audit is skipped on
-            # later runs), and the driver's own sweep runs warm too
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+        try:
+            best = None
+            for _ in range(3):
+                release_caches()  # drain the scoped-cache registry too —
+                # clearCache() frees storage but not the handle list.
+                # The SESSION MEMO (ephemeral.memo_*) is deliberately NOT
+                # cleared: a long-lived session is this bench's stated
+                # steady-state contract, the first timed run of a memoized
+                # query still pays the full build (clearCache drops the
+                # DATA; only the one-per-session guard audit is skipped on
+                # later runs), and the driver's own sweep runs warm too
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        except Exception as e:  # noqa: BLE001 — trend-only isolation
+            # a TREND query failure must not cost the round its headline
+            # artifact (the 19-query set is the series' stable compare);
+            # stamp the failure visibly and keep sweeping. A HEADLINE
+            # failure still aborts: a partial headline total would be
+            # quoted as if comparable, which is worse than no artifact.
+            if name in TREND:
+                trend_timings[name] = None
+                print(f"# {name}: FAILED ({type(e).__name__}: {e})",
+                      file=sys.stderr)
+                continue
+            raise
         tgt = trend_timings if name in TREND else timings
         tgt[name] = round(best, 3)
         print(f"# {name}: {tgt[name]:.2f}s ({n} rows)", file=sys.stderr)

@@ -228,11 +228,22 @@ def png_codec():
         # contract), not let struct.unpack raise struct.error
         if len(buf) < 29:
             raise ValueError("truncated PNG header")
+        # meta() must reject EVERYTHING decode() would reject from the
+        # IHDR alone — otherwise a crafted header reports decode_ok=True
+        # with dims the pixel path will refuse (0x0, bomb-sized, or a
+        # lying length field), splitting the meta/decode contract
+        (ihdr_len,) = struct.unpack(">I", buf[8:12])
+        if ihdr_len != 13:
+            raise ValueError(f"IHDR body must be 13 bytes, got {ihdr_len}")
         w, h, depth, color, comp, filt, interlace = struct.unpack(
             ">IIBBBBB", buf[16:29]
         )
-        if depth != 8 or color not in _color_to_ch or interlace != 0:
-            raise ValueError("unsupported depth/color/interlace")
+        if depth != 8 or color not in _color_to_ch:
+            raise ValueError(f"unsupported depth/color {depth}/{color}")
+        if comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError("unsupported compression/filter/interlace")
+        if not (1 <= w and 1 <= h) or w * h > max_pixels:
+            raise ValueError(f"dimensions {w}x{h} outside supported bound")
         return w, h, _color_to_ch[color]
 
     return encode, decode, meta
@@ -332,7 +343,10 @@ def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
     _cache_cap = 64
 
     def _tables(rate: int, frame: int):
-        hit = _per_rate.get((rate, frame))
+        # keyed on rate alone: frame is a pure function of rate (the
+        # caller computes it with the one fixed 25 ms formula), so a
+        # second key component would only invite a mismatched pairing
+        hit = _per_rate.get(rate)
         if hit is not None:
             return hit
 
@@ -362,7 +376,7 @@ def mfcc_fn(n_mfcc: int = 13, n_mels: int = 26, n_fft: int = 512):
         dct[0] /= np.sqrt(2.0)
         tables = (np.hanning(frame), fb, dct)
         if len(_per_rate) < _cache_cap:
-            _per_rate[(rate, frame)] = tables
+            _per_rate[rate] = tables
         return tables
 
     def mfcc(x, rate: int):

@@ -53,15 +53,11 @@ def _manual_png(a: np.ndarray, ftype: int) -> bytes:
         rows.append(bytes([ftype]) + bytes(f.astype(np.uint8)))
         prev = raw
 
-    def chunk(tag, d):
-        return (struct.pack(">I", len(d)) + tag + d
-                + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, {1: 0, 2: 4, 3: 2, 4: 6}[c],
                        0, 0, 0)
-    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
-            + chunk(b"IEND", b""))
+    return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + _png_chunk(b"IEND", b""))
 
 
 def test_png_roundtrip_all_shapes_and_meta():
@@ -157,9 +153,22 @@ def test_png_meta_rejection_matrix():
         good[:24] + bytes([7]) + good[25:],   # depth 7 unsupported
         good[:25] + bytes([3]) + good[26:],   # palette color unsupported
         good[:28] + bytes([1]) + good[29:],   # interlaced unsupported
+        good[:26] + bytes([9]) + good[27:],   # compression 9 unsupported
+        good[:8] + struct.pack(">I", 5) + good[12:],  # lying IHDR length
     ):
         with pytest.raises(ValueError):
             meta(bad)
+    # dims decode() would refuse must be refused by meta() too — a
+    # crafted header must not report decode_ok=True with dims the
+    # pixel path rejects (code-review r12 finding)
+    def hdr(w, h):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+        return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+                + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+                + _png_chunk(b"IEND", b""))
+    for w, h in ((0, 0), (0, 4), (4, 0), (65536, 65536)):
+        with pytest.raises(ValueError, match="outside supported bound"):
+            meta(hdr(w, h))
 
 
 def test_wav_roundtrip_and_channel_mixdown():
@@ -391,13 +400,9 @@ def test_png_bomb_guard_catches_flush_boundary_bombs():
     part = co.compress(b"\x00\x00") + co.flush(zlib.Z_FULL_FLUSH)
     rest = co.compress(b"\x00" * 100_000) + co.flush()
 
-    def chunk(tag, d):
-        return (struct.pack(">I", len(d)) + tag + d
-                + struct.pack(">I", zlib.crc32(tag + d) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
-    bomb = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", part + rest) + chunk(b"IEND", b""))
+    bomb = (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", part + rest) + _png_chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         dec(bomb)
 
