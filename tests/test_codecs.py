@@ -553,3 +553,32 @@ def test_mfcc_table_cache_is_bounded():
     assert len(caches) == 1 and len(caches[0]) <= 64
     # an uncached rate still computes, bit-identical to a fresh factory
     assert mfcc(x, 999_999) == mfcc_fn()(x, 999_999)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    flip_at=st.integers(0, 149),
+    flip_to=st.integers(0, 255),
+    trunc_tail=st.integers(0, 80),
+)
+def test_fuzz_mutated_mfv1_only_valueerror(flip_at, flip_to, trunc_tail):
+    """Structure-aware MFV1 mutations (count/length fields and frame
+    bytes all reachable by a single flip) must obey the same contract
+    as the other codecs: unpack either succeeds with sane framing or
+    raises exactly ValueError."""
+    from mapreduce_framework_simple_spark.operators.codecs import (
+        video_container,
+    )
+
+    pack, unpack = video_container()
+    good = pack([b"frame-one", b"", b"x" * 60, b"last"])
+    buf = bytearray(good)
+    if flip_at < len(buf):
+        buf[flip_at] = flip_to
+    mutated = bytes(buf)[: len(buf) - trunc_tail] if trunc_tail else bytes(buf)
+    try:
+        frames = unpack(mutated)
+    except ValueError:
+        return  # the contract
+    # a survivable mutation must still frame exactly the payload bytes
+    assert sum(4 + len(f) for f in frames) + 8 == len(mutated)
