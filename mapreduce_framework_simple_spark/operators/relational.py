@@ -659,10 +659,51 @@ def q29_outer_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q27_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (theta) self-join: event pairs of the same user within 10 min.
 
-    Scale: the equi-key (user_id) makes this a shuffled hash join with the
-    range predicate evaluated inside each key group — NOT a cross join.
-    Skewed users would concentrate pairs; AQE skew-join splits oversized
-    partitions."""
+    Computed as a sliding RANGE-frame window count, not a self-join
+    (optimization round 12, guide §2.4/§3): for each event the frame
+    (ts, ts + 10 min] over the same user's events counts exactly the
+    pairs the join formulation emits for that left row, so sum(cnt) per
+    user = the join's count(*) — equality-tested against the join
+    formulation (:func:`range_join_pairs_join`) and hash-checked against
+    the same oracle. The frame bounds are exact: events.ts has µs
+    resolution (nanos DIV 1000 at load), so [ts+1µs, ts+600'000'000µs]
+    ⟺ (b.ts > a.ts AND b.ts <= a.ts + INTERVAL 10 MINUTES). Users whose
+    every frame is empty are filtered (the inner join never emitted
+    them); NULL user_id/ts rows match nothing in the join form and are
+    filtered for the same reason.
+
+    Scale: the join form evaluates the interval predicate on every
+    same-user pair — O(Σ n_u²) comparisons (a broadcast-hash self-probe
+    at bench SF, a full pair blow-up inside a shuffled join at 100 TB) —
+    and then shuffles the surviving pairs into the per-user aggregate.
+    The window form is ONE exchange of the events table keyed by
+    user_id, a per-partition sort, a sliding-bounds count (amortized
+    O(n) per partition after the sort), and a per-user aggregation that
+    reuses the window's partitioning — no second exchange, no pair
+    materialization. Skewed users cost O(n_u log n_u) instead of
+    O(n_u²)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, "events", sf_dir).where(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(1, 600_000_000)  # (ts, ts + 10 min] in µs
+    )
+    per_event = e.select("user_id", F.count("*").over(w).alias("cnt"))
+    return (
+        per_event.groupBy("user_id")
+        .agg(F.sum("cnt").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
+
+
+def range_join_pairs_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The self-join formulation q27 had through round 11 — kept as the
+    equality referee for the window-frame rewrite (test_oracle pins
+    q27 == this on the real events table), NOT registered as a query."""
     e = load_table(spark, "events", sf_dir)
     a = e.alias("a")
     b = e.alias("b")

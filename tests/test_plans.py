@@ -226,6 +226,34 @@ def test_asof_join_single_shuffle_no_join(spark, sf_dir):
         assert op not in plan, f"as-of join planned a {op}"
 
 
+def test_range_join_window_form_single_shuffle_no_join(spark, sf_dir):
+    """q27's round-12 window-frame rewrite: ONE exchange, a Window node,
+    NO join operator — the absence of the join is the scale guarantee
+    (no O(n_u²) same-user pair evaluation) — and row-identical output to
+    the retired self-join formulation on the real events table."""
+    from mapreduce_framework_simple_spark.operators.relational import (
+        q27_range_join,
+        range_join_pairs_join,
+    )
+
+    import re
+
+    df = q27_range_join(spark, sf_dir)
+    plan = formatted_plan(df)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchanges == 1, "window-form range join should shuffle exactly once"
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "CartesianProduct"):
+        assert op not in plan, f"range join regressed to a {op}"
+    got = df.toPandas().sort_values("user_id").reset_index(drop=True)
+    want = (
+        range_join_pairs_join(spark, sf_dir)
+        .toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert got.equals(want), "window formulation diverged from the join form"
+
+
 def test_time_range_frame_single_shuffle(spark, sf_dir):
     from mapreduce_framework_simple_spark.operators.relational import (
         q88_time_range_frame,
