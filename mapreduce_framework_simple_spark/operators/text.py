@@ -690,11 +690,11 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the counts), so P(w2|w1) = C(w1 w2) / C(w1·) is always positive.
 
     Scale: the LM tables are vocabulary-bounded (Zipf), orders of
-    magnitude smaller than the corpus, and AGG-DERIVED — they sit atop
-    their groupBy exchanges, so AQE plans both count joins from the
-    aggs' TRUE output sizes at the stage boundary: broadcast at
-    realistic vocabulary sizes, shuffle hash join past the threshold
-    (no unconditional hint — see the in-body note); the only corpus-sized shuffle is the final
+    magnitude smaller than the corpus, and SIZE-DISPATCH broadcast
+    (q07's probe pattern — a memoized limit-probe proves the LM table
+    small, an over-bound vocabulary leaves the joins unhinted; see the
+    in-body note for the measured plan that retired the fully-unhinted
+    policy); the only corpus-sized shuffle is the final
     per-doc aggregation on doc_id. The per-doc mean is a sequential
     fold over the SORTED ln() terms (see the in-body note) and rounds
     to 6 dp before hashing."""
@@ -717,13 +717,27 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_w1 = c_bg.groupBy(
         F.substring_index("bg", " ", 1).alias("w1")
     ).agg(F.sum("c_bg").alias("c_w1"))
-    # the LM-table joins are deliberately UNHINTED: an explicit
-    # F.broadcast is unconditional, which would force an over-threshold
-    # broadcast on a tera-scale vocabulary. Both tables are agg-derived,
-    # so AQE plans the joins from their TRUE output sizes at the stage
-    # boundary — broadcast under the threshold (asserted at bench SF in
-    # docs/PLANS.md), shuffle hash joins beyond — the same policy q05
-    # documents for its SF-proportional dims.
+    # LM-table hint policy (revised, optimization round 12): the joins
+    # used to be fully unhinted on the theory that AQE would plan them
+    # from the aggs' true output sizes — but the MEASURED final plan
+    # (plans/r12/q105_bigram_lm_before.txt) shows the static planner
+    # committing to BuildLeft with the CORPUS-side bigram frame as the
+    # broadcast/build side (its cache statistic sits under the 64 MB
+    # threshold) before AQE ever sees the 931-row LM table: every probe
+    # then walks a corpus-sized hash relation. The hint is therefore
+    # SIZE-DISPATCHED exactly like q07's dim (the repo's established
+    # pattern): a memoized limit-probe proves the LM table is under
+    # DIM_BROADCAST_ROW_BOUND and only then pins it as the build side
+    # (c_w1 ≤ c_bg rows by construction, so one probe bounds both);
+    # a tera-vocabulary corpus fails the probe and the joins stay
+    # unhinted — the safe direction, as before.
+    from mapreduce_framework_simple_spark.operators.relational import (
+        DIM_BROADCAST_ROW_BOUND,
+        _dim_probe_count,
+    )
+
+    if _dim_probe_count(c_bg, sf_dir, DIM_BROADCAST_ROW_BOUND) <= DIM_BROADCAST_ROW_BOUND:
+        c_bg, c_w1 = F.broadcast(c_bg), F.broadcast(c_w1)
     scored = (
         bg.join(c_bg, "bg")
         .join(

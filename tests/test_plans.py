@@ -345,6 +345,11 @@ def test_bigram_lm_count_tables_broadcast(spark, sf_dir):
     plan = formatted_plan(q105_bigram_lm(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2, "LM count join lost its broadcast"
     assert "SortMergeJoin" not in plan
+    # round-12 regression guard: the LM tables (join RIGHT sides) must be
+    # the BUILD sides — the unhinted plan used to broadcast the CORPUS
+    # bigram frame (BuildLeft, its cache stat under the threshold) and
+    # probe a corpus-sized hash relation (plans/r12/q105_bigram_lm_*.txt)
+    assert "BuildLeft" not in plan, "corpus side became the hash build side"
 
 
 def test_source_quota_group_limit_pushdown(spark, sf_dir):
