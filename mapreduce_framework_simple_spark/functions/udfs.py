@@ -101,45 +101,77 @@ _PRIME_TRIAL_END = _math.isqrt(PRIME_HI - 1) + 1  # range() end, exclusive
 def q61_prime_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sum of primes in [1,000,001, 1,030,001) — the reference's benchmark
     workload (Simple.pm:836-929), where its mapper trial-divides one
-    number at a time by EVERY integer. Here: the same sieve-then-
-    blocked-outer-mod kernel as ``tools/prime_bench.py`` (one kernel,
-    both places): each Arrow batch sieves the primes below √max once,
-    then tests divisibility by primes only — ~10× fewer divisors than
-    all-integer trial division, on top of the ~100× batch-over-row win
-    the reference can't express."""
+    number at a time by EVERY integer. Here: the same segmented-sieve
+    kernel as ``tools/prime_bench.py`` (one kernel, both places —
+    optimization round 12, guide §4.2): each Arrow batch sieves the
+    primes below √max once, then — because ``spark.range`` hands every
+    batch a CONTIGUOUS value span — sieves the span itself (mark
+    multiples of each base prime: O(span · Σ 1/p) ≈ 3 ops per candidate)
+    instead of trial-dividing each candidate by every base prime
+    (~3.4k mods per candidate at the 1e9 bench range). A batch whose
+    span is far wider than its row count (nothing in this repo produces
+    one) falls back to the round-11 blocked outer-mod, so the kernel
+    stays correct on arbitrary inputs; both paths are equality-tested
+    in test_properties."""
+    return (
+        spark.range(PRIME_LO, PRIME_HI)
+        .withColumnRenamed("id", "n")
+        .where(prime_predicate_udf()(F.col("n")))
+        .agg(F.sum("n").alias("prime_sum"), F.count("*").alias("n_primes"))
+    )
+
+
+def prime_predicate_udf():
+    """Factory for q61's primality pandas_udf — a FUNCTION so tests can
+    apply the kernel to arbitrary frames (exercising both the segmented
+    and the sparse-fallback paths), while the returned UDF's closure
+    stays fully self-contained (no module references — the repo is not
+    on executor PYTHONPATH for external consumers)."""
 
     @F.pandas_udf(T.BooleanType())
     def is_prime(s: pd.Series) -> pd.Series:
+        import math
+
         import numpy as np
 
         n = s.to_numpy(dtype=np.int64)
         if len(n) == 0:
             return pd.Series(np.zeros(0, dtype=bool))
-        limit = int(np.sqrt(n.max())) + 1
+        lo, hi = int(n.min()), int(n.max())
+        limit = math.isqrt(hi) + 1
         sieve = np.ones(limit + 1, dtype=bool)
         sieve[:2] = False
-        for p in range(2, int(limit ** 0.5) + 1):
+        for p in range(2, math.isqrt(limit) + 1):
             if sieve[p]:
                 sieve[p * p:: p] = False
         primes = np.nonzero(sieve)[0].astype(np.int64)
-        # blocked outer-mod keeps each temporary bounded (batch × block);
-        # the n==p guard only matters when a candidate can BE a sieve
-        # prime (n ≤ √max) — skip the second comparison array otherwise
-        out = np.ones(len(n), dtype=bool)
-        block = 512
-        overlap = int(n.min()) <= int(primes[-1]) if len(primes) else False
-        for i in range(0, len(primes), block):
-            pb = primes[i: i + block]
-            nz = n[:, None] % pb[None, :] != 0
-            if overlap:
-                nz |= n[:, None] == pb[None, :]
-            out &= nz.all(axis=1)
+        span = hi - lo + 1
+        if span <= 8 * len(n) + 1024:
+            # segmented sieve over [lo, hi]: start each prime's marking
+            # at max(p², first multiple ≥ lo) so an in-range prime never
+            # marks itself; values < 2 are masked below
+            seg = np.ones(span, dtype=bool)
+            for p in primes.tolist():
+                start = max(p * p, ((lo + p - 1) // p) * p)
+                if start <= hi:
+                    seg[start - lo:: p] = False
+            out = seg[n - lo]
+        else:
+            # sparse batch: blocked outer-mod (bounded temporaries);
+            # the n==p guard only matters when a candidate can BE a
+            # sieve prime (n ≤ √max) — skip the comparison otherwise
+            out = np.ones(len(n), dtype=bool)
+            block = 512
+            overlap = lo <= int(primes[-1]) if len(primes) else False
+            for i in range(0, len(primes), block):
+                pb = primes[i: i + block]
+                nz = n[:, None] % pb[None, :] != 0
+                if overlap:
+                    nz |= n[:, None] == pb[None, :]
+                out &= nz.all(axis=1)
         return pd.Series(out & (n >= 2))
 
-    nums = spark.range(PRIME_LO, PRIME_HI).withColumnRenamed("id", "n")
-    return nums.where(is_prime(F.col("n"))).agg(
-        F.sum("n").alias("prime_sum"), F.count("*").alias("n_primes")
-    )
+    return is_prime
 
 
 # ---------------------------------------------------------------------------

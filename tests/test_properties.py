@@ -388,3 +388,44 @@ def test_calibrate_gated_waits_out_contention_and_is_bounded(monkeypatch):
     one_t, multi_t, waited = bench.calibrate_gated(budget_s=90.0)
     assert multi_t == bench.CALIB_REF_32T_S * 3.0
     assert waited == sum(slept) == 90.0  # exact budget, incl. final 30 s
+
+
+def test_prime_kernel_both_paths_match_trial_division(spark):
+    """q61's round-12 segmented-sieve kernel: the dense (contiguous-span)
+    path and the sparse blocked-outer-mod fallback must both reproduce
+    plain trial division — including the edge classes the sieve start
+    bound protects (n < 2, small primes, squares of primes, a prime that
+    IS a base-sieve prime, and a large known prime)."""
+    from mapreduce_framework_simple_spark.functions.udfs import (
+        prime_predicate_udf,
+    )
+
+    def truth(n: int) -> bool:
+        if n < 2:
+            return False
+        d = 2
+        while d * d <= n:
+            if n % d == 0:
+                return False
+            d += 1
+        return True
+
+    is_prime = prime_predicate_udf()
+
+    # dense path: one contiguous block (span == rows per batch) that
+    # straddles 0/1/2, prime squares (4, 9, 25, ...) and small primes
+    dense = spark.range(0, 3000).withColumnRenamed("id", "n")
+    got = {r["n"]: r["p"] for r in
+           dense.select("n", is_prime("n").alias("p")).collect()}
+    assert all(got[v] == truth(v) for v in range(0, 3000))
+
+    # sparse path: span >> 8·rows + 1024 in a single partition forces the
+    # blocked outer-mod fallback; 999999937 is a known prime, 961 = 31²
+    sparse_vals = [0, 1, 2, 3, 4, 25, 49, 97, 961, 10_007,
+                   1_000_003, 999_999_937]
+    sparse = spark.createDataFrame(
+        [(v,) for v in sparse_vals], "n long"
+    ).repartition(1)
+    got = {r["n"]: r["p"] for r in
+           sparse.select("n", is_prime("n").alias("p")).collect()}
+    assert all(got[v] == truth(v) for v in sparse_vals)
