@@ -789,10 +789,20 @@ def heavy_hitters(words: DataFrame, k: int = HH_K, cap: int = HH_CAP) -> DataFra
     if cap + 1 < k:
         raise ValueError(f"cap+1 ({cap + 1}) must be ≥ k ({k}) for exactness")
 
-    # words feeds THREE plan subtrees (sketch, exact-count join, total);
-    # Spark reuses exchanges, not scans — without this cache the corpus
-    # scan + tokenize + explode would execute three times per call
-    words = scoped_cache(words)
+    # words feeds THREE plan subtrees (sketch, exact-count join, total),
+    # and Spark reuses exchanges, not scans — so through round 11 the
+    # frame was scoped_cache'd here. Optimization round 12 MEASURED the
+    # trade (interleaved A/B at sf0.1, guide §5's cache rule): three
+    # recomputed scan+tokenize+explode passes beat one cache build plus
+    # three InMemoryTableScan reads, 0.782 s → 0.623 s min — the exploded
+    # word stream is several times larger than the source parquet, so
+    # materializing it costs more than re-deriving it, and the same logic
+    # holds harder at 100 TB (a corpus-scale exploded intermediate would
+    # spill to disk; compressed-parquet re-scans are cheaper I/O).
+    # Exactness is partitioning-independent (each evaluation's sketch
+    # yields a valid superset; the exact recount filters it —
+    # property-tested under arbitrary partitionings), so the three
+    # subtrees may legally see three independent scans.
 
     def mg_partition(batches):
         cnt: dict[str, int] = {}
