@@ -138,6 +138,8 @@ def prime_predicate_udf():
         if len(n) == 0:
             return pd.Series(np.zeros(0, dtype=bool))
         lo, hi = int(n.min()), int(n.max())
+        if hi < 2:  # all values < 2: no primes, and isqrt(hi<0) would raise
+            return pd.Series(np.zeros(len(n), dtype=bool))
         limit = math.isqrt(hi) + 1
         sieve = np.ones(limit + 1, dtype=bool)
         sieve[:2] = False

@@ -702,8 +702,9 @@ def q27_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def range_join_pairs_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The self-join formulation q27 had through round 11 — kept as the
-    equality referee for the window-frame rewrite (test_oracle pins
-    q27 == this on the real events table), NOT registered as a query."""
+    equality referee for the window-frame rewrite (tests/test_plans.py::
+    test_range_join_window_form_single_shuffle_no_join pins q27 == this
+    on the real events table), NOT registered as a query."""
     e = load_table(spark, "events", sf_dir)
     a = e.alias("a")
     b = e.alias("b")

@@ -429,3 +429,11 @@ def test_prime_kernel_both_paths_match_trial_division(spark):
     got = {r["n"]: r["p"] for r in
            sparse.select("n", is_prime("n").alias("p")).collect()}
     assert all(got[v] == truth(v) for v in sparse_vals)
+
+    # all-sub-2 batch (including negatives): must be all-False, not a
+    # math.isqrt(hi<0) crash — the guard the code-review pass added
+    neg = spark.createDataFrame(
+        [(v,) for v in (-7, -1, 0, 1)], "n long"
+    ).repartition(1)
+    got = [r["p"] for r in neg.select(is_prime("n").alias("p")).collect()]
+    assert got == [False, False, False, False]

@@ -35,6 +35,8 @@ def main() -> None:
     ap.add_argument("queries", nargs="*",
                     help="query names (default: bench HEADLINE + TREND)")
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error(f"--runs must be >= 1, got {args.runs}")
 
     from bench import HEADLINE, TREND
     from mapreduce_framework_simple_spark.ephemeral import release_caches

@@ -4,10 +4,13 @@ in [1,000,000,001 .. 1,000,300,000] (300,000 candidates; Simple.pm:836-929,
 README.md:315-408). Reference numbers: ~60 s serial Perl, ~10 s via
 map_reduce on 2 workers × "20 cores over" + 10 client forks.
 
-Engine strategy: Arrow-batched pandas_udf; each batch sieves the ~3,400
-primes below √max once (cached per worker) and tests divisibility with
-one vectorized outer-mod — trial division by primes only, not by every
-integer like the reference's mapper (Simple.pm:897-907).
+Engine strategy: Arrow-batched pandas_udf (the exact factory q61 ships —
+functions/udfs.py::prime_predicate_udf); each batch sieves the ~3,400
+primes below √max once, then segment-sieves its contiguous value span
+(~3 marking ops per candidate; round-12 optimization) — not trial
+division by every integer like the reference's mapper (Simple.pm:897-907),
+nor even per-candidate division by the base primes (the round-11 kernel,
+kept as the sparse-batch fallback).
 
 Usage: python tools/prime_bench.py
 """
@@ -38,50 +41,17 @@ def main() -> None:
     spark = get_session("prime-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    @F.pandas_udf(T.BooleanType())
-    def is_prime(s: pd.Series) -> pd.Series:
-        import math
+    # ONE kernel, literally: the same factory q61 ships (functions/udfs.py::
+    # prime_predicate_udf — segmented sieve with sparse blocked-outer-mod
+    # fallback, equality-tested against trial division in
+    # test_prime_kernel_both_paths_match_trial_division). The returned
+    # UDF's closure is self-contained, so executors never need the repo
+    # on PYTHONPATH; only this driver-side import does.
+    from mapreduce_framework_simple_spark.functions.udfs import (
+        prime_predicate_udf,
+    )
 
-        import numpy as np
-
-        n = s.to_numpy(dtype=np.int64)
-        if len(n) == 0:
-            return pd.Series(np.zeros(0, dtype=bool))
-        lo, hi = int(n.min()), int(n.max())
-        # prime sieve up to sqrt(max) — ~31.6k cells, ~3.4k primes
-        limit = math.isqrt(hi) + 1
-        sieve = np.ones(limit + 1, dtype=bool)
-        sieve[:2] = False
-        for p in range(2, math.isqrt(limit) + 1):
-            if sieve[p]:
-                sieve[p * p:: p] = False
-        primes = np.nonzero(sieve)[0].astype(np.int64)
-        span = hi - lo + 1
-        if span <= 8 * len(n) + 1024:
-            # spark.range batches are contiguous spans: segmented sieve
-            # (O(span · Σ 1/p) marking ops ≈ 3 per candidate) instead of
-            # ~3.4k trial mods per candidate — round-12 optimization,
-            # same kernel as q61 (functions/udfs.py), equality-tested
-            seg = np.ones(span, dtype=bool)
-            for p in primes.tolist():
-                start = max(p * p, ((lo + p - 1) // p) * p)
-                if start <= hi:
-                    seg[start - lo:: p] = False
-            out = seg[n - lo]
-        else:
-            # sparse batch: blocked outer-mod keeps temporaries bounded;
-            # the n==p guard only matters when a candidate can BE a sieve
-            # prime (n ≤ √max); skip the second comparison array otherwise
-            out = np.ones(len(n), dtype=bool)
-            block = 512
-            overlap = lo <= int(primes[-1]) if len(primes) else False
-            for i in range(0, len(primes), block):
-                pb = primes[i : i + block]
-                nz = n[:, None] % pb[None, :] != 0
-                if overlap:
-                    nz |= n[:, None] == pb[None, :]
-                out &= nz.all(axis=1)
-        return pd.Series(out & (n >= 2))
+    is_prime = prime_predicate_udf()
 
     spark.range(1, 1000).withColumnRenamed("id", "n").where(is_prime(F.col("n"))).count()  # warm workers
 
