@@ -204,20 +204,20 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
     """The prefix-filter kernel body over a CACHED (doc_id, sid) frame —
     returns (doc_a, doc_b, jaccard_raw UNROUNDED), identical rows to
     :func:`_jaccard_truth_pairs` (see :func:`ngram_jaccard_prefix` for
-    the algorithm and measured regimes)."""
+    the algorithm and measured regimes). A frame already carrying the
+    per-doc shingle count as ``n`` (q36 bakes it into the shared cache —
+    see :func:`_with_doc_n`) skips this kernel's own count window."""
     from pyspark.sql import Window
 
+    sh = _with_doc_n(sh)
     freq = sh.groupBy("sid").agg(F.count("*").alias("df"))
-    # global rarest-first order; per-doc prefix positions
-    ranked = (
-        sh.join(freq, "sid")
-        .withColumn(
-            "pos",
-            F.row_number().over(
-                Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sid"))
-            ),
-        )
-        .withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+    # global rarest-first order; per-doc prefix positions (n: same value
+    # after the freq join — one row per (doc_id, sid) either side)
+    ranked = sh.join(freq, "sid").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sid"))
+        ),
     )
     prefix = ranked.where(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
@@ -375,8 +375,17 @@ def q36_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     where frequency skew would make the naive join quadratic (crossover
     measured cold-for-cold in tools/jaccard_crossover.py; the kernels
     are equality-tested). q38's MinHash-LSH is the 100 TB path and this
-    operator is its ground-truth verifier."""
-    sh = scoped_cache(shingle_id_sets(spark, sf_dir))
+    operator is its ground-truth verifier.
+
+    The shared cache carries the per-doc shingle count ``n`` (one
+    window exchange at materialization — round 13): the truth kernel's
+    length-ratio prefilter reads it on both join sides, its cnt
+    aggregate and both prefix-kernel windows reuse the cache's
+    hash(doc_id) partitioning, and the variant measured here beat both
+    the inherited shape (1.66 → 1.29 s min, interleaved) and the
+    per-side broadcast-join attach (which LOST 2.06 → 3.47 —
+    see _jaccard_truth_pairs)."""
+    sh = scoped_cache(_with_doc_n(shingle_id_sets(spark, sf_dir)))
     memo_key = (
         spark.sparkContext.applicationId,
         sf_dir,
@@ -413,18 +422,62 @@ def _jaccard_filter(inter: DataFrame, cnt: DataFrame) -> DataFrame:
     )
 
 
+def _with_doc_n(sh: DataFrame) -> DataFrame:
+    """Attach the per-doc shingle count as column ``n`` unless the frame
+    already carries it. q36 computes it ONCE inside its shared cache
+    build (one hash(doc_id) window exchange paid at materialization);
+    ad-hoc callers handing a plain (doc_id, sid) frame get the same
+    column inline."""
+    if "n" in sh.columns:
+        return sh
+    from pyspark.sql import Window
+
+    return sh.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+
+
 def _jaccard_truth_pairs(sh: DataFrame) -> DataFrame:
     """Exact Jaccard ≥ JACCARD_T pairs over a (doc_id, sid) shingle-id
     frame (all unordered pairs WITHIN the frame, doc_a < doc_b) — the
     self-join form of the ground-truth rule; the threshold itself lives
     in :func:`_jaccard_filter`, shared with q112's anchored truth side.
     Returns (doc_a, doc_b, jaccard_raw UNROUNDED); quadratic in
-    colliding docs by design — verification duty only."""
-    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    colliding docs by design — verification duty only.
+
+    Optimization round 13 (guide §2.3 — shuffle fewer bytes): the join
+    carries each doc's shingle count ``n`` and drops pairs failing the
+    LENGTH-RATIO bound before the pair exchange. J ≥ t ⟹
+    n_inter ≥ t·(n_a + n_b − n_inter) with n_inter ≤ min(n_a,n_b)
+    ⟹ min(n_a,n_b) ≥ t·max(n_a,n_b) — so a pair with
+    min/max < t cannot pass :func:`_jaccard_filter`. Float-safe: the
+    dropped predicate uses the same correctly-rounded double division as
+    the final filter, and n_inter ≤ min, union ≥ max as exact integers
+    make (n_inter/union) ≤ (min/max) under round-to-nearest monotonicity
+    — no pair with jaccard_raw ≥ t is ever dropped, for ANY t. Measured
+    at sf0.1 (interleaved A/B, round 13): pair-exchange rows 1.27M →
+    0.97M (−24%) and min 1.66 s → 1.29 s with the window baked into the
+    shared cache; attaching n via per-side broadcast joins instead was
+    measured WORSE (2.06 vs 3.47 — the two extra build-side probes cost
+    more than the row cut saves)."""
+    sh = _with_doc_n(sh)
+    # cnt for the exact-union filter: one row per doc. Over q36's cache
+    # the groupBy reuses the window's hash(doc_id) partitioning — no
+    # exchange (min(n) ≡ the window count; every row of a doc carries
+    # the identical value).
+    cnt = sh.groupBy("doc_id").agg(F.min("n").alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
+    ratio_ok = (
+        F.least(F.col("a.n"), F.col("b.n")).cast("double")
+        / F.greatest(F.col("a.n"), F.col("b.n"))
+        >= F.lit(JACCARD_T)
+    )
     inter = (
-        a.join(b, (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & ratio_ok,
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_inter"))
     )

@@ -1804,3 +1804,47 @@ def test_hyperplane_dim_mismatch_fails_loudly(spark):
     )
     with pytest.raises(Exception, match="dim"):
         S.hyperplane_lsh_pairs(df, threshold=0.0).collect()
+
+
+def test_truth_kernel_ratio_prefilter_keeps_boundary_pair(spark):
+    """The round-13 length-ratio prefilter (min(n)/max(n) >= t before the
+    pair exchange) must keep a pair sitting exactly ON the bound: A ⊂ B
+    with |A| = 4, |B| = 8 has min/max = 0.5 AND J = 4/(4+8-4) = 0.5 — a
+    strict >, a swapped least/greatest, or a float-unsafe rewrite would
+    drop a pair the threshold rule keeps. Also pins kernel output
+    against an inline UNFILTERED reference on a mixed-length corpus."""
+    from pyspark.sql import functions as F
+
+    from mapreduce_framework_simple_spark.operators import dedup as D
+
+    rows = (
+        [(1, s) for s in range(4)]          # A = {0..3}
+        + [(2, s) for s in range(8)]        # B = {0..7} ⊇ A, boundary pair
+        + [(3, s) for s in range(100, 110)]  # C: 10 shingles
+        + [(4, s) for s in range(100, 130)]  # D: 30 — ratio 1/3 < t, shares C's
+        + [(5, s) for s in range(100, 121)]  # E: 21 — vs C ratio 10/21 < t
+    )
+    sh = spark.createDataFrame(rows, "doc_id long, sid long")
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard_raw, 6))
+        for r in D._jaccard_truth_pairs(sh).collect()
+    }
+    assert (1, 2, 0.5) in got, "boundary pair (min/max == t == J) was dropped"
+
+    # unfiltered reference (the pre-round-13 kernel, inline)
+    cnt = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard_raw, 6))
+        for r in D._jaccard_filter(inter, cnt).collect()
+    }
+    assert got == want, f"prefiltered kernel diverged: {got ^ want}"
