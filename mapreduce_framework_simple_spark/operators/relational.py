@@ -70,7 +70,12 @@ def duck_cents_l(col: str) -> str:
 # partitions × bound markers, not the table, but NOT free at 100 TB;
 # it is therefore memoized per (session, sf_dir, bound) below, so a
 # session pays it once per input, and staleness can only ever affect
-# join STRATEGY, never results.
+# join STRATEGY, never results. That bounded-cost rationale applies to
+# SCAN-BACKED dims only: over an agg-derived frame LocalLimit cannot
+# cap the aggregation below it, so the probe would execute the full
+# upstream agg per memo miss — such dims must derive their dispatch
+# from their own (cached) materialization instead, the way q105's
+# text._lm_table_stats does (optimization round 13, ADVICE r12).
 DIM_BROADCAST_ROW_BOUND = 1_000_000
 
 _DIM_PROBE_MEMO: dict[tuple, int] = {}

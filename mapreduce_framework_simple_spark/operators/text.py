@@ -658,6 +658,61 @@ def scrub_pii(df: DataFrame, col: str = "text",
 # Corpus bigram language model (CCNet-style perplexity signal)
 # ---------------------------------------------------------------------------
 
+# Byte-aware broadcast gate for the LM count tables (q105). The generic
+# DIM_BROADCAST_ROW_BOUND is calibrated on ~30 B q07 part rows (1M rows
+# ≈ 30 MB < the 64 MB session threshold); c_bg rows carry a bigram
+# STRING plus a count and build into a JVM hash relation at roughly
+# string bytes + per-row overhead (UnsafeRow header/offsets, the count
+# long, hash-table slots — ~48 B), so the hint additionally requires
+# rows × (avg_width + overhead) under 48 MB — headroom below the 64 MB
+# threshold because the estimate is an average, not a max.
+LM_ROW_OVERHEAD_B = 48
+LM_BROADCAST_BYTES_BOUND = 48 * 1024 * 1024
+
+# (applicationId, sf_dir, input fingerprint, plan hash) → (rows, avg
+# bigram width). Same memo discipline as relational._DIM_PROBE_MEMO: a
+# session pays the stats job once per input, an in-session overwrite of
+# the parquet mints a new key, and staleness can only ever affect join
+# STRATEGY, never results. Scalars only; FIFO-bounded.
+_LM_STATS_MEMO: dict[tuple, tuple[int, float]] = {}
+_LM_STATS_MEMO_MAX = 32
+
+
+def _lm_table_stats(c_bg: DataFrame, sf_dir: str) -> tuple[int, float]:
+    """Memoized (row count, avg bigram width) of the c_bg frame. On a
+    memo MISS the frame is scoped-cached first, so the ONE aggregation
+    job doubles as the cache-populating action and the main query's
+    consumers reuse its rows — the broadcast dispatch adds no corpus
+    pass beyond the aggregation the query needs anyway. On memo HITS
+    nothing runs and nothing is cached. The round-12
+    ``_dim_probe_count`` limit-probe was wrong for this frame: its
+    bounded-cost rationale (LocalLimit caps each scan partition) holds
+    only for scan-backed dims — over an AGG-derived frame the probe
+    executed the full corpus-wide bigram groupBy and discarded the
+    rows, pricing the 'cheap' probe at a second corpus aggregation per
+    memo miss."""
+    from mapreduce_framework_simple_spark.ephemeral import bounded_memo_get
+    from mapreduce_framework_simple_spark.operators.relational import (
+        _fingerprint_guarded,
+    )
+
+    def compute() -> tuple[int, float]:
+        cached = scoped_cache(c_bg)
+        row = cached.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.avg(F.length("bg")), F.lit(0.0)).alias("w"),
+        ).collect()[0]
+        return int(row["n"]), float(row["w"])
+
+    key = (
+        c_bg.sparkSession.sparkContext.applicationId,
+        sf_dir,
+        _fingerprint_guarded(sf_dir, c_bg.sparkSession),
+        c_bg._jdf.queryExecution().analyzed().semanticHash(),
+    )
+    return bounded_memo_get(_LM_STATS_MEMO, key, compute, _LM_STATS_MEMO_MAX)
+
+
 @query(
     "q105_bigram_lm",
     oracle=f"""
@@ -690,11 +745,12 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     to the counts), so P(w2|w1) = C(w1 w2) / C(w1·) is always positive.
 
     Scale: the LM tables are vocabulary-bounded (Zipf), orders of
-    magnitude smaller than the corpus, and SIZE-DISPATCH broadcast
-    (q07's probe pattern — a memoized limit-probe proves the LM table
-    small, an over-bound vocabulary leaves the joins unhinted; see the
-    in-body note for the measured plan that retired the fully-unhinted
-    policy); the only corpus-sized shuffle is the final
+    magnitude smaller than the corpus, CACHED (the dispatch-stats job
+    doubles as the cache materialization — no corpus pass is ever spent
+    on dispatch alone), and SIZE-DISPATCH broadcast by rows AND bytes
+    (:func:`_lm_table_stats`; an over-bound vocabulary leaves the joins
+    unhinted; see the in-body note for the measured plan that retired
+    the fully-unhinted policy); the only corpus-sized shuffle is the final
     per-doc aggregation on doc_id. The per-doc mean is a sequential
     fold over the SORTED ln() terms (see the in-body note) and rounds
     to 6 dp before hashing."""
@@ -713,30 +769,49 @@ def q105_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.explode(bigrams_expr(F.col("toks"))).alias("bg")
         )
     )
+    # c_bg cached ON THE DISPATCH-STATS MISS PATH only (round 13): the
+    # r12 limit-probe could not be capped by LocalLimit over this
+    # agg-derived frame — it executed the FULL corpus-wide bigram
+    # aggregation and threw the rows away once per memo miss (the
+    # ADVICE r12 finding). _lm_table_stats therefore caches c_bg before
+    # its stats job, so the miss-path corpus aggregation doubles as the
+    # query's own c_bg materialization (c_w1 and the scoring build side
+    # read vocabulary-bounded cached rows). On memo HITS nothing is
+    # cached: the plain agg's exchange is computed once and reused
+    # (ReusedExchange) — an unconditional cache was MEASURED WORSE at
+    # steady state (interleaved A/B at sf0.1: 0.878 s plain vs 1.090 s
+    # cached min — the materialization barrier costs more than the
+    # probe it saves, which the memo already skips).
     c_bg = bg.groupBy("bg").agg(F.count("*").alias("c_bg"))
     c_w1 = c_bg.groupBy(
         F.substring_index("bg", " ", 1).alias("w1")
     ).agg(F.sum("c_bg").alias("c_w1"))
-    # LM-table hint policy (revised, optimization round 12): the joins
-    # used to be fully unhinted on the theory that AQE would plan them
-    # from the aggs' true output sizes — but the MEASURED final plan
-    # (plans/r12/q105_bigram_lm_before.txt) shows the static planner
-    # committing to BuildLeft with the CORPUS-side bigram frame as the
-    # broadcast/build side (its cache statistic sits under the 64 MB
-    # threshold) before AQE ever sees the 931-row LM table: every probe
-    # then walks a corpus-sized hash relation. The hint is therefore
-    # SIZE-DISPATCHED exactly like q07's dim (the repo's established
-    # pattern): a memoized limit-probe proves the LM table is under
-    # DIM_BROADCAST_ROW_BOUND and only then pins it as the build side
-    # (c_w1 ≤ c_bg rows by construction, so one probe bounds both);
-    # a tera-vocabulary corpus fails the probe and the joins stay
-    # unhinted — the safe direction, as before.
+    # LM-table hint policy (revised r12, re-revised r13): unhinted, the
+    # static planner committed to BuildLeft with the CORPUS-side bigram
+    # frame as the broadcast/build side (plans/r12/q105_bigram_lm_before
+    # .txt — its cache statistic sits under the 64 MB threshold) before
+    # AQE ever saw the 931-row LM table, so every probe walked a
+    # corpus-sized hash relation. The hint is SIZE-DISPATCHED: memoized
+    # exact stats over the CACHED c_bg (count + avg bigram width in ONE
+    # job — the job that materializes the cache, so the dispatch costs
+    # no extra corpus pass) pin c_bg/c_w1 as build sides only when the
+    # vocabulary is provably small BY BYTES, not just rows: c_bg rows
+    # carry a bigram string, several times wider than the ~30 B q07
+    # part rows that justified DIM_BROADCAST_ROW_BOUND, so a near-bound
+    # vocabulary would pass a row-only gate yet broadcast well past the
+    # 64 MB threshold (F.broadcast is honored at ANY size). c_w1 ≤ c_bg
+    # in both rows and bytes by construction, so one gate bounds both;
+    # an over-bound vocabulary leaves the joins unhinted — the safe
+    # direction, as before.
     from mapreduce_framework_simple_spark.operators.relational import (
         DIM_BROADCAST_ROW_BOUND,
-        _dim_probe_count,
     )
 
-    if _dim_probe_count(c_bg, sf_dir, DIM_BROADCAST_ROW_BOUND) <= DIM_BROADCAST_ROW_BOUND:
+    n_bg, avg_w = _lm_table_stats(c_bg, sf_dir)
+    if (
+        n_bg <= DIM_BROADCAST_ROW_BOUND
+        and n_bg * (avg_w + LM_ROW_OVERHEAD_B) <= LM_BROADCAST_BYTES_BOUND
+    ):
         c_bg, c_w1 = F.broadcast(c_bg), F.broadcast(c_w1)
     scored = (
         bg.join(c_bg, "bg")

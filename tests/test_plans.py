@@ -342,14 +342,21 @@ def test_bigram_lm_count_tables_broadcast(spark, sf_dir):
     shuffle is the final per-doc aggregation."""
     from mapreduce_framework_simple_spark.operators.text import q105_bigram_lm
 
+    import re
+
     plan = formatted_plan(q105_bigram_lm(spark, sf_dir))
-    assert plan.count("BroadcastHashJoin") >= 2, "LM count join lost its broadcast"
+    join_lines = re.findall(r"^.*BroadcastHashJoin[^\n]*$", plan, re.M)
+    assert len(join_lines) >= 2, "LM count join lost its broadcast"
     assert "SortMergeJoin" not in plan
-    # round-12 regression guard: the LM tables (join RIGHT sides) must be
-    # the BUILD sides — the unhinted plan used to broadcast the CORPUS
-    # bigram frame (BuildLeft, its cache stat under the threshold) and
-    # probe a corpus-sized hash relation (plans/r12/q105_bigram_lm_*.txt)
-    assert "BuildLeft" not in plan, "corpus side became the hash build side"
+    # round-12 regression guard (scoped to the join lines, ADVICE r12):
+    # the LM tables (join RIGHT sides) must be the BUILD sides — the
+    # unhinted plan used to broadcast the CORPUS bigram frame
+    # (BuildLeft, its cache stat under the threshold) and probe a
+    # corpus-sized hash relation (plans/r12/q105_bigram_lm_*.txt)
+    for line in join_lines:
+        assert "BuildLeft" not in line, (
+            f"corpus side became the hash build side: {line.strip()}"
+        )
 
 
 def test_source_quota_group_limit_pushdown(spark, sf_dir):
@@ -495,4 +502,60 @@ def test_q36_truth_kernel_pair_exchange_eliminated(spark, sf_dir):
             )
     finally:
         release_caches()
+        spark.catalog.clearCache()
+
+
+def test_q105_byte_gate_over_bound_unhinted_equal(spark, sf_dir, monkeypatch):
+    """q105's LM broadcast hint is dispatched by rows AND bytes (round
+    13, ADVICE r12: c_bg rows are several times wider than the ~30 B
+    q07 rows the generic row bound was calibrated on). Force the
+    over-byte-bound branch and assert the hint is gone from the
+    analyzed plan while the answer is row-identical — the dispatch may
+    only ever change strategy, never results."""
+    from mapreduce_framework_simple_spark.operators import text as T
+    from mapreduce_framework_simple_spark.operators.text import q105_bigram_lm
+
+    def analyzed(df):
+        return df._jdf.queryExecution().analyzed().toString()
+
+    under = q105_bigram_lm(spark, sf_dir)
+    assert "ResolvedHint" in analyzed(under), "under-bound branch lost its hint"
+    hinted = under.toPandas().sort_values("doc_id")
+    monkeypatch.setattr(T, "LM_BROADCAST_BYTES_BOUND", 0)
+    over = q105_bigram_lm(spark, sf_dir)
+    assert "ResolvedHint" not in analyzed(over), "over-byte-bound kept the hint"
+    unhinted = over.toPandas().sort_values("doc_id")
+    assert hinted.reset_index(drop=True).equals(unhinted.reset_index(drop=True))
+
+
+def test_q105_stats_memo_no_repeat_probe_and_miss_path_cache(spark, sf_dir):
+    """_lm_table_stats pays its stats job once per (session, input): the
+    memo-MISS path scoped-caches c_bg (the stats aggregation doubles as
+    the cache materialization the main query then reuses), and memo
+    HITS neither recompute nor register another cache handle — the
+    steady-state plan stays the round-12 ReusedExchange shape, which an
+    unconditional cache was measured to regress (A/B 0.878 → 1.090 s)."""
+    from mapreduce_framework_simple_spark import ephemeral
+    from mapreduce_framework_simple_spark.operators import text as T
+    from mapreduce_framework_simple_spark.operators.text import q105_bigram_lm
+
+    ephemeral.release_caches()
+    spark.catalog.clearCache()
+    T._LM_STATS_MEMO.clear()
+    try:
+        n_handles0 = len(ephemeral._SCOPED)
+        q105_bigram_lm(spark, sf_dir).count()
+        assert len(T._LM_STATS_MEMO) == 1, "miss path must memoize the stats"
+        n_handles1 = len(ephemeral._SCOPED)
+        assert n_handles1 > n_handles0, "miss path must scoped-cache c_bg"
+        q105_bigram_lm(spark, sf_dir).count()
+        assert len(T._LM_STATS_MEMO) == 1, "hit path must not re-probe"
+        # hit path registers only q105's own bg cache, no c_bg handle:
+        # exactly as many new handles as the first call MINUS the
+        # stats-path c_bg cache
+        assert len(ephemeral._SCOPED) - n_handles1 == (n_handles1 - n_handles0) - 1, (
+            "hit path registered an unexpected cache handle"
+        )
+    finally:
+        ephemeral.release_caches()
         spark.catalog.clearCache()
