@@ -164,6 +164,14 @@ _DUCK_SHINGLE_SETS = f"""
 
 JACCARD_T = 0.5
 
+# Prefix-kernel verify: force the packed shingle-array broadcast while
+# its exact byte bound (cached rows × 8 B of sid + docs × ~64 B array/row
+# overhead) stays under this. 256 MB: well under the 8 GB / 512M-row
+# broadcast hard cap and comfortable for production executors (guide
+# §3.1); the measured win at the 20× probe (48 MB estimate) is 4.7× on
+# the verify stage. Beyond the bound the planner's shuffle join stands.
+PACKED_BROADCAST_BYTES_BOUND = 256 * 1024 * 1024
+
 
 def ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered (PPJoin-style) variant of q36 — identical results,
@@ -221,21 +229,80 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
     )
     prefix = ranked.where(
         F.col("pos") <= F.col("n") - F.ceil(F.lit(JACCARD_T) * F.col("n")) + 1
-    ).select("doc_id", "sid")
-    cand = (
-        prefix.alias("a")
-        .join(
-            prefix.alias("b"),
-            (F.col("a.sid") == F.col("b.sid")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select("doc_id", "sid", "n", "pos")
+    # Candidate pruning in the join condition (optimization round 13):
+    # the bare prefix-equi-join goes quadratic on dup-heavy corpora
+    # (MEASURED at the 20× offset-replica probe: 164.7M distinct
+    # candidates, 475 s end-to-end — a pre-existing cliff, identical
+    # candidate count on the pre-round-13 tree). Two provably-lossless
+    # PPJoin-family filters cut it to 50.9M (−69%) on the same probe:
+    #
+    # * LENGTH RATIO (same bound as the naive kernel — see
+    #   _jaccard_truth_pairs): J ≥ t ⟹ min(n_a,n_b)/max(n_a,n_b) ≥ t,
+    #   correctly-rounded-division monotonicity makes the double
+    #   comparison conservative for any t. −24% alone (125.0M).
+    # * POSITIONAL: a qualifying pair needs overlap α ≥ t/(1+t)·(n_a+
+    #   n_b); for the pair's globally-FIRST common shingle (both docs
+    #   rank their shingles by the same global (df, sid) order) every
+    #   other common shingle sits after pos_a/pos_b in both suffixes,
+    #   so α ≤ 1 + min(n_a−pos_a, n_b−pos_b). The occurrence generated
+    #   by that first common shingle therefore always PASSES, and the
+    #   distinct() keeps a pair when any occurrence passes — lossless.
+    #   Integer-exact form (1+min ≥ α ⟺ (p+q)·(1+min) ≥ p·(n_a+n_b)
+    #   with t = p/q taken from the float's exact Fraction; lhs is an
+    #   integer so no float boundary case exists), applied only while
+    #   p+q stays overflow-safe next to n ≤ 2^40 — an exotic threshold
+    #   float silently skips just this filter (weaker, never wrong).
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = (
+        (F.col("a.sid") == F.col("b.sid"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+        & (
+            F.least(F.col("a.n"), F.col("b.n")).cast("double")
+            / F.greatest(F.col("a.n"), F.col("b.n"))
+            >= F.lit(JACCARD_T)
         )
+    )
+    from fractions import Fraction
+
+    frac_t = Fraction(JACCARD_T)
+    p, q = frac_t.numerator, frac_t.denominator
+    if p + q <= 1 << 20:
+        cond = cond & (
+            (p + q)
+            * (
+                F.lit(1)
+                + F.least(
+                    F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+                )
+            )
+            >= p * (F.col("a.n") + F.col("b.n"))
+        )
+    cand = (
+        a.join(b, cond)
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     # exact verification on packed shingle arrays; the threshold/union
     # rule itself routes through _jaccard_filter — THE single definition
     # shared with the naive kernel, the q112 truth side, and the referee,
-    # so a rule change can never make q36 dispatch-dependent
+    # so a rule change can never make q36 dispatch-dependent.
+    # SIZE-DISPATCHED broadcast (round 13): at the 20× dup-heavy probe
+    # the planner's estimate pushed packed past the auto threshold and
+    # BOTH verify joins became shuffles of the full candidate stream —
+    # measured 168.8 s vs 36.2 s with packed broadcast (4.7×). packed
+    # bytes are provably ≈ rows×8 (each cached (doc_id, sid) row lands
+    # in exactly one array) + docs×overhead, both exact from ONE small
+    # aggregate over the already-cached sh, so the broadcast is forced
+    # only when that bound fits comfortably (guide §3.1: a few hundred
+    # MB is fine); a corpus-scale doc count falls back to the planner's
+    # shuffle join — the safe direction.
     packed = sh.groupBy("doc_id").agg(F.array_sort(F.collect_list("sid")).alias("sids"))
+    st = sh.agg(
+        F.count("*").alias("rows"), F.count_distinct("doc_id").alias("docs")
+    ).collect()[0]
+    if int(st["rows"]) * 8 + int(st["docs"]) * 64 <= PACKED_BROADCAST_BYTES_BOUND:
+        packed = F.broadcast(packed)
     inter = (
         cand.join(
             packed.select(F.col("doc_id").alias("doc_a"), F.col("sids").alias("sids_a")),

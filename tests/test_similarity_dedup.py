@@ -1848,3 +1848,16 @@ def test_truth_kernel_ratio_prefilter_keeps_boundary_pair(spark):
         for r in D._jaccard_filter(inter, cnt).collect()
     }
     assert got == want, f"prefiltered kernel diverged: {got ^ want}"
+
+    # the PREFIX kernel's round-13 candidate pruning (length-ratio +
+    # positional) must keep the same boundary pair: with A = {0..3} ⊂
+    # B = {0..7} and equal shingle frequencies the globally-first common
+    # shingle sits at pos 1 in both prefixes, making the positional
+    # bound exactly tight (1 + min(3, 7) = 4 = α = (4+8)/3 rounded up)
+    got_prefix = {
+        (r.doc_a, r.doc_b, round(r.jaccard_raw, 6))
+        for r in D._jaccard_prefix_pairs(sh).collect()
+    }
+    assert got_prefix == want, (
+        f"prefix kernel diverged after candidate pruning: {got_prefix ^ want}"
+    )
