@@ -300,6 +300,45 @@ def main() -> None:
 
     load_start = os.getloadavg()
 
+    # Per-SEGMENT calibration (round 13): the r12 sweep proved endpoint
+    # anchors can miss a mid-sweep host collapse entirely (pre-sweep
+    # ratio 1.12, post-sweep 2.28 — every query in between inflated
+    # with nothing in the artifact localizing WHEN). After each query a
+    # single-shot 1t kernel is timed (cheap, ~0.17 s, catches per-core
+    # steal spikes next to the query they contaminate), and every 6th
+    # query plus the last a single-shot 32t kernel (the figure that
+    # actually collapsed in r12; run sparsely because it costs ~0.3-1 s
+    # and saturates the box). Diagnostics only — single-shot readings
+    # jitter more than the min-of-2 anchors, so they localize drift
+    # rather than re-normalize anything. ADDITIONS to the artifact;
+    # every pre-existing field and the timing protocol are unchanged.
+    seg_1t: dict[str, float] = {}
+    seg_32t: dict[str, float] = {}
+
+    def _segment_probe(name: str, idx: int, last: bool) -> None:
+        import threading
+
+        t0 = time.perf_counter()
+        _calib_kernel()
+        seg_1t[name] = round(time.perf_counter() - t0, 3)
+        msg = f"# segment calibration after {name}: 1t {seg_1t[name]:.3f}s"
+        if idx % 6 == 5 or last:
+            threads = [
+                threading.Thread(target=_calib_kernel)
+                for _ in range(CALIB_THREADS)
+            ]
+            t0 = time.perf_counter()
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
+            seg_32t[name] = round(time.perf_counter() - t0, 3)
+            msg += (
+                f", 32t {seg_32t[name]:.3f}s "
+                f"(ratio {seg_32t[name] / CALIB_REF_32T_S:.2f})"
+            )
+        print(msg, file=sys.stderr)
+
     # min of 3 runs per query: steady-state wall time (single runs on a
     # shared local machine jitter ±20-30%; BENCH_r02's apparent regression
     # was adjudicated as exactly this noise); caches cleared between runs
@@ -340,6 +379,10 @@ def main() -> None:
         tgt = trend_timings if name in TREND else timings
         tgt[name] = round(best, 3)
         print(f"# {name}: {tgt[name]:.2f}s ({n} rows)", file=sys.stderr)
+        all_names = HEADLINE + TREND
+        _segment_probe(
+            name, all_names.index(name), name == all_names[-1]
+        )
 
     load_end = os.getloadavg()
     # post-sweep anchor re-read: the PRE-sweep sample normalizes the
@@ -437,6 +480,14 @@ def main() -> None:
         "shared12_normalized": round(
             sum(timings[q] for q in SHARED_12) / ratio_32t, 3
         ),
+        # per-segment drift localization (round 13): single-shot 1t
+        # kernel after EVERY query, single-shot 32t after every 6th and
+        # the last — the r12 sweep's mid-run collapse was invisible to
+        # the endpoint anchors above. Diagnostics, not normalizers:
+        # readers use them to see WHICH queries ran on a degraded box;
+        # the pre-sweep min-of-2 anchor stays the series normalizer.
+        "calibration_1t_per_query": seg_1t,
+        "calibration_32t_checkpoints": seg_32t,
     }
     print(json.dumps(out))
     spark.stop()
