@@ -323,23 +323,29 @@ def _jaccard_prefix_pairs(sh: DataFrame) -> DataFrame:
 
 # Kernel dispatch threshold for q36: mean naive-self-join fan-out
 # (emitted pairs per shingle-set row, Σ C(df,2) / Σ df). Re-derived
-# round 9 COLD-FOR-COLD (tools/jaccard_crossover.py — both kernels
-# warmed then cache-cleared per timed run, min of 2, documents-only
-# offset replicas of sf0.1; the round-5 figures this replaces were
-# warm-vs-cold biased and put the crossover at 16):
+# in optimization round 13 after BOTH kernels changed (naive gained
+# the length-ratio prefilter; prefix gained candidate pruning + the
+# packed-broadcast dispatch, 14.6× at 20×), same protocol as the
+# round-9 derivation this replaces (tools/jaccard_crossover.py —
+# cold-for-cold, min of 2, documents-only offset replicas of sf0.1):
 #
-#   fan-out  4.9 (1×):  naive 1.80 s   prefix  3.79 s  → naive
-#   fan-out 21.0 (4×):  naive 4.64 s   prefix  8.12 s  → naive
-#   fan-out 53.2 (10×): naive 20.46 s  prefix 23.54 s  → naive
-#   fan-out 74.7 (14×): naive 35.39 s  prefix 28.40 s  → prefix
-#   fan-out 106.8 (20×): naive 71.78 s prefix 50.66 s  → prefix
+#   fan-out 21.0 (4×):  naive  6.63 s  prefix  8.14 s  → naive
+#     (re-run:          naive  6.95 s  prefix  8.43 s)
+#   fan-out 53.2 (10×): naive 15.23 s  prefix 12.35 s  → prefix
+#     (re-run:          naive 12.49 s  prefix 11.38 s)
+#   fan-out 74.7 (14×): naive 26.09 s  prefix 13.05 s  → prefix (2.0×)
+#   fan-out 106.8 (20×): q36-via-prefix 35.2 s vs naive-era 513 s
 #
-# Crossover bracket (53.2, 74.7); 60 sits inside it, deliberately
-# nearer the naive-wins bound because the mis-routing costs are
-# asymmetric: prefix-when-naive-was-better caps at ~2× measured,
+# (Both r13 sweeps ran with residual background shadows — loadavg
+# 7–29 — but kernels interleave within each regime, so the ORDER is
+# trustworthy; margins carry that noise. The r9 table read naive 20.46
+# vs prefix 23.54 at 10× — the prefix kernel's pruning moved the
+# crossover left.) Bracket now (21.0, 53.2); 35 sits inside it,
+# nearer the naive-wins bound because the mis-routing costs stay
+# asymmetric: prefix-when-naive-was-better caps at ~1.2× measured,
 # while naive grows quadratically in dup-heaviness past the
-# crossover (71.8 s vs 50.7 s already at fan-out 107, and widening).
-JACCARD_FANOUT_DISPATCH = 60.0
+# crossover (26 s vs 13 s already at fan-out 75, and widening).
+JACCARD_FANOUT_DISPATCH = 35.0
 
 # The fan-out probe measures a 1-in-8 deterministic ROW-hash sample
 # (hash of (sid, doc_id)): the per-sid groupBy would otherwise shuffle
